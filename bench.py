@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the registered headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall time over all queries (sec). Each query is executed to
+completion via a count-ish action (``df.write.format("noop")`` equivalent:
+we use ``_jdf`` free ``df.foreach`` alternative — a cheap ``count()`` after a
+``cache``-free plan), so measured time includes the full plan execution.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sciencebeam_parser_spark.queries import REGISTRY  # noqa: E402
+from sciencebeam_parser_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    REGISTRY["q01_pricing_summary"].build(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.time()
+        try:
+            df = q.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception:
+            # fall back to count() if noop sink unavailable for this plan
+            try:
+                t0 = time.time()
+                q.build(spark, sf_dir).count()
+                dt = time.time() - t0
+            except Exception as e:  # pragma: no cover
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                continue
+        per_query[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "operator_suite_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""The registered query surface: every SURVEY §2 operator gets at least one
+named query with a Spark builder and (where SQL-expressible) a DuckDB oracle.
+
+Importing this package populates the registry.
+"""
+from sciencebeam_parser_spark.queries.registry import REGISTRY, Query, register  # noqa: F401
+from sciencebeam_parser_spark.queries import (  # noqa: F401
+    relational,
+    text_ops,
+    events_ops,
+    docpipe,
+)
