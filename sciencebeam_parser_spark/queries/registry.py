@@ -41,5 +41,22 @@ def register(name: str, oracle: Optional[str], survey_ref: str, doc: str = ""):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan for one synthetic table (filters/projections push down)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan for one synthetic table (filters/projections push down).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long (legacy conf, runtime-settable) and
+    rebuild the timestamp at microsecond precision — the same truncation
+    DuckDB applies, so oracles agree.
+    """
+    from pyspark.sql import functions as F
+
+    df_path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(df_path)
+        ts_field = df.schema["ts"]
+        if ts_field.dataType.typeName() == "long":
+            # integer division — double division loses precision at ~1.7e18 ns
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(df_path)

@@ -1,1 +1,575 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators over ``documents`` / ``embeddings``
+(north-star extensions, SURVEY §7 M9): deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search, and text analysis (language id,
+quality scoring, token counting, fingerprinting).
+
+Scale notes (100 TB):
+* Exact dedup = hash groupBy on a normalized key — one shuffle, AQE-skew-safe.
+* MinHash-LSH is the scale path for near-dup: candidate generation joins on
+  (band_id, band_hash) buckets, never all-pairs. The n-gram Jaccard operator
+  joins on shared shingles (inverted index), which is the exact-verification
+  step one runs *after* LSH bucketing at scale; here it doubles as the oracle
+  check for the planted near-duplicate pairs.
+* Hash functions are md5-derived (not Spark's xxhash) so a SQL oracle can
+  reproduce signatures bit-for-bit in any engine.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+
+# Shared tokenization: lowercase, split on non-alphanumeric runs — mirrors
+# the reference's get_regex_cleaned_layout_tokens norm + tokenizer
+# (sciencebeam_parser/utils/tokenizer.py:10-27, app/parser.py:64-79).
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _words(col: str = "text") -> Column:
+    arr = F.split(F.lower(F.trim(F.col(col))), _TOKEN_SPLIT)
+    return F.filter(arr, lambda x: F.length(x) > 0)
+
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '[^a-z0-9]+'),"
+    " x -> len(x) > 0)"
+)
+
+
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — engine-portable hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "q60_dedup_exact",
+    oracle=f"""
+    WITH normed AS (
+        SELECT doc_id,
+               md5(array_to_string({_WORDS_SQL}, ' ')) AS content_key
+        FROM documents
+    )
+    SELECT doc_id, content_key,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_key)
+                THEN TRUE ELSE FALSE END AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY content_key) AS BIGINT) AS n_copies
+    FROM normed
+    """,
+    survey_ref="north-star dedup (exact); §2B distinct/dedup",
+    doc="Exact dedup by normalized-content hash: one shuffle on the content "
+        "key; keeper = min doc_id per group. At 100 TB the md5 key (not the "
+        "full text) is what shuffles.",
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", F.md5(F.array_join(_words(), " ")).alias("content_key")
+    )
+    w = W.partitionBy("content_key")
+    return normed.select(
+        "doc_id",
+        "content_key",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.count("*").over(w).cast("long").alias("n_copies"),
+    )
+
+
+def _minhash_signature(docs: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """doc_id → m0..m{n-1} min-hash columns over word 3-gram shingles."""
+    words = docs.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "w")
+    )
+    # word trigram shingles via self-joins on position (small per-doc counts)
+    a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
+    sh = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.w", "b.w", "c.w").alias("shingle"),
+        )
+        .distinct()
+    )
+    aggs = [
+        F.min(_md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SH_SQL = """
+    toks AS (
+        SELECT doc_id,
+               unnest(ws) AS w,
+               unnest(range(1, len(ws)+1)) AS pos
+        FROM (SELECT doc_id, {words} AS ws FROM documents)
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+""".format(words=_WORDS_SQL)
+
+
+@register(
+    "q61_dedup_minhash_signature",
+    oracle="WITH " + _MINHASH_SH_SQL + f"""
+    SELECT doc_id,
+        {", ".join(
+            "min(" + _md5_long_sql(f"'{i}:' || shingle") + f") AS m{i}"
+            for i in range(16)
+        )}
+    FROM sh GROUP BY doc_id
+    """,
+    survey_ref="north-star dedup (MinHash); §2B grouped agg",
+    doc="16-permutation MinHash signature over word-trigram shingles, "
+        "md5-keyed so any engine reproduces it. Signature computation is a "
+        "single groupBy(doc) — embarrassingly parallel.",
+)
+def q61_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q62_dedup_minhash_lsh_pairs",
+    oracle="WITH " + _MINHASH_SH_SQL + f""",
+    sig AS (
+        SELECT doc_id,
+            {", ".join(
+                "min(" + _md5_long_sql(f"'{i}:' || shingle") + f") AS m{i}"
+                for i in range(16)
+            )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx
+                   {" ".join(
+                       f"WHEN {b} THEN md5(m{4*b} || ':' || m{4*b+1} || ':' "
+                       f"|| m{4*b+2} || ':' || m{4*b+3})"
+                       for b in range(4)
+                   )}
+               END AS band_hash
+        FROM sig, unnest(range(0, 4)) AS t(band_idx)
+    )
+    SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+    FROM bands x
+    JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+    """,
+    survey_ref="north-star dedup (MinHash+LSH banding); §2B self-join",
+    doc="LSH candidate pairs: 16 minhashes → 4 bands of 4; docs sharing any "
+        "band bucket are candidates. The join is on (band_idx, band_hash) — "
+        "at 100 TB this is the only near-dup join that scales (never "
+        "all-pairs).",
+)
+def q62_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signature(table(spark, sf_dir, "documents"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(":", f"m{4*b}", f"m{4*b+1}", f"m{4*b+2}", f"m{4*b+3}")
+            ).alias("band_hash"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+@register(
+    "q63_dedup_ngram_jaccard",
+    oracle="WITH " + _MINHASH_SH_SQL + f""",
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_common,
+           round(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    """,
+    survey_ref="north-star dedup (n-gram Jaccard verification); §2B self-join + agg",
+    doc="Exact Jaccard >= 0.8 over word-trigram shingle sets via an inverted "
+        "shingle index (join on shingle), i.e. the verification stage after "
+        "LSH. Finds the planted near-duplicate pairs.",
+)
+def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.posexplode(_words()).alias("pos", "w"))
+    a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
+    sh = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .join(c, (F.col("a.doc_id") == F.col("c.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.w", "b.w", "c.w").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q64_dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> j) % 2 = 1
+                        THEN 1 ELSE -1 END) AS weight
+        FROM words, unnest(range(0, 32)) AS t(j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN weight > 0
+                         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    survey_ref="north-star dedup (SimHash); §2B grouped agg + bit ops",
+    doc="32-bit SimHash from md5 word hashes: bit j of the signature is the "
+        "sign of the sum of per-word ±1 votes. Near-dups then pair by small "
+        "hamming distance (bit_count(xor)) — see tests.",
+)
+def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words()).alias("w"))
+    h32 = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    bits = (
+        words.select("doc_id", h32.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, j)") % 2 == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "q65_similarity_topk",
+    oracle="""
+    WITH normed AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)])
+               / (sqrt(list_sum([x*x FOR x IN a.v]))
+                  * sqrt(list_sum([x*x FOR x IN b.v]))) AS cos
+        FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+    survey_ref="north-star similarity search (brute-force cosine top-k baseline)",
+    doc="All-pairs cosine top-5 — the exact baseline. The scale path is LSH "
+        "bucketing (random-hyperplane signs) shrinking candidates per query; "
+        "implemented in operators/similarity.py with the same scoring expr.",
+)
+def q65_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    with_norm = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        ).alias("norm"),
+    )
+    a, b = with_norm.alias("a"), with_norm.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+@register(
+    "q66_language_id",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    sw AS (
+        SELECT * FROM (VALUES {", ".join(
+            f"('{lang}', '{w}')" for lang, ws in sorted(_STOPWORDS.items()) for w in ws
+        )}) AS t(lang, w)
+    ),
+    hits AS (
+        SELECT words.doc_id, sw.lang, CAST(count(*) AS BIGINT) AS n_hits
+        FROM words JOIN sw ON words.w = sw.w
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, lang, n_hits,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY n_hits DESC, lang ASC) AS rn
+        FROM hits
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang, 'und') AS guessed_lang,
+           CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+    survey_ref="north-star text analysis (language id); §2B broadcast join + mode",
+    doc="Stopword-vote language id: explode words, broadcast-join the "
+        "stopword gazetteer (the reference's TextLookUp pattern, "
+        "lookup/__init__.py), plurality vote with deterministic tie-break.",
+)
+def q66_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words()).alias("w"))
+    sw = docs.sparkSession.createDataFrame(
+        [(lang, w) for lang, ws in sorted(_STOPWORDS.items()) for w in ws],
+        "lang string, w string",
+    )
+    hits = (
+        words.join(F.broadcast(sw), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w_ = W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w_)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("und")).alias("guessed_lang"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+@register(
+    "q67_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+                   AS n_digits,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+                   AS n_nonalpha
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           round(CAST(n_chars_actual AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           round(CAST(n_digits AS DOUBLE) / n_chars_actual, 4) AS digit_ratio,
+           round(CAST(n_nonalpha AS DOUBLE) / n_chars_actual, 4) AS nonalpha_ratio,
+           CASE WHEN n_tokens >= 30
+                 AND CAST(n_digits AS DOUBLE) / n_chars_actual < 0.3
+                THEN TRUE ELSE FALSE END AS passes_quality
+    FROM feat
+    """,
+    survey_ref="north-star text analysis (quality scoring); §2B string/math exprs",
+    doc="Length / digit-ratio / token-stat quality gates — pure column "
+        "expressions, whole-stage-codegen'd (no UDF).",
+)
+def q67_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(_words()).cast("long")
+    n_digits = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("long")
+    n_nonalpha = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_digits.alias("n_digits"),
+        n_nonalpha.alias("n_nonalpha"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        F.round(F.col("n_chars_actual").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("n_digits").cast("double") / F.col("n_chars_actual"), 4).alias(
+            "digit_ratio"
+        ),
+        F.round(F.col("n_nonalpha").cast("double") / F.col("n_chars_actual"), 4).alias(
+            "nonalpha_ratio"
+        ),
+        (
+            (F.col("n_tokens") >= 30)
+            & (F.col("n_digits").cast("double") / F.col("n_chars_actual") < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "q68_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS n_unique,
+           CAST(len(list_filter({_WORDS_SQL}, x -> len(x) >= 5)) AS BIGINT)
+               AS n_long_tokens,
+           round(CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                 / len({_WORDS_SQL}), 4) AS ttr
+    FROM documents
+    """,
+    survey_ref="north-star text analysis (token counting); §2B array family",
+    doc="Whitespace/regex token counts + type-token ratio, all as array "
+        "expressions over the split column — the BPE-ish pre-count a "
+        "training pipeline runs before tokenizer jobs.",
+)
+def q68_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = _words()
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_unique"),
+        F.size(F.filter(ws, lambda x: F.length(x) >= 5)).cast("long").alias(
+            "n_long_tokens"
+        ),
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 4
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "q69_doc_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, substr(text, i, 16) AS gram
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 14)) AS i
+              FROM documents)
+    )
+    SELECT doc_id,
+           min(md5(gram)) AS fingerprint,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+    FROM grams GROUP BY doc_id
+    """,
+    survey_ref="north-star text analysis (document fingerprinting / rolling hash)",
+    doc="Winnowing-style fingerprint: min md5 over all 16-char substrings "
+        "(the rolling-hash window), engine-portable by construction.",
+)
+def q69_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 15),
+                lambda i: F.col("text").substr(i, F.lit(16)),
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5("gram")).alias("fingerprint"),
+        F.countDistinct("gram").cast("long").alias("n_distinct_grams"),
+    )
