@@ -1,0 +1,165 @@
+"""Citation → target content-id matching (SURVEY §2A A20).
+
+Reference: sciencebeam_parser/processors/ref_matching.py —
+``ChainedContentIdMatcher([SimpleContentIdMatcher, PartialContentIdMatcher])``
+applied per document (processors/fulltext/processor.py:242-267).
+
+Stages (first hit wins, chained over the unmatched remainder by anti-join):
+  1. exact normalized-key equi-join (get_normalized_key_text, :19-24)
+  2. token-prefix key equi-join (get_token_prefix_normalized_key_text,
+     :27-33 — tokens containing digits are kept whole, others truncated to
+     prefix_length BEFORE normalization)
+  3. bag-of-tokens plurality vote (PartialContentIdMatcher, :66-95) with
+     tie → no match.
+
+Key-collision semantics: the reference builds ``{key: content_id}`` dicts, so
+when two targets normalize to the same key the LAST one (target order) wins —
+reproduced with a row_number pick.
+
+Deliberate deviation (documented): for stage 3 the reference returns the
+*first-encountered* content id unless its count ties the second-encountered
+(a Counter-insertion-order artifact). We implement the evident intent —
+plurality winner, null when the top two counts tie — which matches every
+reference test (tests/processors/ref_matching_test.py).
+
+Scale: all three stages are equi-joins on normalized keys (shuffle by key);
+stage 3 explodes citation tokens against an inverted token index — the same
+inverted-index pattern as the n-gram dedup join. No cross joins.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# utils/tokenizer.py:10-16 — every delimiter is a single char; each becomes
+# its own token (split keeps delimiters). \s covers \n\r\t\f.
+# Built as an escaped alternation (like the reference DELIMITERS_REGEX) -
+# a char class is too easy to get wrong with '-' and backslash in the set.
+# \s is appended for ASCII whitespace; NBSP is listed explicitly (Java \s
+# does not match it).
+_DELIMITERS = "\u00a0 ([ \u2022*,:;?.!/#)-\u2212\u2013\u2010\"\u201c\u201d\u2018\u2019'`$]*\u2666\u2665\u2663\u2660@\u2020\u2021\u00a7\u00b6\u204b\u01c2"
+_DELIM_ALTERNATION = "(" + "|".join("\\" + c for c in _DELIMITERS) + "|\\s)"
+
+
+def normalized_key(col: Column) -> Column:
+    """get_normalized_key_text: lowercase, strip [^a-z0-9]."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def tokenized_tokens(col: Column) -> Column:
+    """iter_tokenized_tokens: split on delimiters (kept as tokens), drop
+    whitespace-only tokens. Implemented by fencing every delimiter with \\x00
+    and splitting — preserves punctuation tokens like the reference."""
+    fenced = F.regexp_replace(col, _DELIM_ALTERNATION, "\x00$1\x00")
+    return F.filter(
+        F.split(fenced, "\x00"), lambda t: F.trim(t) != ""
+    )
+
+
+def normalized_key_tokens(col: Column) -> Column:
+    """get_normalized_key_tokens: normalize each kept token (punctuation
+    tokens normalize to '' and ARE kept — they carry votes in stage 3)."""
+    return F.transform(tokenized_tokens(col), normalized_key)
+
+
+def token_prefix_key(col: Column, prefix_length: int = 1) -> Column:
+    """get_token_prefix_normalized_key_text: whitespace-split; tokens with a
+    digit kept whole, others truncated to prefix_length; then normalized and
+    concatenated."""
+    return F.array_join(
+        F.transform(
+            F.split(col, r"\s"),
+            lambda t: normalized_key(
+                F.when(t.rlike(r"\d"), t).otherwise(F.substring(t, 1, prefix_length))
+            ),
+        ),
+        "",
+    )
+
+
+def _last_wins(targets: DataFrame, key_col: Column, order_col: str) -> DataFrame:
+    """{key: id} dict semantics — the last target with a key owns it."""
+    w = W.partitionBy("doc_id", "_key").orderBy(F.desc(order_col))
+    return (
+        targets.withColumn("_key", key_col)
+        .filter(F.length("_key") > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "_key", "content_id")
+    )
+
+
+def match_content_ids(
+    citations: DataFrame,
+    targets: DataFrame,
+    *,
+    prefix_length: int = 1,
+) -> DataFrame:
+    """Resolve each citation to a target content id (or null).
+
+    citations: (doc_id, citation_id, text); targets: (doc_id, content_id,
+    text, target_seq). Returns (doc_id, citation_id, target_content_id).
+    """
+    cit = citations.select("doc_id", "citation_id", "text")
+    tgt = targets.select("doc_id", "content_id", "text", "target_seq")
+
+    # ---- stage 1: exact normalized key ----
+    t1 = _last_wins(tgt, normalized_key(F.col("text")), "target_seq")
+    c1 = cit.withColumn("_key", normalized_key(F.col("text")))
+    m1 = (
+        c1.join(t1, ["doc_id", "_key"], "inner")
+        .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
+    )
+
+    # ---- stage 2: token-prefix key, over stage-1 remainder ----
+    rem1 = cit.join(m1, ["doc_id", "citation_id"], "left_anti")
+    t2 = _last_wins(tgt, token_prefix_key(F.col("text"), prefix_length), "target_seq")
+    c2 = rem1.withColumn("_key", token_prefix_key(F.col("text"), prefix_length))
+    m2 = (
+        c2.join(t2, ["doc_id", "_key"], "inner")
+        .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
+    )
+
+    # ---- stage 3: plurality vote over stage-2 remainder ----
+    rem2 = rem1.join(m2, ["doc_id", "citation_id"], "left_anti")
+    # inverted token index over targets: one row per (doc, token, content_id)
+    # occurrence — multiplicity matters (defaultdict(list) appends)
+    tgt_tokens = tgt.select(
+        "doc_id", "content_id", F.explode(normalized_key_tokens(F.col("text"))).alias("tok")
+    )
+    cit_tokens = rem2.select(
+        "doc_id", "citation_id", F.explode(normalized_key_tokens(F.col("text"))).alias("tok")
+    )
+    votes = (
+        cit_tokens.join(tgt_tokens, ["doc_id", "tok"])
+        .groupBy("doc_id", "citation_id", "content_id")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = W.partitionBy("doc_id", "citation_id").orderBy(
+        F.desc("n_votes"), F.asc("content_id")
+    )
+    ranked = votes.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("doc_id", "citation_id")).alias("_n_cands"),
+        F.max("n_votes").over(W.partitionBy("doc_id", "citation_id")).alias("_max_v"),
+    )
+    # ambiguous when >=2 candidates share the max vote count
+    tied = (
+        ranked.filter(F.col("n_votes") == F.col("_max_v"))
+        .groupBy("doc_id", "citation_id")
+        .agg(F.count("*").alias("_n_top"))
+    )
+    m3 = (
+        ranked.filter(F.col("_rn") == 1)
+        .join(tied, ["doc_id", "citation_id"])
+        .filter(F.col("_n_top") == 1)
+        .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
+    )
+
+    matched = m1.unionByName(m2).unionByName(m3)
+    return (
+        cit.select("doc_id", "citation_id")
+        .join(matched, ["doc_id", "citation_id"], "left")
+        .select("doc_id", "citation_id", "target_content_id")
+    )

@@ -1,0 +1,152 @@
+"""Graphic matching + page pruning tests — ports of
+tests/processors/graphic_matching_test.py and graphic_provider_test.py
+behaviors.
+"""
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.operators.graphic_matching import (
+    cv_candidate_pages,
+    match_graphics,
+    mask_tokens_by_boxes,
+    nearest_candidate_match,
+    pages_with_uncommon_dimensions,
+    with_successor_pages,
+)
+
+
+def graphics_df(spark, rows):
+    """(doc, gid, type, nx, ny, nw, nh)"""
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, graphic_id int, graphic_type string, "
+        "nx double, ny double, nw double, nh double",
+    )
+
+
+def candidates_df(spark, rows):
+    """(doc, cid, nx, ny, nw, nh)"""
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, content_id string, nx double, ny double, nw double, nh double",
+    )
+
+
+class TestNearestCandidateMatch:
+    def test_matches_nearest_under_threshold(self, spark):
+        g = graphics_df(spark, [("d", 1, "bitmap", 0.1, 1.5, 0.2, 0.1)])
+        c = candidates_df(
+            spark,
+            [("d", "fig_0", 0.1, 1.65, 0.2, 0.05), ("d", "fig_1", 0.1, 2.5, 0.2, 0.05)],
+        )
+        out = nearest_candidate_match(g, c).collect()
+        assert len(out) == 1
+        assert out[0]["content_id"] == "fig_0"
+
+    def test_rejects_beyond_threshold(self, spark):
+        g = graphics_df(spark, [("d", 1, "bitmap", 0.1, 1.0, 0.2, 0.1)])
+        c = candidates_df(spark, [("d", "fig_0", 0.1, 2.5, 0.2, 0.05)])
+        assert nearest_candidate_match(g, c).count() == 0
+
+    def test_ignores_svg(self, spark):
+        g = graphics_df(spark, [("d", 1, "svg", 0.1, 1.5, 0.2, 0.1)])
+        c = candidates_df(spark, [("d", "fig_0", 0.1, 1.55, 0.2, 0.05)])
+        assert nearest_candidate_match(g, c).count() == 0
+
+    def test_best_graphic_wins_per_candidate(self, spark):
+        g = graphics_df(
+            spark,
+            [
+                ("d", 1, "bitmap", 0.1, 1.50, 0.2, 0.1),
+                ("d", 2, "bitmap", 0.1, 1.60, 0.2, 0.1),
+            ],
+        )
+        c = candidates_df(spark, [("d", "fig_0", 0.1, 1.71, 0.2, 0.05)])
+        out = nearest_candidate_match(g, c).collect()
+        assert len(out) == 1
+        assert out[0]["graphic_id"] == 2  # closer (gap 0.01 vs 0.11)
+
+
+class TestMatchGraphicsIterative:
+    def test_loser_matches_next_round_via_extension(self, spark):
+        # g2 is closest to fig_0; g1 loses round 1 but fig_0's box list is
+        # extended with g2's box, bringing g1 within reach in round 2
+        g = graphics_df(
+            spark,
+            [
+                ("d", 1, "bitmap", 0.1, 1.30, 0.2, 0.1),
+                ("d", 2, "bitmap", 0.1, 1.55, 0.2, 0.1),
+            ],
+        )
+        c = candidates_df(spark, [("d", "fig_0", 0.1, 1.70, 0.2, 0.05)])
+        out = {r["graphic_id"]: r["content_id"] for r in match_graphics(g, c).collect()}
+        assert out == {1: "fig_0", 2: "fig_0"}
+
+    def test_empty_groups(self, spark):
+        g = graphics_df(spark, [("d", 1, "bitmap", 0.1, 1.3, 0.2, 0.1)])
+        c = candidates_df(spark, [("other", "fig_0", 0.1, 1.7, 0.2, 0.05)])
+        assert match_graphics(g, c).count() == 0
+
+
+def pages_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, page_number int, page_width double, page_height double"
+    )
+
+
+class TestPagePruning:
+    def test_uncommon_dimension_pages(self, spark):
+        pages = pages_df(
+            spark,
+            [("d", 1, 600.0, 800.0), ("d", 2, 600.0, 800.0), ("d", 3, 1200.0, 800.0)],
+        )
+        out = [r["page_number"] for r in pages_with_uncommon_dimensions(pages).collect()]
+        assert out == [3]
+
+    def test_single_dimension_doc_yields_empty(self, spark):
+        # len(counter) < 2 → no candidates (graphic_provider.py:104-106)
+        pages = pages_df(spark, [("d", 1, 600.0, 800.0), ("d", 2, 600.0, 800.0)])
+        assert pages_with_uncommon_dimensions(pages).count() == 0
+
+    def test_cv_candidates_minus_bitmap_pages(self, spark):
+        # mode dims = 600x800 (pages 1-2); pages 3-4 uncommon; page 3 is
+        # dominated by a bitmap → only page 4 is a CV candidate
+        pages = pages_df(
+            spark,
+            [("d", 1, 600.0, 800.0), ("d", 2, 600.0, 800.0),
+             ("d", 3, 1200.0, 800.0), ("d", 4, 1200.0, 800.0)],
+        )
+        graphics = spark.createDataFrame(
+            [("d", 1, 3, 0.0, 0.0, 1000.0, 700.0, "bitmap")],
+            "doc_id string, graphic_id int, page_number int, x double, y double, "
+            "width double, height double, graphic_type string",
+        )
+        out = [r["page_number"] for r in cv_candidate_pages(pages, graphics).collect()]
+        assert out == [4]
+
+    def test_successor_pages_union(self, spark):
+        pages = pages_df(
+            spark, [("d", 1, 1.0, 1.0), ("d", 2, 1.0, 1.0), ("d", 3, 1.0, 1.0)]
+        )
+        cands = spark.createDataFrame([("d", 1)], "doc_id string, page_number int")
+        out = sorted(
+            r["page_number"] for r in with_successor_pages(cands, pages).collect()
+        )
+        assert out == [1, 2]  # page 4 doesn't exist, so only 1 ∪ {2}
+
+
+class TestMaskTokens:
+    def test_removes_contained_tokens(self, spark):
+        tokens = spark.createDataFrame(
+            [
+                ("d", 1, 0, "in", 10.0, 10.0, 5.0, 5.0),
+                ("d", 1, 1, "out", 100.0, 100.0, 5.0, 5.0),
+            ],
+            "doc_id string, page_number int, token_seq long, text string, "
+            "x double, y double, width double, height double",
+        )
+        boxes = spark.createDataFrame(
+            [("d", 1, 0.0, 0.0, 50.0, 50.0)],
+            "doc_id string, page_number int, x double, y double, width double, height double",
+        )
+        out = [r["text"] for r in mask_tokens_by_boxes(tokens, boxes).collect()]
+        assert out == ["out"]
