@@ -1,0 +1,292 @@
+"""The fulltext cascade (SURVEY §2A A28): segmentation → per-region models →
+entity extraction → id assignment → citation matching, as a config-gated
+DataFrame DAG.
+
+Reference: processors/fulltext/processor.py:180-274
+(``FullTextProcessor.get_semantic_document_for_layout_document``):
+
+  1. segmentation model labels whole lines
+  2. ``<header>`` tokens → header model → title/abstract/authors…
+  3. ``<body>``/``<acknowledgement>``/``<annex>`` → fulltext model →
+     sections/paragraphs/figure+table regions
+  4. ``<references>`` → reference_segmenter → citation model per reference
+  5. figure/table/reference id assignment (iter_ids, A19)
+  6. citation-marker → target matching (A20)
+
+Every stage is gated by a config flag (FullTextProcessorConfig,
+processors/fulltext/config.py:30-50); disabled branches are simply not built
+(lazy DAG = the reference's plan pruning, SURVEY §4).
+
+Entity-type dispatch (A16) uses the per-model tag → semantic-type tables
+(SIMPLE_SEMANTIC_CONTENT_CLASS_BY_TAG in models/*/extract.py); unmapped tags
+become 'note' (SimpleModelSemanticExtractor default, models/extract.py:55-77).
+Citation enrichment (A17/A18) adds parsed page ranges, external ids, year,
+and the validity check (>=1 of title/journal/authors/editors/ext-id/url —
+citation/extract.py:67-74, 165-179).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.functions.parsers import (
+    clean_abstract_text,
+    detect_external_identifier,
+    extract_year,
+    parse_page_range,
+    split_section_label,
+)
+from sciencebeam_parser_spark.operators.bio import (
+    filter_by_labels,
+    group_bio_entities,
+)
+from sciencebeam_parser_spark.operators.ref_matching import match_content_ids
+
+# tag → entity_type dispatch tables (A16), per model:
+# header: models/header/extract.py:49-53; fulltext: models/fulltext/extract.py
+# :27-38; citation: models/citation/extract.py:55-64; reference_segmenter:
+# models/reference_segmenter/extract.py
+ENTITY_TYPE_BY_TAG = {
+    "header": {
+        "<title>": "title",
+        "<abstract>": "abstract",
+        "<author>": "raw_authors",
+        "<affiliation>": "raw_affiliation",
+        "<address>": "raw_address",
+        "<date>": "date",
+        "<journal>": "journal",
+        "<publisher>": "publisher",
+        "<pubnum>": "external_identifier",
+        "<keyword>": "keywords",
+        "<email>": "email",
+        "<web>": "external_url",
+    },
+    "fulltext": {
+        "<section>": "heading",
+        "<paragraph>": "paragraph",
+        "<citation_marker>": "reference_citation",
+        "<figure_marker>": "figure_citation",
+        "<table_marker>": "table_citation",
+        "<figure>": "raw_figure",
+        "<table>": "raw_table",
+        "<equation>": "equation",
+        "<equation_label>": "equation_label",
+        "<item>": "list_item",
+    },
+    "reference_segmenter": {
+        "<label>": "reference_label",
+        "<reference>": "raw_reference_text",
+    },
+    "citation": {
+        "<author>": "raw_authors",
+        "<editor>": "raw_editors",
+        "<title>": "title",
+        "<journal>": "journal",
+        "<booktitle>": "booktitle",
+        "<series>": "series",
+        "<date>": "date",
+        "<volume>": "volume",
+        "<issue>": "issue",
+        "<pages>": "page_range",
+        "<publisher>": "publisher",
+        "<location>": "location",
+        "<institution>": "institution",
+        "<collaboration>": "collaboration",
+        "<tech>": "tech_note",
+        "<web>": "external_url",
+        "<pubnum>": "external_identifier",
+    },
+}
+
+# citation/extract.py:67-74 — a reference is valid iff it has one of these
+VALID_REFERENCE_TYPES = (
+    "title",
+    "journal",
+    "raw_authors",
+    "raw_editors",
+    "external_identifier",
+    "external_url",
+)
+
+
+@dataclass
+class CascadeConfig:
+    """FullTextProcessorConfig analog (processors/fulltext/config.py:30-50)."""
+
+    extract_front: bool = True
+    extract_body_sections: bool = True
+    extract_references: bool = True
+    extract_citation_fields: bool = True
+    match_citations: bool = True
+    segmentation_labels_front: tuple = ("<header>",)
+    segmentation_labels_body: tuple = ("<body>", "<acknowledgement>", "<annex>")
+    segmentation_labels_references: tuple = ("<references>",)
+
+
+def _extract_entities(
+    tokens: DataFrame, labels: DataFrame, model_name: str, region: str
+) -> DataFrame:
+    """BIO-group one model's labels and dispatch tags to entity types."""
+    labeled = tokens.join(
+        labels.filter(F.col("model_name") == model_name).select(
+            "doc_id", "token_seq", "label"
+        ),
+        ["doc_id", "token_seq"],
+    )
+    ents = group_bio_entities(labeled, text_col="text", keep_other=False)
+    mapping = ENTITY_TYPE_BY_TAG.get(model_name, {})
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    )
+    return ents.select(
+        "doc_id",
+        F.col("entity_group"),
+        F.col("tag"),
+        # SimpleModelSemanticExtractor default → note (models/extract.py:66-77)
+        F.coalesce(map_expr[F.col("tag")], F.lit("note")).alias("entity_type"),
+        F.lit(region).alias("region"),
+        "token_start",
+        "token_end",
+        "n_tokens",
+        "text",
+    )
+
+
+def _enrich_citation_fields(entities: DataFrame) -> DataFrame:
+    """A17 scalar parsing on typed entities (citation/extract.py)."""
+    pr = parse_page_range(F.col("text"))
+    ext = detect_external_identifier(F.col("text"))
+    return entities.select(
+        "*",
+        F.when(F.col("entity_type") == "page_range", pr["from_page"]).alias("from_page"),
+        F.when(F.col("entity_type") == "page_range", pr["to_page"]).alias("to_page"),
+        F.when(F.col("entity_type") == "date", extract_year(F.col("text"))).alias("year"),
+        F.when(F.col("entity_type") == "external_identifier", ext["id_type"]).alias(
+            "external_id_type"
+        ),
+        F.when(F.col("entity_type") == "external_identifier", ext["value"]).alias(
+            "external_id_value"
+        ),
+        F.when(
+            F.col("entity_type") == "abstract", clean_abstract_text(F.col("text"))
+        ).alias("clean_abstract"),
+        F.when(
+            F.col("entity_type") == "heading",
+            split_section_label(F.col("text"))["section_label"],
+        ).alias("section_label"),
+    )
+
+
+def run_fulltext_cascade(
+    tokens: DataFrame,
+    labels: DataFrame,
+    config: CascadeConfig | None = None,
+) -> DataFrame:
+    """Run the mock-model cascade over an F1 tokens table with an F2 labels
+    table (all models pre-labeled, the fully-relational form). Returns the
+    entities relation (one row per semantic entity).
+    """
+    config = config or CascadeConfig()
+    seg = labels.filter(F.col("model_name") == "segmentation").select(
+        "doc_id", "token_seq", "label"
+    )
+    parts: list[DataFrame] = []
+
+    if config.extract_front:
+        header_tokens = filter_by_labels(tokens, seg, config.segmentation_labels_front)
+        parts.append(_extract_entities(header_tokens, labels, "header", "front"))
+
+    if config.extract_body_sections:
+        body_tokens = filter_by_labels(tokens, seg, config.segmentation_labels_body)
+        parts.append(_extract_entities(body_tokens, labels, "fulltext", "body"))
+
+    if config.extract_references:
+        ref_tokens = filter_by_labels(
+            tokens, seg, config.segmentation_labels_references
+        )
+        ref_ents = _extract_entities(
+            ref_tokens, labels, "reference_segmenter", "back"
+        )
+        parts.append(ref_ents)
+        if config.extract_citation_fields:
+            parts.append(_extract_entities(ref_tokens, labels, "citation", "back"))
+
+    entities = parts[0]
+    for p in parts[1:]:
+        entities = entities.unionByName(p)
+    entities = _enrich_citation_fields(entities)
+
+    # A19 — content ids per entity family in document order
+    # (processor.py:241-264: b<n> refs, fig_<n>, tab_<n>)
+    id_prefix = (
+        F.when(F.col("entity_type") == "raw_reference_text", "b")
+        .when(F.col("entity_type") == "raw_figure", "fig_")
+        .when(F.col("entity_type") == "raw_table", "tab_")
+        .otherwise(F.lit(None))
+    )
+    entities = entities.withColumn("_id_prefix", id_prefix)
+    w = W.partitionBy("doc_id", "_id_prefix").orderBy("token_start")
+    entities = entities.withColumn(
+        "content_id",
+        F.when(
+            F.col("_id_prefix").isNotNull(),
+            F.concat(F.col("_id_prefix"), (F.row_number().over(w) - 1).cast("string")),
+        ),
+    ).drop("_id_prefix")
+
+    if config.match_citations:
+        markers = entities.filter(
+            F.col("entity_type").isin(
+                "reference_citation", "figure_citation", "table_citation"
+            )
+        ).select(
+            "doc_id",
+            F.concat_ws("_", "entity_type", F.col("entity_group").cast("string")).alias(
+                "citation_id"
+            ),
+            "text",
+            "entity_group",
+        )
+        targets = entities.filter(F.col("content_id").isNotNull()).select(
+            "doc_id",
+            "content_id",
+            "text",
+            F.col("token_start").alias("target_seq"),
+        )
+        matches = match_content_ids(
+            markers.select("doc_id", "citation_id", "text"), targets
+        )
+        marker_targets = markers.join(matches, ["doc_id", "citation_id"]).select(
+            "doc_id", "entity_group", "target_content_id"
+        )
+        entities = entities.join(
+            marker_targets, ["doc_id", "entity_group"], "left"
+        )
+    else:
+        entities = entities.withColumn(
+            "target_content_id", F.lit(None).cast("string")
+        )
+
+    # A18 — validity of references: a doc's citation model output must
+    # contain >=1 valid type, else the raw reference is demoted
+    if config.extract_references and config.extract_citation_fields:
+        valid_docs = (
+            entities.filter(F.col("entity_type").isin(*VALID_REFERENCE_TYPES))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_has_valid_ref_fields", F.lit(True))
+        )
+        entities = entities.join(valid_docs, "doc_id", "left").withColumn(
+            "is_valid_reference",
+            F.when(
+                F.col("entity_type") == "raw_reference_text",
+                F.coalesce("_has_valid_ref_fields", F.lit(False)),
+            ),
+        ).drop("_has_valid_ref_fields")
+    else:
+        entities = entities.withColumn(
+            "is_valid_reference", F.lit(None).cast("boolean")
+        )
+    return entities

@@ -1,1 +1,290 @@
-"""Placeholder — populated in a later milestone."""
+"""Document-pipeline operators surfaced as oracle-checkable queries.
+
+The F1 ``tokens`` fixture tables aren't among the driver's parquet tables,
+so these queries derive a token relation from ``documents`` (deterministic
+whitespace tokenization) and run the §2A operators on it:
+
+* q80 tokenize (A4/A6)       — posexplode with stable per-doc sequence
+* q81 BIO entities (A13)     — labels derived deterministically from token
+                               shape, then gaps-and-islands grouping
+* q82 token features (A7)    — prefixes/suffixes/classes + lag + bins
+* q83 char offsets (LayoutTokensText, §1.2) — running-sum window
+* q84 id assignment (A19)    — 'e0','e1',… per doc in entity order
+* q85 repetitive pattern (A9 analog) — first-3-word pattern across docs of
+                               the same source, seen>1 + first-seen flags
+
+Each has an exact DuckDB oracle: the operators are window/agg SQL, so the
+oracle states the same algebra independently.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.operators.bio import group_bio_entities
+from sciencebeam_parser_spark.operators.features import (
+    capitalisation_feature,
+    digit_feature,
+    linear_scaling_bin,
+    prefix_feature,
+    suffix_feature,
+)
+from sciencebeam_parser_spark.operators.ids import assign_ids
+from sciencebeam_parser_spark.queries.registry import register, table
+
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+_TOKENS_CTE = f"""
+    tokens AS (
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS token_seq,
+               tok AS token
+        FROM (
+            SELECT doc_id,
+                   unnest({_WORDS_SQL}) AS tok,
+                   unnest(range(1, len({_WORDS_SQL}) + 1)) AS pos
+            FROM documents
+        )
+    )
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("token_seq"), "token"
+    )
+
+
+@register(
+    "q80_tokenize_documents",
+    oracle="WITH " + _TOKENS_CTE + """
+    SELECT doc_id, token_seq, token FROM tokens
+    """,
+    survey_ref="§2A A4/A6 tokenize; §2B UDTF/explode",
+    doc="Whitespace tokenization with stable per-doc sequence (surrogate key "
+        "minting, SURVEY §1.4) — posexplode keeps document order explicit.",
+)
+def q80_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir)
+
+
+# Deterministic mock labels: numeric tokens are 'num' entities (B on run
+# start), long tokens are 'long', everything else O — the mock-model trick
+# (tests/processors/fulltext/model_mocks.py) in pure SQL.
+_LABEL_SQL = """
+    CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'num'
+         WHEN len(token) >= 6 THEN 'long'
+         ELSE 'O' END
+"""
+
+
+@register(
+    "q81_bio_entities",
+    oracle="WITH " + _TOKENS_CTE + f""",
+    tagged AS (
+        SELECT doc_id, token_seq, token, {_LABEL_SQL} AS tag FROM tokens
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS boundary
+        FROM tagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(boundary) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    )
+    SELECT doc_id, entity_group, min(tag) AS tag,
+           min(token_seq) AS token_start, max(token_seq) AS token_end,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(token, ' ' ORDER BY token_seq) AS text
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§2A A13 BIO grouping (gaps-and-islands)",
+    doc="group_bio_entities over mock I-tagged labels (no B- prefixes, so "
+        "boundaries are tag changes only — both engines state the same "
+        "windowed island numbering).",
+)
+def q81_bio_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "num")
+        .when(F.length("token") >= 6, "long")
+        .otherwise("O")
+    )
+    labeled = toks.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.concat(F.lit("I-"), tag).alias("label"),
+    ).withColumn("label", F.when(F.col("label") == "I-O", "O").otherwise(F.col("label")))
+    return group_bio_entities(labeled, text_col="text").select(
+        "doc_id",
+        "entity_group",
+        "tag",
+        "token_start",
+        "token_end",
+        "n_tokens",
+        "text",
+    )
+
+
+@register(
+    "q82_token_features",
+    oracle="WITH " + _TOKENS_CTE + """
+    SELECT doc_id, token_seq,
+           substr(token, 1, 1) AS prefix_1,
+           substr(token, 2, 2) AS prefix_2_tail,
+           CASE WHEN len(token) <= 3 THEN token
+                ELSE substr(token, len(token) - 2, 3) END AS suffix_3,
+           CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'ALLDIGIT'
+                WHEN regexp_matches(token, '[0-9]') THEN 'CONTAINSDIGITS'
+                ELSE 'NODIGIT' END AS digit_class,
+           CASE WHEN len(token) > 0 AND NOT regexp_matches(token, '[a-z]')
+                THEN 'ALLCAP'
+                WHEN regexp_matches(token, '^[A-Z]') THEN 'INITCAP'
+                ELSE 'NOCAPS' END AS cap_class,
+           lag(token) OVER w AS prev_token,
+           CASE WHEN (token_seq - 1) >= count(*) OVER (PARTITION BY doc_id)
+                THEN 10
+                WHEN (token_seq - 1) <= 0 THEN 0
+                ELSE CAST(floor(((token_seq - 1) * 1.0
+                          / count(*) OVER (PARTITION BY doc_id)) * 10) AS INT)
+           END AS doc_position_bin
+    FROM tokens
+    WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    """,
+    survey_ref="§2A A7 feature generation; §2B lag + partition agg windows",
+)
+def q82_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    t = F.col("token")
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    w_all = W.partitionBy("doc_id")
+    return toks.select(
+        "doc_id",
+        "token_seq",
+        prefix_feature(t, 1).alias("prefix_1"),
+        F.substring(t, 2, 2).alias("prefix_2_tail"),
+        suffix_feature(t, 3).alias("suffix_3"),
+        digit_feature(t).alias("digit_class"),
+        capitalisation_feature(t).alias("cap_class"),
+        F.lag("token").over(w).alias("prev_token"),
+        linear_scaling_bin(
+            F.col("token_seq") - 1, F.count("*").over(w_all), 10
+        ).alias("doc_position_bin"),
+    )
+
+
+@register(
+    "q83_char_offsets",
+    oracle="WITH " + _TOKENS_CTE + """
+    SELECT doc_id, token_seq, token,
+           CAST(coalesce(sum(len(token) + 1) OVER (
+               PARTITION BY doc_id ORDER BY token_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS char_start,
+           CAST(coalesce(sum(len(token) + 1) OVER (
+               PARTITION BY doc_id ORDER BY token_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + len(token) AS BIGINT) AS char_end
+    FROM tokens
+    """,
+    survey_ref="§1.2 LayoutTokensText char-offset index; §2B running sum",
+    doc="start = sum(len+whitespace) over preceding tokens — the "
+        "LayoutTokensText offset index (layout_document.py:450-497) as a "
+        "running-sum window.",
+)
+def q83_char_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    start = F.coalesce(
+        F.sum(F.length("token") + 1).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return toks.select(
+        "doc_id",
+        "token_seq",
+        "token",
+        start.alias("char_start"),
+        (start + F.length("token")).cast("long").alias("char_end"),
+    )
+
+
+@register(
+    "q84_id_assignment",
+    oracle="WITH " + _TOKENS_CTE + f""",
+    tagged AS (
+        SELECT doc_id, token_seq, token, {_LABEL_SQL} AS tag FROM tokens
+    )
+    SELECT doc_id, token_seq, token,
+           'e' || CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY token_seq) - 1 AS VARCHAR)
+               AS content_id
+    FROM tagged WHERE tag = 'long'
+    """,
+    survey_ref="§2A A19 id assignment (iter_ids)",
+)
+def q84_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    longs = toks.filter(
+        ~F.col("token").rlike("^[0-9]+$") & (F.length("token") >= 6)
+    )
+    return assign_ids(
+        longs, prefix="e", order_cols=("token_seq",), out_col="content_id"
+    ).select("doc_id", "token_seq", "token", "content_id")
+
+
+@register(
+    "q85_repetitive_patterns",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT doc_id, source,
+               lower(regexp_replace(
+                   array_to_string({_WORDS_SQL}[1:3], ' '),
+                   '[^a-zA-Z ]', '', 'g')) AS pattern
+        FROM documents
+    ),
+    kept AS (SELECT * FROM firsts WHERE len(pattern) >= 8)
+    SELECT doc_id, source, pattern,
+           CASE WHEN count(*) OVER (PARTITION BY source, pattern) > 1
+                THEN TRUE ELSE FALSE END AS is_repetitive_pattern,
+           CASE WHEN count(*) OVER (PARTITION BY source, pattern) > 1
+                 AND row_number() OVER (
+                     PARTITION BY source, pattern ORDER BY doc_id) = 1
+                THEN TRUE ELSE FALSE END AS is_first_repetitive_pattern
+    FROM kept
+    """,
+    survey_ref="§2A A9 repetitive-pattern detection (self-aggregation + first-seen)",
+    doc="A9 analog across docs of a source: pattern = first 3 words stripped "
+        "to letters (get_text_pattern, segmentation/data.py:66-68), kept at "
+        ">=8 chars, repetitive when seen >1, first-seen in doc order.",
+)
+def q85_repetitive_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pattern = F.lower(
+        F.regexp_replace(
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " "),
+            "[^a-zA-Z ]",
+            "",
+        )
+    )
+    kept = docs.select("doc_id", "source", pattern.alias("pattern")).filter(
+        F.length("pattern") >= 8
+    )
+    w_p = W.partitionBy("source", "pattern")
+    w_seq = w_p.orderBy("doc_id")
+    rep = F.count("*").over(w_p) > 1
+    return kept.select(
+        "doc_id",
+        "source",
+        "pattern",
+        rep.alias("is_repetitive_pattern"),
+        (rep & (F.row_number().over(w_seq) == 1)).alias("is_first_repetitive_pattern"),
+    )

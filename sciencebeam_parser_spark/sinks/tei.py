@@ -1,0 +1,118 @@
+"""TEI XML sink (SURVEY §2A A29).
+
+Reference: document/tei_document.py:47-165 (get_tei_for_semantic_document)
++ document/tei/* — the semantic tree serializes to TEI with
+teiHeader/fileDesc/titleStmt/title, profileDesc/abstract, text/body divs
+(head/p), and back/div[@type=references]/listBibl/biblStruct; unknown
+content becomes notes (tei/common.py).
+
+Spark mapping: one grouped-map pandas UDF per doc_id assembling the XML
+string with stdlib ElementTree (write-once tree, like the reference's
+lxml build). The output relation (doc_id, tei_xml) feeds
+``df.write.text``/partitioned sinks; ZIP/asset bundling would be a
+``foreachPartition`` writer.
+"""
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+TEI_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tei_xml", T.StringType()),
+    ]
+)
+
+
+def _build_tei(entities: pd.DataFrame) -> str:
+    ents = entities.sort_values("token_start")
+    ET.register_namespace("", TEI_NS)
+    tei = ET.Element(f"{{{TEI_NS}}}TEI")
+    header = ET.SubElement(tei, f"{{{TEI_NS}}}teiHeader")
+    file_desc = ET.SubElement(header, f"{{{TEI_NS}}}fileDesc")
+    title_stmt = ET.SubElement(file_desc, f"{{{TEI_NS}}}titleStmt")
+    profile_desc = ET.SubElement(header, f"{{{TEI_NS}}}profileDesc")
+    text_el = ET.SubElement(tei, f"{{{TEI_NS}}}text")
+    body = ET.SubElement(text_el, f"{{{TEI_NS}}}body")
+    back = ET.SubElement(text_el, f"{{{TEI_NS}}}back")
+    ref_div = None
+    current_div = None
+
+    for r in ents.itertuples():
+        etype = r.entity_type
+        if etype == "title":
+            el = ET.SubElement(title_stmt, f"{{{TEI_NS}}}title")
+            el.set("level", "a")
+            el.set("type", "main")
+            el.text = r.text
+        elif etype == "abstract":
+            ab = ET.SubElement(profile_desc, f"{{{TEI_NS}}}abstract")
+            p = ET.SubElement(ab, f"{{{TEI_NS}}}p")
+            p.text = (
+                r.clean_abstract
+                if "clean_abstract" in entities.columns and r.clean_abstract
+                else r.text
+            )
+        elif etype == "heading":
+            current_div = ET.SubElement(body, f"{{{TEI_NS}}}div")
+            head = ET.SubElement(current_div, f"{{{TEI_NS}}}head")
+            if "section_label" in entities.columns and r.section_label:
+                head.set("n", r.section_label)
+            head.text = r.text
+        elif etype == "paragraph":
+            parent = current_div if current_div is not None else body
+            p = ET.SubElement(parent, f"{{{TEI_NS}}}p")
+            p.text = r.text
+        elif etype in ("raw_figure", "raw_table"):
+            fig = ET.SubElement(body, f"{{{TEI_NS}}}figure")
+            if etype == "raw_table":
+                fig.set("type", "table")
+            if r.content_id:
+                fig.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
+            ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = r.text
+        elif etype == "raw_reference_text":
+            if ref_div is None:
+                ref_div = ET.SubElement(back, f"{{{TEI_NS}}}div")
+                ref_div.set("type", "references")
+                ref_div = ET.SubElement(ref_div, f"{{{TEI_NS}}}listBibl")
+            bibl = ET.SubElement(ref_div, f"{{{TEI_NS}}}biblStruct")
+            if r.content_id:
+                bibl.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
+            ET.SubElement(bibl, f"{{{TEI_NS}}}note").text = r.text
+        elif etype in ("reference_citation", "figure_citation", "table_citation"):
+            parent = current_div if current_div is not None else body
+            ref = ET.SubElement(parent, f"{{{TEI_NS}}}ref")
+            ref.set(
+                "type",
+                {"reference_citation": "bibr", "figure_citation": "figure",
+                 "table_citation": "table"}[etype],
+            )
+            target = getattr(r, "target_content_id", None)
+            if target:
+                ref.set("target", "#" + target)
+            ref.text = r.text
+        else:
+            # unknown content → note (document/tei/common.py)
+            note = ET.SubElement(body, f"{{{TEI_NS}}}note")
+            note.set("type", etype)
+            note.text = r.text
+    return ET.tostring(tei, encoding="unicode")
+
+
+def entities_to_tei(entities: DataFrame) -> DataFrame:
+    """entities relation → (doc_id, tei_xml), one TEI document per doc."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iloc[0]], "tei_xml": [_build_tei(pdf)]}
+        )
+
+    return entities.groupBy("doc_id").applyInPandas(build, schema=TEI_OUT_SCHEMA)

@@ -1,0 +1,142 @@
+"""Cascade integration test — the mock-model trick from the reference's
+tests/processors/fulltext/processor_test.py: every model is replaced by a
+deterministic label table, so the full cascade runs as pure SQL.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.plans.cascade import CascadeConfig, run_fulltext_cascade
+from sciencebeam_parser_spark.plans.models import (
+    DataFrameLabelModel,
+    FunctionLabelModel,
+)
+
+
+@pytest.fixture(scope="module")
+def doc(spark):
+    # one document: header block (title/abstract), body (section + paragraph
+    # + figure marker + figure), references (one reference)
+    words = [
+        # header region
+        ("Deep", "<header>", "header", "B-<title>"),
+        ("Spark", "<header>", "header", "I-<title>"),
+        ("Abstract:", "<header>", "header", "B-<abstract>"),
+        ("We", "<header>", "header", "I-<abstract>"),
+        ("study", "<header>", "header", "I-<abstract>"),
+        # body region
+        ("1.", "<body>", "fulltext", "B-<section>"),
+        ("Intro", "<body>", "fulltext", "I-<section>"),
+        ("See", "<body>", "fulltext", "O"),
+        ("Figure", "<body>", "fulltext", "B-<figure_marker>"),
+        ("1", "<body>", "fulltext", "I-<figure_marker>"),
+        ("Figure", "<body>", "fulltext", "B-<figure>"),
+        ("1", "<body>", "fulltext", "I-<figure>"),
+        ("caption", "<body>", "fulltext", "I-<figure>"),
+        # references region
+        ("[1]", "<references>", "reference_segmenter", "B-<label>"),
+        ("Smith", "<references>", "reference_segmenter", "B-<reference>"),
+        ("2020", "<references>", "reference_segmenter", "I-<reference>"),
+    ]
+    tokens = spark.createDataFrame(
+        [
+            ("d1", 1, 1, 1, i, text)
+            for i, (text, _, _, _) in enumerate(words)
+        ],
+        "doc_id string, page_number int, block_id int, line_id int, "
+        "token_seq long, text string",
+    )
+    label_rows = []
+    for i, (text, seg_label, model, label) in enumerate(words):
+        label_rows.append(("d1", i, "segmentation", seg_label))
+        label_rows.append(("d1", i, model, label))
+    # citation model labels over the reference region tokens
+    label_rows += [
+        ("d1", 14, "citation", "B-<author>"),
+        ("d1", 15, "citation", "B-<date>"),
+    ]
+    labels = spark.createDataFrame(
+        label_rows, "doc_id string, token_seq long, model_name string, label string"
+    )
+    return tokens, labels
+
+
+class TestCascade:
+    def test_extracts_front_body_and_references(self, spark, doc):
+        tokens, labels = doc
+        ents = run_fulltext_cascade(tokens, labels)
+        by_type = {}
+        for r in ents.collect():
+            by_type.setdefault(r["entity_type"], []).append(r)
+
+        assert by_type["title"][0]["text"] == "Deep Spark"
+        ab = by_type["abstract"][0]
+        assert ab["text"] == "Abstract: We study"
+        # A17 abstract prefix strip applied to the typed column
+        assert ab["clean_abstract"] == "We study"
+        heading = by_type["heading"][0]
+        assert heading["text"] == "1. Intro"
+        assert heading["section_label"] == "1."
+        # A19 id assignment
+        assert by_type["raw_figure"][0]["content_id"] == "fig_0"
+        assert by_type["raw_reference_text"][0]["content_id"] == "b0"
+        # A17 year extraction via the citation model
+        assert by_type["date"][0]["year"] == 2020
+        # A20: 'Figure 1' marker → fig_0 target
+        assert by_type["figure_citation"][0]["target_content_id"] == "fig_0"
+        # A18 validity: citation fields include author/date → valid
+        assert by_type["raw_reference_text"][0]["is_valid_reference"] is True
+
+    def test_config_gating_prunes_stages(self, spark, doc):
+        tokens, labels = doc
+        ents = run_fulltext_cascade(
+            tokens,
+            labels,
+            CascadeConfig(
+                extract_body_sections=False,
+                extract_references=False,
+                match_citations=False,
+            ),
+        )
+        types = {r["entity_type"] for r in ents.collect()}
+        assert "title" in types
+        assert "heading" not in types
+        assert "raw_reference_text" not in types
+
+
+class TestModelProtocol:
+    def test_function_label_model(self, spark):
+        tokens = spark.createDataFrame(
+            [("d1", 0, "Hello"), ("d1", 1, "World"), ("d2", 0, "Other")],
+            "doc_id string, token_seq long, text string",
+        )
+        model = FunctionLabelModel(
+            "header",
+            lambda texts: ["B-<title>"] + ["I-<title>"] * (len(texts) - 1),
+        )
+        out = model.apply(tokens).collect()
+        assert len(out) == 3
+        assert {r["model_name"] for r in out} == {"header"}
+        d1 = sorted(
+            (r for r in out if r["doc_id"] == "d1"), key=lambda r: r["token_seq"]
+        )
+        assert [r["label"] for r in d1] == ["B-<title>", "I-<title>"]
+
+    def test_function_label_model_alignment_assert(self, spark):
+        tokens = spark.createDataFrame(
+            [("d1", 0, "Hello")], "doc_id string, token_seq long, text string"
+        )
+        bad = FunctionLabelModel("header", lambda texts: [])
+        with pytest.raises(Exception):
+            bad.apply(tokens).collect()
+
+    def test_dataframe_label_model_is_pure_join(self, spark):
+        tokens = spark.createDataFrame(
+            [("d1", 0, "Hello")], "doc_id string, token_seq long, text string"
+        )
+        labels = spark.createDataFrame(
+            [("d1", 0, "header", "B-<title>"), ("d1", 0, "other", "O")],
+            "doc_id string, token_seq long, model_name string, label string",
+        )
+        out = DataFrameLabelModel("header", labels).apply(tokens).collect()
+        assert len(out) == 1
+        assert out[0]["label"] == "B-<title>"

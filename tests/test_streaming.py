@@ -1,0 +1,133 @@
+"""Structured Streaming tests: run real readStream pipelines from a file
+source into a memory sink and assert on results.
+"""
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sciencebeam_parser_spark.streaming import (
+    sessionized_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def write_events_json(tmp_path, rows):
+    path = tmp_path / "events"
+    path.mkdir()
+    with open(path / "part-0.json", "w") as f:
+        for ts, user, etype, value in rows:
+            f.write(
+                json.dumps(
+                    {"ts": ts, "user_id": user, "event_type": etype, "value": value}
+                )
+                + "\n"
+            )
+    return str(path)
+
+
+def run_to_memory(spark, stream_df, name, timeout=60):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.table(name)
+
+
+class TestStreamingWindows:
+    def test_tumbling_counts_from_file_stream(self, spark, tmp_path):
+        src = write_events_json(
+            tmp_path,
+            [
+                ("2024-01-01 00:01:00", 1, "click", 1.0),
+                ("2024-01-01 00:05:00", 2, "click", 2.0),
+                ("2024-01-01 00:12:00", 1, "view", 3.0),
+            ],
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        assert stream.isStreaming
+        out = run_to_memory(
+            spark, tumbling_counts(stream), "tumbling_test"
+        ).collect()
+        by_window = {(str(r["window_start"]), r["event_type"]): r["n"] for r in out}
+        assert by_window[("2024-01-01 00:00:00", "click")] == 2
+        assert by_window[("2024-01-01 00:10:00", "view")] == 1
+
+    def test_session_window_stream(self, spark, tmp_path):
+        src = write_events_json(
+            tmp_path,
+            [
+                ("2024-01-01 00:00:00", 1, "click", 1.0),
+                ("2024-01-01 00:10:00", 1, "click", 1.0),  # same session (<30m gap)
+                ("2024-01-01 02:00:00", 1, "click", 1.0),  # new session
+            ],
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        out = run_to_memory(
+            spark, sessionized_counts(stream), "session_test"
+        ).collect()
+        sessions = sorted((str(r["session_start"]), r["n_events"]) for r in out)
+        assert sessions == [
+            ("2024-01-01 00:00:00", 2),
+            ("2024-01-01 02:00:00", 1),
+        ]
+
+    def test_stream_dedup(self, spark, tmp_path):
+        src = write_events_json(
+            tmp_path,
+            [
+                ("2024-01-01 00:00:00", 1, "click", 1.0),
+                ("2024-01-01 00:01:00", 1, "click", 2.0),  # dup key within watermark
+                ("2024-01-01 00:02:00", 2, "click", 3.0),
+            ],
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        deduped = stream_dedup(stream)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        out = spark.table("dedup_test").collect()
+        assert len(out) == 2
+        assert sorted(r["user_id"] for r in out) == [1, 2]
+
+    def test_foreach_batch_sink(self, spark, tmp_path):
+        src = write_events_json(
+            tmp_path, [("2024-01-01 00:00:00", 1, "click", 1.0)]
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        seen = []
+
+        def handle(batch_df, batch_id):
+            seen.append((batch_id, batch_df.count()))
+
+        q = (
+            tumbling_counts(stream)
+            .writeStream.foreachBatch(handle)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert seen and seen[0][1] == 1

@@ -1,0 +1,95 @@
+"""TEI sink tests — XPath assertions like the reference's
+tests/document/tei_document_test.py:63-258.
+"""
+import xml.etree.ElementTree as ET
+
+import pytest
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.plans.cascade import run_fulltext_cascade
+from sciencebeam_parser_spark.sinks.tei import entities_to_tei
+
+NS = {"tei": "http://www.tei-c.org/ns/1.0"}
+
+
+@pytest.fixture(scope="module")
+def tei_root(spark):
+    entities = spark.createDataFrame(
+        [
+            ("d1", 1, "title", "front", 0, 1, "Deep Spark", None, None, None),
+            ("d1", 2, "abstract", "front", 2, 4, "Abstract: We study", "We study", None, None),
+            ("d1", 3, "heading", "body", 5, 6, "1. Intro", None, "1.", None),
+            ("d1", 4, "paragraph", "body", 7, 9, "Some text", None, None, None),
+            ("d1", 5, "figure_citation", "body", 10, 11, "Figure 1", None, None, "fig_0"),
+            ("d1", 6, "raw_figure", "body", 12, 14, "Figure 1 caption", None, None, None),
+            ("d1", 7, "raw_reference_text", "back", 15, 16, "Smith 2020", None, None, None),
+        ],
+        "doc_id string, entity_group long, entity_type string, region string, "
+        "token_start long, token_end long, text string, clean_abstract string, "
+        "section_label string, target_content_id string",
+    ).withColumn(
+        "content_id",
+        F.when(F.col("entity_type") == "raw_figure", "fig_0").when(
+            F.col("entity_type") == "raw_reference_text", "b0"
+        ),
+    )
+    out = entities_to_tei(entities).collect()
+    assert len(out) == 1
+    return ET.fromstring(out[0]["tei_xml"])
+
+
+class TestTeiSink:
+    def test_title(self, tei_root):
+        title = tei_root.find(
+            ".//tei:teiHeader/tei:fileDesc/tei:titleStmt/tei:title", NS
+        )
+        assert title is not None and title.text == "Deep Spark"
+        assert title.get("level") == "a"
+
+    def test_abstract_uses_cleaned_text(self, tei_root):
+        p = tei_root.find(".//tei:profileDesc/tei:abstract/tei:p", NS)
+        assert p is not None and p.text == "We study"
+
+    def test_body_div_head_and_paragraph(self, tei_root):
+        div = tei_root.find(".//tei:body/tei:div", NS)
+        assert div is not None
+        head = div.find("tei:head", NS)
+        assert head.text == "1. Intro" and head.get("n") == "1."
+        assert div.find("tei:p", NS).text == "Some text"
+
+    def test_figure_with_id_and_citation_target(self, tei_root):
+        fig = tei_root.find(".//tei:body/tei:figure", NS)
+        assert fig is not None
+        assert fig.get("{http://www.w3.org/XML/1998/namespace}id") == "fig_0"
+        ref = tei_root.find(".//tei:div/tei:ref", NS)
+        assert ref.get("type") == "figure"
+        assert ref.get("target") == "#fig_0"
+
+    def test_references_listbibl(self, tei_root):
+        bibl = tei_root.find(
+            ".//tei:back/tei:div[@type='references']/tei:listBibl/tei:biblStruct", NS
+        )
+        assert bibl is not None
+        assert bibl.get("{http://www.w3.org/XML/1998/namespace}id") == "b0"
+
+
+class TestCascadeToTei:
+    def test_end_to_end_cascade_then_tei(self, spark):
+        tokens = spark.createDataFrame(
+            [("d1", 1, 1, 1, 0, "Title"), ("d1", 1, 1, 1, 1, "Here")],
+            "doc_id string, page_number int, block_id int, line_id int, "
+            "token_seq long, text string",
+        )
+        labels = spark.createDataFrame(
+            [
+                ("d1", 0, "segmentation", "B-<header>"),
+                ("d1", 1, "segmentation", "I-<header>"),
+                ("d1", 0, "header", "B-<title>"),
+                ("d1", 1, "header", "I-<title>"),
+            ],
+            "doc_id string, token_seq long, model_name string, label string",
+        )
+        ents = run_fulltext_cascade(tokens, labels)
+        tei = entities_to_tei(ents).collect()[0]["tei_xml"]
+        root = ET.fromstring(tei)
+        assert root.find(".//tei:titleStmt/tei:title", NS).text == "Title Here"
