@@ -1,0 +1,171 @@
+"""Multimodal columns (north-star): image/audio/video as opaque ``binary``
+columns with typed metadata, plus decode / feature-extract / resize /
+frame-sample stages as Arrow-batched ``mapInPandas`` stages.
+
+Reference analogs: LayoutGraphic binary content + page images
+(processors/document_page_image.py renders PDF pages; cv_models /
+ocr_models consume them). The image/audio codec libraries are NOT in this
+container, so the decode kernels are stubbed (deterministic fake or
+NotImplementedError) — the Spark-side plumbing (schemas, batch iteration,
+partitioning, column pruning through the UDF) is real and tested; swapping
+in PIL/ffmpeg later only changes the kernel body.
+
+Scale: media bytes stay in one ``binary`` column; metadata predicates
+(media_type/size filters) prune BEFORE the expensive decode stage, the A22
+partition-pruning pattern. Arrow moves the bytes executor-side in batches;
+nothing ever collects to the driver.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+# magic-byte prefixes → media type (hex)
+_MAGIC_PREFIXES = {
+    "89504e47": "image/png",
+    "ffd8ff": "image/jpeg",
+    "47494638": "image/gif",
+    "25504446": "application/pdf",
+    "494433": "audio/mpeg",
+    "52494646": "audio/wav",  # RIFF container
+}
+
+
+def sniff_media_type(content: Column) -> Column:
+    """Magic-byte media-type detection as column expressions (media-type
+    gate, app/parser.py:460-483 analog)."""
+    head = F.lower(F.hex(F.substring(content, 1, 4)))
+    expr = None
+    for prefix, mtype in _MAGIC_PREFIXES.items():
+        cond = head.startswith(prefix)
+        expr = F.when(cond, mtype) if expr is None else expr.when(cond, mtype)
+    return expr.otherwise(F.lit("application/octet-stream"))
+
+
+def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata columns over an opaque binary column — all JVM-side
+    (length/sha2/hex), no UDF."""
+    c = F.col(content_col)
+    return df.select(
+        "*",
+        F.length(c).cast("long").alias("n_bytes"),
+        F.sha2(c, 256).alias("sha256"),
+        sniff_media_type(c).alias("sniffed_type"),
+    )
+
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(media_id: str, content: bytes) -> tuple[int, int, str, list[float]]:
+    """Deterministic fake decode: dimensions/feature derived from the content
+    hash — stable across runs and engines, exercising the full batch path."""
+    h = hashlib.sha256(content or b"").digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    feature = [round(b / 255.0, 6) for b in h[:8]]
+    return width, height, "RGB", feature
+
+
+def decode_images(
+    media: DataFrame,
+    *,
+    use_fake_decoder: bool = False,
+    batch_note: str = "PIL not available in this environment",
+) -> DataFrame:
+    """Decode stage: binary → (width, height, mode, feature vector).
+
+    The kernel is a STUB: with ``use_fake_decoder=True`` it produces a
+    deterministic hash-derived fake (for tests / plumbing validation);
+    otherwise it raises NotImplementedError at execution time. The
+    mapInPandas batch shape, output schema, and column pruning are the real
+    production plumbing.
+    """
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    f"real image decode not implemented: {batch_note}"
+                )
+            out = [
+                (row["media_id"], *_fake_decode(row["media_id"], row["content"]))
+                for _, row in pdf.iterrows()
+            ]
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mode", "feature"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, schema=IMAGE_DECODE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+    n_frames: int = 4,
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Video frame sampling stub: one output row per sampled frame (a
+    table-function stage — mapInPandas emitting multiple rows per input).
+    Fake path derives frames by slicing the content hash."""
+
+    def sample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError("ffmpeg not available in this environment")
+            rows = []
+            for _, row in pdf.iterrows():
+                h = hashlib.sha256(row["content"] or b"").digest()
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            row["media_id"],
+                            i,
+                            i * every_ms,
+                            bytes(h[i : i + 8]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_ts_ms", "frame"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        sample, schema=FRAME_SAMPLE_SCHEMA
+    )

@@ -573,3 +573,90 @@ def q69_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("gram")).alias("fingerprint"),
         F.countDistinct("gram").cast("long").alias("n_distinct_grams"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN scale path (single-table LSH variant, oracle-checked)
+# --------------------------------------------------------------------------
+
+def _ann_oracle_sql(n_planes: int = 8) -> str:
+    coeff = (
+        "(CAST('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0 - 0.5)"
+    )
+    projs = ", ".join(
+        "list_sum([v[i] * " + coeff.format(p=p) + " FOR i IN range(1, len(v)+1)])"
+        f" AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    projected AS (SELECT vec_id, v, {projs} FROM vecs),
+    bucketed AS (
+        SELECT vec_id, v,
+               sqrt(list_sum([x*x FOR x IN v])) AS nrm,
+               CAST({bucket} AS BIGINT) AS bucket
+        FROM projected
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+               list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)])
+               / (a.nrm * b.nrm) AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, round(cos, 6) AS cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "q86_similarity_ann_lsh",
+    oracle=_ann_oracle_sql(),
+    survey_ref="north-star similarity search (LSH-bucketed ANN scale path)",
+    doc="Single-table random-hyperplane LSH top-5: bucket = 8 sign bits of "
+        "md5-derived hyperplane projections; candidates join on the bucket "
+        "(the shuffle key at scale), scored by exact cosine within bucket. "
+        "operators/similarity.py adds the multi-table variant for recall.",
+)
+def q86_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.similarity import add_lsh_bucket
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = add_lsh_bucket(emb, n_planes=8).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.bucket").alias("bucket"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cosine"))
+    )
