@@ -299,3 +299,80 @@ def mask_tokens_by_boxes(tokens: DataFrame, boxes: DataFrame) -> DataFrame:
         & contained,
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# CV-box dedup vs existing graphics (SURVEY §2A A24) and merged-bbox agg
+# ---------------------------------------------------------------------------
+
+def intersection_area_ratio(
+    x1: Column, y1: Column, w1: Column, h1: Column,
+    x2: Column, y2: Column, w2: Column, h2: Column,
+) -> Column:
+    """get_bounding_box_intersection_area_ratio
+    (processors/cv_graphic_provider.py:38-48): intersection area divided by
+    the LARGER of the two areas (0.0 when both are empty)."""
+    ix = F.greatest(
+        F.lit(0.0), F.least(x1 + w1, x2 + w2) - F.greatest(x1, x2)
+    )
+    iy = F.greatest(
+        F.lit(0.0), F.least(y1 + h1, y2 + h2) - F.greatest(y1, y2)
+    )
+    max_area = F.greatest(w1 * h1, w2 * h2)
+    return F.when(max_area == 0.0, F.lit(0.0)).otherwise(ix * iy / max_area)
+
+
+def dedup_cv_boxes(
+    cv_boxes: DataFrame,
+    existing_graphics: DataFrame,
+    *,
+    threshold: float = 0.80,
+    ignored_graphic_types: tuple = (),
+) -> DataFrame:
+    """Drop CV-detected boxes that overlap an existing graphic on the same
+    page with intersection-area ratio ≥ threshold
+    (get_layout_graphic_with_similar_coordinates,
+    cv_graphic_provider.py:50-66; applied threshold 0.80).
+
+    cv_boxes / existing_graphics: (doc_id, page_number, x, y, width, height
+    [, graphic_type]). Returns the cv_boxes rows with no such overlap —
+    a (doc_id, page_number)-keyed join followed by an anti-join, so at scale
+    the only shuffle is on the page key and per-page box counts stay tiny.
+    """
+    ex = existing_graphics
+    if ignored_graphic_types and "graphic_type" in ex.columns:
+        ex = ex.filter(~F.col("graphic_type").isin(*ignored_graphic_types))
+    ex = ex.select(
+        "doc_id", "page_number",
+        F.col("x").alias("_ex_x"), F.col("y").alias("_ex_y"),
+        F.col("width").alias("_ex_w"), F.col("height").alias("_ex_h"),
+    )
+    ratio = intersection_area_ratio(
+        F.col("x"), F.col("y"), F.col("width"), F.col("height"),
+        F.col("_ex_x"), F.col("_ex_y"), F.col("_ex_w"), F.col("_ex_h"),
+    )
+    dup_keys = (
+        cv_boxes.join(ex, ["doc_id", "page_number"])
+        .filter(ratio >= threshold)
+        .select("doc_id", "page_number", "x", "y", "width", "height")
+        .distinct()
+    )
+    return cv_boxes.join(
+        dup_keys, ["doc_id", "page_number", "x", "y", "width", "height"],
+        "left_anti",
+    )
+
+
+def merged_bbox_agg(df: DataFrame, *group_cols: str) -> DataFrame:
+    """Merge all boxes per group into their bounding envelope —
+    LayoutPageCoordinates.get_merged_with (document/layout_document.py:65-77)
+    folded over a group (the reference merges pairwise in a loop; min/max
+    aggregation is the associative closed form). Pure map-side-combinable
+    aggregate: safe at any scale."""
+    return df.groupBy(*group_cols).agg(
+        F.min("x").alias("x"),
+        F.min("y").alias("y"),
+        (F.max(F.col("x") + F.col("width")) - F.min("x")).alias("width"),
+        (F.max(F.col("y") + F.col("height")) - F.min("y")).alias("height"),
+        F.count("*").cast("long").alias("n_boxes"),
+    )
