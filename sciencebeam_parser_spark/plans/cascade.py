@@ -39,8 +39,8 @@ from sciencebeam_parser_spark.functions.parsers import (
     split_section_label,
 )
 from sciencebeam_parser_spark.operators.bio import (
-    filter_by_labels,
     group_bio_entities,
+    strip_tag_prefix,
 )
 from sciencebeam_parser_spark.operators.ref_matching import match_content_ids
 
@@ -120,33 +120,76 @@ class CascadeConfig:
     extract_references: bool = True
     extract_citation_fields: bool = True
     match_citations: bool = True
+    # the entities relation fans out to markers/targets/validity branches;
+    # materializing it once is the reference's result-cache analog (SURVEY §4)
+    cache_entities: bool = True
     segmentation_labels_front: tuple = ("<header>",)
     segmentation_labels_body: tuple = ("<body>", "<acknowledgement>", "<annex>")
     segmentation_labels_references: tuple = ("<references>",)
 
 
-def _extract_entities(
-    tokens: DataFrame, labels: DataFrame, model_name: str, region: str
+def _extract_all_entities(
+    tokens: DataFrame,
+    labels: DataFrame,
+    model_regions: dict,
+    region_by_seg_tag: dict,
 ) -> DataFrame:
-    """BIO-group one model's labels and dispatch tags to entity types."""
-    labeled = tokens.join(
-        labels.filter(F.col("model_name") == model_name).select(
-            "doc_id", "token_seq", "label"
-        ),
-        ["doc_id", "token_seq"],
+    """BIO-group EVERY enabled model's labels in one pass.
+
+    Single-pass design (scale rationale): the reference runs each model over
+    its label-filtered view sequentially; a naive port builds one join+window
+    +agg branch per model — 4× the shuffles of the data actually needed. Here
+    the region gate and all models ride ONE tokens⋈seg join and ONE labels
+    join, with the BIO window partitioned by (doc_id, model_name): same
+    semantics (each model only sees its region's tokens; islands are per
+    model), quarter the stages, and one shuffle of the fact table instead of
+    four. model_regions: {model_name: region}; region_by_seg_tag:
+    {segmentation tag: region}.
+    """
+    seg_region_map = F.create_map(
+        *[F.lit(x) for kv in region_by_seg_tag.items() for x in kv]
     )
-    ents = group_bio_entities(labeled, text_col="text", keep_other=False)
-    mapping = ENTITY_TYPE_BY_TAG.get(model_name, {})
-    map_expr = F.create_map(
-        *[F.lit(x) for kv in mapping.items() for x in kv]
+    seg = labels.filter(F.col("model_name") == "segmentation").select(
+        "doc_id",
+        "token_seq",
+        seg_region_map[strip_tag_prefix(F.col("label"))].alias("region"),
+    ).filter(F.col("region").isNotNull())
+
+    model_region_map = F.create_map(
+        *[F.lit(x) for kv in model_regions.items() for x in kv]
+    )
+    labeled = (
+        labels.filter(F.col("model_name").isin(*model_regions.keys()))
+        .join(seg, ["doc_id", "token_seq"])
+        .filter(model_region_map[F.col("model_name")] == F.col("region"))
+        .join(tokens.select("doc_id", "token_seq", "text"),
+              ["doc_id", "token_seq"])
+    )
+    ents = group_bio_entities(
+        labeled,
+        partition_cols=("doc_id", "model_name"),
+        text_col="text",
+        keep_other=False,
+    )
+    # combined (model, tag) → entity_type dispatch; default → note
+    # (SimpleModelSemanticExtractor, models/extract.py:66-77)
+    dispatch = F.create_map(
+        *[
+            F.lit(x)
+            for model, mapping in ENTITY_TYPE_BY_TAG.items()
+            for tag, etype in mapping.items()
+            for x in (f"{model}\x00{tag}", etype)
+        ]
     )
     return ents.select(
         "doc_id",
-        F.col("entity_group"),
-        F.col("tag"),
-        # SimpleModelSemanticExtractor default → note (models/extract.py:66-77)
-        F.coalesce(map_expr[F.col("tag")], F.lit("note")).alias("entity_type"),
-        F.lit(region).alias("region"),
+        "model_name",
+        "entity_group",
+        "tag",
+        F.coalesce(
+            dispatch[F.concat_ws("\x00", "model_name", "tag")], F.lit("note")
+        ).alias("entity_type"),
+        model_region_map[F.col("model_name")].alias("region"),
         "token_start",
         "token_end",
         "n_tokens",
@@ -189,33 +232,25 @@ def run_fulltext_cascade(
     entities relation (one row per semantic entity).
     """
     config = config or CascadeConfig()
-    seg = labels.filter(F.col("model_name") == "segmentation").select(
-        "doc_id", "token_seq", "label"
-    )
-    parts: list[DataFrame] = []
-
+    # config gates = plan pruning (processors/fulltext/config.py:30-50):
+    # disabled models are simply absent from the single-pass gate map
+    model_regions: dict = {}
     if config.extract_front:
-        header_tokens = filter_by_labels(tokens, seg, config.segmentation_labels_front)
-        parts.append(_extract_entities(header_tokens, labels, "header", "front"))
-
+        model_regions["header"] = "front"
     if config.extract_body_sections:
-        body_tokens = filter_by_labels(tokens, seg, config.segmentation_labels_body)
-        parts.append(_extract_entities(body_tokens, labels, "fulltext", "body"))
-
+        model_regions["fulltext"] = "body"
     if config.extract_references:
-        ref_tokens = filter_by_labels(
-            tokens, seg, config.segmentation_labels_references
-        )
-        ref_ents = _extract_entities(
-            ref_tokens, labels, "reference_segmenter", "back"
-        )
-        parts.append(ref_ents)
+        model_regions["reference_segmenter"] = "back"
         if config.extract_citation_fields:
-            parts.append(_extract_entities(ref_tokens, labels, "citation", "back"))
-
-    entities = parts[0]
-    for p in parts[1:]:
-        entities = entities.unionByName(p)
+            model_regions["citation"] = "back"
+    region_by_seg_tag = {
+        **{t: "front" for t in config.segmentation_labels_front},
+        **{t: "body" for t in config.segmentation_labels_body},
+        **{t: "back" for t in config.segmentation_labels_references},
+    }
+    entities = _extract_all_entities(
+        tokens, labels, model_regions, region_by_seg_tag
+    )
     entities = _enrich_citation_fields(entities)
 
     # A19 — content ids per entity family in document order
@@ -236,6 +271,9 @@ def run_fulltext_cascade(
         ),
     ).drop("_id_prefix")
 
+    if config.cache_entities:
+        entities = entities.cache()
+
     if config.match_citations:
         markers = entities.filter(
             F.col("entity_type").isin(
@@ -243,6 +281,7 @@ def run_fulltext_cascade(
             )
         ).select(
             "doc_id",
+            "model_name",
             F.concat_ws("_", "entity_type", F.col("entity_group").cast("string")).alias(
                 "citation_id"
             ),
@@ -259,10 +298,13 @@ def run_fulltext_cascade(
             markers.select("doc_id", "citation_id", "text"), targets
         )
         marker_targets = markers.join(matches, ["doc_id", "citation_id"]).select(
-            "doc_id", "entity_group", "target_content_id"
+            "doc_id", "model_name", "entity_group", "target_content_id"
         )
+        # entity_group is only unique within (doc_id, model_name) — the
+        # model key keeps marker matches from leaking onto other models'
+        # same-numbered entities
         entities = entities.join(
-            marker_targets, ["doc_id", "entity_group"], "left"
+            marker_targets, ["doc_id", "model_name", "entity_group"], "left"
         )
     else:
         entities = entities.withColumn(

@@ -9,4 +9,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     text_ops,
     events_ops,
     docpipe,
+    pipeline_ops,
 )

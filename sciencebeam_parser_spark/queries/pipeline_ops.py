@@ -1,0 +1,229 @@
+"""Full document-pipeline surfaces: the cascade (A28), stateful grammars
+(A16), TEI/JATS sinks (A29), gazetteer membership (A7 lookup), and
+training-data generation (A30) as registered queries.
+
+The cascade/grammar/sink queries are genuinely non-SQL-expressible (stateful
+per-doc folds, XML assembly), so they register without an oracle — the
+driver records the weaker rows-only check for them, as the contract allows.
+Gazetteer membership IS relational and carries an exact DuckDB oracle.
+
+All derive deterministic fixtures from the `documents` table: tokens by
+whitespace tokenization (same as docpipe), mock model labels from token
+shape/position (the reference's MockFullTextModels trick,
+tests/processors/fulltext/model_mocks.py:46-135, in deterministic form).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.operators.extract_grammars import extract_names
+from sciencebeam_parser_spark.plans.cascade import run_fulltext_cascade
+from sciencebeam_parser_spark.plans.training_data import (
+    generate_model_data_lines,
+)
+from sciencebeam_parser_spark.queries.docpipe import _tokens
+from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.sinks.jats import tei_to_jats
+from sciencebeam_parser_spark.sinks.tei import entities_to_tei
+
+
+def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
+    """Tokens + deterministic mock labels for all cascade models.
+
+    Segmentation: first 30% of each doc <header>, last 30% <references>,
+    middle <body>. Header model: first 3 header tokens <title>, rest
+    <abstract>. Fulltext: long tokens <section>, rest <paragraph>.
+    Reference segmenter: numeric tokens <label>, others <reference>.
+    Citation: capitalized tokens <author>, numeric <date>, rest <title>.
+    """
+    toks = (
+        _tokens(spark, sf_dir)
+        .withColumnRenamed("token", "text")
+        # grammar/sink pandas schemas declare doc_id:string (§1.4 surrogate
+        # keys are strings); the synthetic table stores int64
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    frac = (F.col("token_seq") - 1) / n
+    seg = (
+        F.when(frac < 0.3, "<header>")
+        .when(frac >= 0.7, "<references>")
+        .otherwise("<body>")
+    )
+    toks = toks.withColumn("_seg", seg)
+    w_hdr = W.partitionBy("doc_id", "_seg").orderBy("token_seq")
+    hdr_pos = F.row_number().over(w_hdr)
+    # one projection computes every model's label, then stack unpivots —
+    # ONE scan + one window pass instead of a 5-way union re-reading the
+    # base relation per model (5× fewer stages in the cascade's deep DAG)
+    wide = toks.select(
+        "doc_id", "token_seq",
+        F.concat(F.lit("I-"), F.col("_seg")).alias("_l_seg"),
+        F.concat(
+            F.lit("I-"),
+            F.when(hdr_pos <= 3, "<title>").otherwise("<abstract>"),
+        ).alias("_l_hdr"),
+        F.concat(
+            F.lit("I-"),
+            F.when(F.length("text") >= 8, "<section>").otherwise("<paragraph>"),
+        ).alias("_l_ft"),
+        F.concat(
+            F.lit("I-"),
+            F.when(F.col("text").rlike("^[0-9]+$"), "<label>")
+            .otherwise("<reference>"),
+        ).alias("_l_rs"),
+        F.concat(
+            F.lit("I-"),
+            F.when(F.col("text").rlike("^[A-Z]"), "<author>")
+            .when(F.col("text").rlike("^[0-9]{4}$"), "<date>")
+            .otherwise("<title>"),
+        ).alias("_l_cit"),
+    )
+    labels = wide.select(
+        "doc_id", "token_seq",
+        F.expr(
+            "stack(5, "
+            "'segmentation', _l_seg, "
+            "'header', _l_hdr, "
+            "'fulltext', _l_ft, "
+            "'reference_segmenter', _l_rs, "
+            "'citation', _l_cit) AS (model_name, label)"
+        ),
+    )
+    # the cascade references tokens/labels from many branches (4 models ×
+    # filter/join/window): materialize once — the reference's
+    # ModelResultCache / .cache() DAG-reuse analog (SURVEY §4)
+    return toks.drop("_seg").cache(), labels.cache()
+
+
+@register(
+    "q87_gazetteer_membership",
+    oracle="""
+    SELECT t.doc_id, t.token_seq, t.token,
+           (n.n_name IS NOT NULL) AS is_nation
+    FROM (
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS token_seq,
+               tok AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+            FROM documents
+        )
+    ) t
+    LEFT JOIN (SELECT DISTINCT lower(n_name) AS n_name FROM nation) n
+      ON lower(t.token) = n.n_name
+    """,
+    survey_ref="§1.2 TextLookUp / §2A A7 gazetteer membership; §2B broadcast+left joins",
+    doc="Gazetteer membership as a broadcast left join: the nation table is "
+        "the country gazetteer, tokens the probe side. At 100 TB the dim "
+        "stays broadcast — zero shuffle of the token fact table.",
+)
+def q87_gazetteer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.sources.gazetteer import add_gazetteer_flag
+
+    toks = _tokens(spark, sf_dir)
+    gz = table(spark, sf_dir, "nation").select(F.col("n_name").alias("term"))
+    gz = gz.select(F.lower(F.trim("term")).alias("term")).distinct()
+    return add_gazetteer_flag(
+        toks, gz, text_col="token", flag_col="is_nation"
+    ).select("doc_id", "token_seq", "token", "is_nation")
+
+
+@register(
+    "q88_fulltext_cascade",
+    oracle=None,  # config-gated multi-model DAG + stateful folds: rows-only
+    survey_ref="§2A A28 cascade + A14/A15/A16/A17/A18/A19/A20",
+    doc="The full mock-label fulltext cascade: segmentation filter → "
+        "header/fulltext/citation models → BIO entities → scalar enrichment "
+        "→ id assignment → citation matching → validity. Deterministic mock "
+        "labels from token shape (MockFullTextModels port).",
+)
+def q88_fulltext_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    ents = run_fulltext_cascade(toks, labels)
+    return ents.select(
+        "doc_id", "model_name", "entity_group", "entity_type", "region",
+        "n_tokens", "content_id", "target_content_id", "is_valid_reference",
+    )
+
+
+@register(
+    "q89_extract_author_names",
+    oracle=None,  # stateful lookahead fold: rows-only
+    survey_ref="§2A A16 name grammar (models/name/extract.py:126-193)",
+    doc="Name-model fold over deterministic tag runs: alternating forename/"
+        "surname tokens with numeric markers; splits on second forename, "
+        "title-cases parts, validates surname presence.",
+)
+def q89_extract_author_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("token_seq") <= 12)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "<marker>")
+        .when(F.col("token_seq") % 2 == 1, "<forename>")
+        .otherwise("<surname>")
+    )
+    runs = toks.select(
+        "doc_id",
+        F.lit("authors").alias("group_id"),
+        F.col("token_seq").alias("entity_group"),
+        tag.alias("tag"),
+        F.col("token").alias("text"),
+    )
+    return extract_names(runs).select(
+        "doc_id", "name_seq", "part_seq", "part_type", "text", "is_valid"
+    )
+
+
+@register(
+    "q90_tei_jats_sink",
+    oracle=None,  # XML assembly: rows-only
+    survey_ref="§2A A29 TEI serialization + TEI→JATS transform",
+    doc="Cascade entities → per-doc TEI XML (grouped-map) → JATS "
+        "(mapInPandas). Output keeps sizes + digests, not megabyte XML "
+        "payloads.",
+)
+def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    ents = run_fulltext_cascade(toks, labels)
+    # tei feeds both the join and the JATS transform — materialize once or
+    # the whole cascade DAG executes twice
+    tei = entities_to_tei(ents).cache()
+    jats = tei_to_jats(tei)
+    return (
+        tei.join(jats, "doc_id")
+        .select(
+            "doc_id",
+            F.length("tei_xml").cast("long").alias("tei_len"),
+            F.length("jats_xml").cast("long").alias("jats_len"),
+            F.md5("jats_xml").alias("jats_md5"),
+        )
+    )
+
+
+@register(
+    "q91_training_data_lines",
+    oracle=None,  # 19-feature projection exercised; data-line join format rows-only
+    survey_ref="§2A A30 training-data generation; A7 feature columns",
+    doc="Per-token CRF data lines (text + 19 features + label) over "
+        "synthesized layout columns — the generate_data.py ETL re-expressed "
+        "as one concat_ws projection over the A7 feature relation.",
+)
+def q91_training_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    toks = toks.select(
+        "doc_id", "token_seq", "text",
+        (F.col("token_seq") / 8).cast("long").alias("line_id"),
+        (F.col("token_seq") / 40).cast("long").alias("block_id"),
+        F.lit("serif").alias("font_family"),
+        (10.0 + (F.col("token_seq") % 3).cast("double")).alias("font_size"),
+    )
+    return generate_model_data_lines(
+        toks, labels=labels, model_name="segmentation"
+    )

@@ -329,47 +329,60 @@ def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_sum([x*x FOR x IN b.v]))) AS cos
         FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
     )
-    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+    SELECT query_id, neighbor_id, cosine
     FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+               row_number() OVER (
+            PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rn
         FROM pairs
     ) WHERE rn <= 5
     """,
     survey_ref="north-star similarity search (brute-force cosine top-k baseline)",
-    doc="All-pairs cosine top-5 — the exact baseline. The scale path is LSH "
-        "bucketing (random-hyperplane signs) shrinking candidates per query; "
-        "implemented in operators/similarity.py with the same scoring expr.",
+    doc="All-pairs cosine top-5 — the exact baseline, executed as a "
+        "broadcast index + Arrow-batched numpy matmul (the vectorized "
+        "pandas-UDF path: one BLAS gemm per batch instead of 4M fold "
+        "expressions). Ranking uses the 6-dp-rounded cosine so float "
+        "summation order can't flip cross-engine ties (neighbor_id breaks "
+        "them). The broadcast side must fit executor memory — that's the "
+        "definitional limit of brute force; the 100 TB path is LSH (q86) / "
+        "banded candidates, same scoring.",
 )
 def q65_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    with_norm = emb.select(
-        "vec_id",
-        "v",
-        F.sqrt(
-            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        ).alias("norm"),
-    )
-    a, b = with_norm.alias("a"), with_norm.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the corpus index is a broadcastable dimension (N×64 float64); queries
+    # stream through mapInPandas and each Arrow batch does one gemm
+    index_pdf = emb.toPandas()
+    ids_all = index_pdf["vec_id"].to_numpy(dtype="int64")
+    m = np.stack(index_pdf["embedding"].to_numpy()).astype("float64")
+    m_normed = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, m_normed))
+
+    def topk(batches):
+        import numpy as np  # noqa: F811 — executor-side import
+        import pandas as pd
+
+        corpus_ids, corpus = bc.value
+        for pdf in batches:
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ corpus.T, 6)
+            out_q, out_n, out_c = [], [], []
+            for i, qid in enumerate(pdf["vec_id"].to_numpy(dtype="int64")):
+                mask = corpus_ids != qid
+                cand_ids = corpus_ids[mask]
+                cand_sims = sims[i][mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:5]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order].tolist())
+                out_c.extend(cand_sims[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    return emb.mapInPandas(
+        topk, "query_id long, neighbor_id long, cosine double"
     )
 
 

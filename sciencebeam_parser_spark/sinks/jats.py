@@ -1,0 +1,177 @@
+"""TEI → JATS conversion + asset-ZIP sink (SURVEY §2A A29, second half).
+
+Reference: transformers/xslt.py applies resources/xslt/tei-to-jats.xsl
+(app/parser.py:284-292); asset ZIP bundling is app/parser.py:102-127
+(``create_asset_zip_for_semantic_document``). lxml/libxslt is not available
+in this environment, so the JATS transform re-implements the stylesheet's
+structural mappings with stdlib ElementTree:
+
+  TEI element                                   → JATS element
+  teiHeader/fileDesc/titleStmt/title            → front/article-meta/title-group/article-title
+  profileDesc/abstract                          → front/article-meta/abstract
+  text/body/div                                 → body/sec (head → title, p → p)
+  figure[@type!=table] / figure[@type=table]    → fig / table-wrap
+  back//listBibl                                → back/ref-list (biblStruct → ref)
+  ref[@type=bibr|figure|table]                  → xref[@ref-type=bibr|fig|table]
+
+(mappings at tei-to-jats.xsl:18-35, :57-123, :140-206, :242-266, :355+).
+
+Spark mapping: per-row transformation of the (doc_id, tei_xml) relation — a
+scalar pandas-style UDF territory, implemented with mapInPandas to stream
+Arrow batches; the ZIP sink is a ``foreachPartition`` writer producing one
+zip per partition (the reference zips one doc per request; a corpus run
+wants one archive per task, not per row).
+"""
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+
+def _t(tag: str) -> str:
+    return f"{{{TEI_NS}}}{tag}"
+
+
+def _local(el: ET.Element) -> str:
+    return el.tag.rsplit("}", 1)[-1]
+
+
+def _all_text(el: ET.Element) -> str:
+    return "".join(el.itertext())
+
+
+def tei_to_jats_xml(tei_xml: str) -> str:
+    """Convert one TEI document string to a JATS article string."""
+    tei = ET.fromstring(tei_xml)
+    article = ET.Element("article")
+    article.set("article-type", "research-article")
+
+    front = ET.SubElement(article, "front")
+    meta = ET.SubElement(front, "article-meta")
+    title_group = ET.SubElement(meta, "title-group")
+    for title in tei.findall(f"{_t('teiHeader')}/{_t('fileDesc')}/{_t('titleStmt')}/{_t('title')}"):
+        ET.SubElement(title_group, "article-title").text = _all_text(title)
+    for abstract in tei.findall(f"{_t('teiHeader')}/{_t('profileDesc')}/{_t('abstract')}"):
+        ab = ET.SubElement(meta, "abstract")
+        for p in abstract.findall(_t("p")):
+            ET.SubElement(ab, "p").text = _all_text(p)
+
+    body_out = ET.SubElement(article, "body")
+    tei_body = tei.find(f"{_t('text')}/{_t('body')}")
+    if tei_body is not None:
+        for child in tei_body:
+            tag = _local(child)
+            if tag == "div":
+                sec = ET.SubElement(body_out, "sec")
+                for sub in child:
+                    sub_tag = _local(sub)
+                    if sub_tag == "head":
+                        ET.SubElement(sec, "title").text = _all_text(sub)
+                    elif sub_tag == "p":
+                        ET.SubElement(sec, "p").text = _all_text(sub)
+                    elif sub_tag == "ref":
+                        xref = ET.SubElement(sec, "xref")
+                        rt = sub.get("type", "")
+                        xref.set(
+                            "ref-type",
+                            {"bibr": "bibr", "figure": "fig", "table": "table"}.get(rt, rt),
+                        )
+                        tgt = sub.get("target", "")
+                        if tgt.startswith("#"):
+                            xref.set("rid", tgt[1:])
+                        xref.text = _all_text(sub)
+            elif tag == "p":
+                ET.SubElement(body_out, "p").text = _all_text(child)
+            elif tag == "figure":
+                is_table = child.get("type") == "table"
+                fig = ET.SubElement(body_out, "table-wrap" if is_table else "fig")
+                xml_id = child.get("{http://www.w3.org/XML/1998/namespace}id")
+                if xml_id:
+                    fig.set("id", xml_id)
+                desc = child.find(_t("figDesc"))
+                if desc is not None:
+                    cap = ET.SubElement(fig, "caption")
+                    ET.SubElement(cap, "p").text = _all_text(desc)
+            elif tag == "note":
+                p = ET.SubElement(body_out, "p")
+                p.set("content-type", child.get("type", "note"))
+                p.text = _all_text(child)
+
+    back_out = ET.SubElement(article, "back")
+    for list_bibl in tei.iter(_t("listBibl")):
+        ref_list = ET.SubElement(back_out, "ref-list")
+        ref_list.set("id", "ref-list-1")
+        for bibl in list_bibl.findall(_t("biblStruct")):
+            ref = ET.SubElement(ref_list, "ref")
+            xml_id = bibl.get("{http://www.w3.org/XML/1998/namespace}id")
+            if xml_id:
+                ref.set("id", xml_id)
+            ET.SubElement(ref, "mixed-citation").text = _all_text(bibl)
+    return ET.tostring(article, encoding="unicode")
+
+
+JATS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("jats_xml", T.StringType()),
+    ]
+)
+
+
+def tei_to_jats(tei_df: DataFrame) -> DataFrame:
+    """(doc_id, tei_xml) → (doc_id, jats_xml), streamed per Arrow batch."""
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "jats_xml": pdf["tei_xml"].map(tei_to_jats_xml),
+                }
+            )
+
+    return tei_df.select("doc_id", "tei_xml").mapInPandas(
+        convert, schema=JATS_OUT_SCHEMA
+    )
+
+
+def write_xml_zip(
+    df: DataFrame,
+    output_dir: str,
+    *,
+    id_col: str = "doc_id",
+    xml_col: str = "tei_xml",
+    suffix: str = ".tei.xml",
+) -> None:
+    """Asset-ZIP sink: one zip archive per partition, one XML member per
+    document (app/parser.py:102-127 writes one zip per doc; a corpus job
+    amortizes to per-task archives — executor-side I/O, nothing through the
+    driver)."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(output_dir, f"part-{pid:05d}.zip")
+        written = False
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for row in rows:
+                zf.writestr(f"{row[id_col]}{suffix}", row[xml_col] or "")
+                written = True
+        if not written:
+            os.remove(path)
+
+    df.select(id_col, xml_col).foreachPartition(write_partition)
+
+
+__all__ = ["tei_to_jats", "tei_to_jats_xml", "write_xml_zip"]

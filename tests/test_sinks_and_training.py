@@ -1,0 +1,167 @@
+"""Tests for the JATS sink (A29), asset-ZIP sink, doc-converter gate (A3),
+and training-data generation plan (A30)."""
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.plans.training_data import (
+    generate_model_data_lines,
+    generate_training_documents,
+)
+from sciencebeam_parser_spark.sinks.jats import (
+    tei_to_jats,
+    tei_to_jats_xml,
+    write_xml_zip,
+)
+from sciencebeam_parser_spark.sources.doc_converter import (
+    classify_sources,
+    convert_to_pdf,
+)
+
+TEI_SAMPLE = (
+    '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+    "<titleStmt><title>My Title</title></titleStmt></fileDesc>"
+    "<profileDesc><abstract><p>Abstract text.</p></abstract></profileDesc>"
+    "</teiHeader><text><body><div><head>Intro</head><p>Body para.</p>"
+    '<ref type="bibr" target="#b0">[1]</ref></div>'
+    '<figure type="table" xml:id="tab_0"><figDesc>A table</figDesc></figure>'
+    '</body><back><div type="references"><listBibl>'
+    '<biblStruct xml:id="b0"><note>Smith 2020</note></biblStruct>'
+    "</listBibl></div></back></text></TEI>"
+)
+
+
+class TestJats:
+    def test_structural_mapping(self):
+        jats = tei_to_jats_xml(TEI_SAMPLE)
+        root = ET.fromstring(jats)
+        assert root.tag == "article"
+        assert root.findtext("front/article-meta/title-group/article-title") == "My Title"
+        assert root.findtext("front/article-meta/abstract/p") == "Abstract text."
+        sec = root.find("body/sec")
+        assert sec.findtext("title") == "Intro"
+        xref = sec.find("xref")
+        assert (xref.get("ref-type"), xref.get("rid")) == ("bibr", "b0")
+        tw = root.find("body/table-wrap")
+        assert tw.get("id") == "tab_0"
+        ref = root.find("back/ref-list/ref")
+        assert ref.get("id") == "b0"
+        assert ref.findtext("mixed-citation") == "Smith 2020"
+
+    def test_dataframe_conversion(self, spark):
+        df = spark.createDataFrame(
+            [("d1", TEI_SAMPLE)], "doc_id string, tei_xml string"
+        )
+        out = tei_to_jats(df).collect()
+        assert len(out) == 1
+        assert "<article-title>My Title</article-title>" in out[0].jats_xml
+
+    def test_zip_sink(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("d1", TEI_SAMPLE), ("d2", TEI_SAMPLE)],
+            "doc_id string, tei_xml string",
+        ).repartition(2)
+        out_dir = str(tmp_path / "zips")
+        write_xml_zip(df, out_dir)
+        members = []
+        for p in sorted(Path(out_dir).glob("*.zip")):
+            with zipfile.ZipFile(p) as zf:
+                members.extend(zf.namelist())
+                for name in zf.namelist():
+                    assert b"<TEI" in zf.read(name) or b"TEI " in zf.read(name)
+        assert sorted(members) == ["d1.tei.xml", "d2.tei.xml"]
+
+
+class TestDocConverter:
+    def _sources(self, spark):
+        return spark.createDataFrame(
+            [
+                ("d1", "application/pdf", bytearray(b"%PDF-fake")),
+                ("d2", "application/msword", bytearray(b"DOCBYTES")),
+                ("d3", "text/plain", bytearray(b"nope")),
+            ],
+            "doc_id string, media_type string, content binary",
+        )
+
+    def test_gate_classification(self, spark):
+        out = {
+            r.doc_id: r.conversion
+            for r in classify_sources(self._sources(spark)).collect()
+        }
+        assert out == {"d1": "passthrough", "d2": "convert", "d3": "unsupported"}
+
+    def test_unsupported_raises(self, spark):
+        with pytest.raises(Exception, match="unsupported media type"):
+            convert_to_pdf(
+                self._sources(spark), converter_fn=lambda b: b"%PDF-conv"
+            ).collect()
+
+    def test_convert_with_injected_sidecar(self, spark):
+        out = {
+            r.doc_id: (r.media_type, bytes(r.content))
+            for r in convert_to_pdf(
+                self._sources(spark),
+                converter_fn=lambda b: b"%PDF-conv:" + b,
+                fail_on_unsupported=False,
+            ).collect()
+        }
+        assert out["d1"] == ("application/pdf", b"%PDF-fake")
+        assert out["d2"] == ("application/pdf", b"%PDF-conv:DOCBYTES")
+        assert "d3" not in out
+
+    def test_default_converter_is_stub(self, spark):
+        with pytest.raises(Exception, match="STUB|NotImplemented"):
+            convert_to_pdf(
+                self._sources(spark).filter(F.col("doc_id") == "d2")
+            ).collect()
+
+
+@pytest.fixture()
+def mini_tokens(spark):
+    rows = []
+    for d in ("d1", "d2"):
+        for i, text in enumerate(["The", "Title", "body", "text"]):
+            rows.append(
+                {
+                    "doc_id": d, "token_seq": i, "text": text,
+                    "line_id": i // 2, "block_id": 0,
+                    "font_family": "serif", "font_size": 10.0,
+                }
+            )
+    return spark.createDataFrame(rows)
+
+
+class TestTrainingData:
+    def test_data_lines_unlabeled(self, spark, mini_tokens):
+        lines = generate_model_data_lines(mini_tokens).collect()
+        assert len(lines) == 8
+        first = next(
+            r for r in lines if r.doc_id == "d1" and r.token_seq == 0
+        )
+        parts = first.data_line.split(" ")
+        assert parts[0] == "The"
+        assert len(parts) == 1 + 19  # text + DEFAULT_FEATURE_COLUMNS
+
+    def test_data_lines_labeled_and_per_doc_order(self, spark, mini_tokens):
+        labels = spark.createDataFrame(
+            [
+                ("d1", 0, "header", "B-<title>"),
+                ("d1", 1, "header", "I-<title>"),
+            ],
+            "doc_id string, token_seq long, model_name string, label string",
+        )
+        out = generate_training_documents(mini_tokens, labels, ["header"])
+        lines, per_doc = out["header"]
+        d1 = {r.token_seq: r.data_line for r in lines.filter("doc_id='d1'").collect()}
+        assert d1[0].endswith("B-<title>")
+        assert d1[2].endswith(" O")  # unlabeled token → O fallback
+        doc_row = per_doc.filter("doc_id='d1'").collect()[0]
+        body = doc_row.data_file_text.split("\n")
+        assert doc_row.n_lines == 4
+        assert [ln.split(" ")[0] for ln in body] == ["The", "Title", "body", "text"]
