@@ -146,3 +146,106 @@ def ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeded IVF centroids: the n_centroids vectors with the
+    smallest ids. (Real deployments run k-means refinement; seeding keeps the
+    partitioning engine-reproducible for the oracle, and the probe/search
+    plan shape — the part that matters at scale — is identical.)"""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        .orderBy("cent_id")
+        .limit(n_centroids)
+        .withColumn("cnorm", _norm(F.col("cv")))
+    )
+
+
+def add_ivf_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank centroids per vector by cosine (rounded to 6 dp for cross-engine
+    determinism; ties → lower cent_id). rank 1 = the home cluster
+    (inverted-file assignment); rank ≤ n_probe = probed clusters at query
+    time. Centroids are a broadcast dim — the fact table never shuffles for
+    assignment."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("ccos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select("vec_id", F.col("cent_id").alias("cluster_id"), "crank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each vector lives in its nearest-centroid
+    cluster; a query probes its n_probe nearest clusters and scores exact
+    cosine against their members only. The candidate join keys on
+    cluster_id — the scale shuffle key; per-cluster sizes bound the
+    quadratic term (the LSH-bucket analog with learned-ish partitions)."""
+    cents = ivf_centroids(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigns = add_ivf_assignments(
+        embeddings, cents, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    members = assigns.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("member_id"), "cluster_id"
+    )
+    probes = assigns.select(F.col("vec_id").alias("query_id"), "cluster_id")
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    qa, qb = base.alias("qa"), base.alias("qb")
+    scored = (
+        probes.join(members, "cluster_id")
+        .filter(F.col("query_id") != F.col("member_id"))
+        .join(qa, F.col("query_id") == F.col("qa.vec_id"))
+        .join(qb, F.col("member_id") == F.col("qb.vec_id"))
+        .select(
+            "query_id",
+            F.col("member_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qa.v"), F.col("qb.v"))
+                / (F.col("qa.norm") * F.col("qb.norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -673,3 +673,123 @@ def q86_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "bucket", F.round("cos", 6).alias("cosine"))
     )
+
+
+def _near_dup_oracle_sql(threshold: float = 0.25, n_planes: int = 8) -> str:
+    base = _ann_oracle_sql(n_planes)
+    head = base.split("SELECT query_id, neighbor_id, bucket, round")[0]
+    return head + f"""
+    SELECT query_id AS keep_id, neighbor_id AS dup_id, bucket,
+           round(cos, 6) AS cosine
+    FROM pairs
+    WHERE round(cos, 6) >= {threshold} AND query_id < neighbor_id
+    """
+
+
+@register(
+    "q92_dedup_embedding_cosine",
+    oracle=_near_dup_oracle_sql(),
+    survey_ref="north-star dedup (embedding-cosine near-dup, LSH-bucketed)",
+    doc="Embedding near-duplicate pairs: candidates from the same LSH "
+        "bucket (the scale shuffle key — never all-pairs), kept when exact "
+        "within-bucket cosine ≥ 0.25; query_id < neighbor_id keeps each "
+        "undirected pair once (canonical keep/dup orientation for the "
+        "dedup decision).",
+)
+def q92_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.similarity import add_lsh_bucket
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = add_lsh_bucket(emb, n_planes=8).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2) -> str:
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        FROM vecs ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+        SELECT vec_id, cent_id, ccos,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+        FROM (
+            SELECT a.vec_id, c.cent_id,
+                   round(list_sum([a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)])
+                         / (a.nrm * c.cnrm), 6) AS ccos
+            FROM vecs a CROSS JOIN cents c
+        )
+    ),
+    members AS (
+        SELECT vec_id AS member_id, cent_id AS cluster_id
+        FROM assign WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cluster_id
+        FROM assign WHERE crank <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, m.member_id AS neighbor_id,
+               round(list_sum([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v)+1)])
+                     / (qa.nrm * qb.nrm), 6) AS cosine
+        FROM probes p
+        JOIN members m ON p.cluster_id = m.cluster_id
+                      AND m.member_id <> p.query_id
+        JOIN vecs qa ON qa.vec_id = p.query_id
+        JOIN vecs qb ON qb.vec_id = m.member_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "q93_similarity_ivf_topk",
+    oracle=_ivf_oracle_sql(),
+    survey_ref="north-star similarity search (IVF scale path)",
+    doc="Seeded-IVF approximate top-5: vectors assigned to their nearest of "
+        "8 centroids (broadcast dim — no fact shuffle for assignment); each "
+        "query probes its 2 nearest clusters and scores exact cosine against "
+        "members only. cluster_id is the shuffle key at scale; cosines "
+        "rounded to 6 dp before ranking for cross-engine determinism.",
+)
+def q93_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        table(spark, sf_dir, "embeddings"), k=5, n_centroids=8, n_probe=2
+    )

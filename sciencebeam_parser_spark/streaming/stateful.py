@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator (SURVEY §2B streaming;
+``applyInPandasWithState``).
+
+The reference processes each document incrementally within a request-scoped
+session (app/parser.py:212-252); the streaming analog is per-key running
+state that survives across micro-batches: a progress tracker accumulating
+event counts/values per key, emitting the updated running totals whenever
+the key appears in a batch, and expiring idle keys via processing-time
+timeout (bounded state — the operational requirement at scale).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_running(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, float(total)))
+    # idle keys expire after 30 min of processing time → bounded state
+    state.setTimeoutDuration(30 * 60 * 1000)
+    yield pd.DataFrame(
+        {"key": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_with_state(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches with
+    processing-time state expiry. Input needs `key_col` and a numeric
+    `value_col`; emits one updated row per key per batch (Update mode)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+__all__ = ["running_totals_with_state", "RUNNING_OUT_SCHEMA"]

@@ -1,0 +1,90 @@
+"""Tests for the PDF ingest source (A1), page render (A23) / OCR (A25)
+stubs, config layering (A31), and executor singletons (A32)."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.config import apply_env_overrides
+from sciencebeam_parser_spark.sources.pdf import (
+    ocr_images,
+    pdf_to_alto,
+    read_pdf_corpus,
+    render_pages,
+)
+from sciencebeam_parser_spark.utils import executor_singleton, reset_singletons
+
+
+class TestConfig:
+    def test_env_overrides_nested_and_typed(self):
+        base = {"doc_to_pdf": {"enabled": True, "listener": {"max_uptime": 10}}}
+        env = {
+            "SCIENCEBEAM_PARSER__DOC_TO_PDF__ENABLED": "false",
+            "SCIENCEBEAM_PARSER__DOC_TO_PDF__LISTENER__MAX_UPTIME": "60",
+            "SCIENCEBEAM_PARSER__NEW_SECTION__RATIO": "0.5",
+            "UNRELATED": "x",
+        }
+        out = apply_env_overrides(base, env)
+        assert out["doc_to_pdf"]["enabled"] is False
+        assert out["doc_to_pdf"]["listener"]["max_uptime"] == 60
+        assert out["new_section"]["ratio"] == 0.5
+        # base untouched
+        assert base["doc_to_pdf"]["enabled"] is True
+
+
+class TestExecutorSingleton:
+    def test_factory_called_once(self):
+        reset_singletons()
+        calls = []
+        for _ in range(3):
+            inst = executor_singleton("t", lambda: calls.append(1) or "obj")
+        assert inst == "obj"
+        assert len(calls) == 1
+        reset_singletons()
+
+
+@pytest.fixture()
+def pdf_corpus(spark, tmp_path):
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "doc-a.pdf").write_bytes(b"%PDF-1.4 fake-a")
+    (d / "doc-b.pdf").write_bytes(b"%PDF-1.4 fake-bb")
+    return str(d)
+
+
+class TestPdfSource:
+    def test_binary_scan_mints_doc_ids(self, spark, pdf_corpus):
+        df = read_pdf_corpus(spark, pdf_corpus)
+        rows = {r.doc_id: r.n_bytes for r in df.collect()}
+        assert rows == {"doc-a": 15, "doc-b": 16}
+
+    def test_pdf_to_alto_with_injected_sidecar(self, spark, pdf_corpus):
+        reset_singletons()
+        pdfs = read_pdf_corpus(spark, pdf_corpus)
+        out = pdf_to_alto(pdfs, pdfalto_fn=lambda b: b"<alto>%d</alto>" % len(b))
+        got = {r.doc_id: bytes(r.alto_xml) for r in out.collect()}
+        assert got["doc-a"] == b"<alto>15</alto>"
+
+    def test_pdf_to_alto_default_is_stub(self, spark, pdf_corpus):
+        reset_singletons()
+        with pytest.raises(Exception, match="STUB|NotImplemented"):
+            pdf_to_alto(read_pdf_corpus(spark, pdf_corpus)).collect()
+
+    def test_render_and_ocr_chain(self, spark, pdf_corpus):
+        reset_singletons()
+        pages = (
+            read_pdf_corpus(spark, pdf_corpus)
+            .select("doc_id", "content")
+            .crossJoin(spark.range(1, 3).select(F.col("id").cast("int").alias("page_number")))
+        )
+        imgs = render_pages(
+            pages, dpi=100,
+            render_fn=lambda c, p, dpi: b"IMG:%d:%d" % (p, dpi),
+        )
+        texts = ocr_images(imgs, ocr_fn=lambda img: "text(%s)" % img.decode())
+        got = {
+            (r.doc_id, r.page_number): r.ocr_text for r in texts.collect()
+        }
+        assert got[("doc-a", 1)] == "text(IMG:1:100)"
+        assert len(got) == 4

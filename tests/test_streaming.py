@@ -131,3 +131,36 @@ class TestStreamingWindows:
         )
         q.awaitTermination(60)
         assert seen and seen[0][1] == 1
+
+
+class TestStatefulOperator:
+    def test_running_totals_with_state(self, spark, tmp_path):
+        from sciencebeam_parser_spark.streaming.stateful import (
+            running_totals_with_state,
+        )
+
+        src = write_events_json(
+            tmp_path,
+            [
+                ("2024-01-01T10:00:00Z", 1, "open", 2.0),
+                ("2024-01-01T10:01:00Z", 1, "open", 3.0),
+                ("2024-01-01T10:02:00Z", 2, "open", 5.0),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA).json(src)
+        )
+        out = running_totals_with_state(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = {
+            r.key: (r.n_events, r.total_value)
+            for r in spark.table("running_totals").collect()
+        }
+        assert rows == {"1": (2, 5.0), "2": (1, 5.0)}
