@@ -10,4 +10,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     events_ops,
     docpipe,
     pipeline_ops,
+    spatial_ops,
 )

@@ -1,0 +1,270 @@
+"""Spatial matching (A21), page pruning (A22), and token masking (A26) as
+oracle-checked queries.
+
+Box fixtures are synthesized deterministically from the `part` / `orders`
+tables (modular arithmetic on keys → exact 2-dp rationals), so both engines
+compute identical doubles; distances are a single sqrt over identically-
+ordered arithmetic, bit-equal across engines, with id tie-breaks on every
+ranking.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.operators.graphic_matching import (
+    cv_candidate_pages,
+    mask_tokens_by_boxes,
+    nearest_candidate_match,
+    with_successor_pages,
+)
+from sciencebeam_parser_spark.queries.registry import register, table
+
+
+def _graphics(spark, sf_dir):
+    """graphics fixture: one box per part with p_partkey % 3 == 0."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") % 40).cast("long").alias("doc_id"),
+        F.col("p_partkey").cast("int").alias("graphic_id"),
+        F.when(F.col("p_partkey") % 10 == 0, "svg").otherwise("bitmap").alias(
+            "graphic_type"
+        ),
+        ((F.col("p_partkey") % 97) / F.lit(100.0)).alias("nx"),
+        ((F.col("p_partkey") % 89) / F.lit(100.0)).alias("ny"),
+        F.lit(0.10).alias("nw"),
+        F.lit(0.10).alias("nh"),
+    )
+
+
+def _candidates(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") % 3 == 1).select(
+        (F.col("p_partkey") % 40).cast("long").alias("doc_id"),
+        F.concat(F.lit("fig_"), F.col("p_partkey")).alias("content_id"),
+        ((F.col("p_partkey") % 83) / F.lit(100.0)).alias("nx"),
+        ((F.col("p_partkey") % 79) / F.lit(100.0)).alias("ny"),
+        F.lit(0.15).alias("nw"),
+        F.lit(0.12).alias("nh"),
+    )
+
+
+_BOX_FIXTURE_SQL = """
+    graphics AS (
+        SELECT CAST(p_partkey % 40 AS BIGINT) AS doc_id,
+               CAST(p_partkey AS INT) AS graphic_id,
+               CASE WHEN p_partkey % 10 = 0 THEN 'svg' ELSE 'bitmap' END AS graphic_type,
+               (p_partkey % 97) / 100.0 AS nx,
+               (p_partkey % 89) / 100.0 AS ny,
+               0.10 AS nw, 0.10 AS nh
+        FROM part WHERE p_partkey % 3 = 0
+    ),
+    candidates AS (
+        SELECT CAST(p_partkey % 40 AS BIGINT) AS doc_id,
+               'fig_' || p_partkey AS content_id,
+               (p_partkey % 83) / 100.0 AS nx,
+               (p_partkey % 79) / 100.0 AS ny,
+               0.15 AS nw, 0.12 AS nh
+        FROM part WHERE p_partkey % 3 = 1
+    )
+"""
+
+
+@register(
+    "q94_spatial_nearest_match",
+    oracle="WITH " + _BOX_FIXTURE_SQL + """,
+    pairs AS (
+        SELECT g.doc_id, g.graphic_id, c.content_id,
+               sqrt(
+                   pow(greatest(0.0, c.nx - (g.nx + g.nw), g.nx - (c.nx + c.nw)), 2)
+                 + pow(greatest(0.0, c.ny - (g.ny + g.nh), g.ny - (c.ny + c.nh)), 2)
+               ) AS distance
+        FROM graphics g JOIN candidates c ON g.doc_id = c.doc_id
+        WHERE g.graphic_type <> 'svg'
+    ),
+    best_g AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, graphic_id
+            ORDER BY distance ASC, content_id ASC) AS rn
+        FROM pairs WHERE distance < 0.3
+    ),
+    best_c AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, content_id
+            ORDER BY distance ASC, graphic_id ASC) AS rc
+        FROM best_g WHERE rn = 1
+    )
+    SELECT doc_id, graphic_id, content_id, round(distance, 6) AS distance
+    FROM best_c WHERE rc = 1
+    """,
+    survey_ref="§2A A21 graphic↔figure nearest-neighbor join; §2B theta/nearest join",
+    doc="Single-round nearest-box assignment: per-doc gap distance "
+        "(graphic_matching.py:112-136 semantics), graphic proposes nearest "
+        "candidate under 0.3, closest proposer wins per candidate, svg "
+        "excluded. The join keys on doc_id — bounded per-partition cross, "
+        "never a global cross join.",
+)
+def q94_spatial_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_candidate_match(
+        _graphics(spark, sf_dir), _candidates(spark, sf_dir)
+    )
+
+
+_PAGE_FIXTURE_SQL = """
+    pages AS (
+        SELECT CAST(o_orderkey % 20 AS BIGINT) AS doc_id,
+               CAST(o_orderkey % 37 AS INT) AS page_number,
+               CASE WHEN o_orderkey % 37 IN (0, 5) THEN 500.0 ELSE 612.0 END AS page_width,
+               792.0 AS page_height
+        FROM orders WHERE o_orderkey % 11 = 0
+        GROUP BY 1, 2, 3, 4
+    ),
+    page_graphics AS (
+        SELECT CAST(o_orderkey % 20 AS BIGINT) AS doc_id,
+               CAST(o_orderkey % 37 AS INT) AS page_number,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'svg' ELSE 'bitmap' END AS graphic_type,
+               0.0 AS x, 0.0 AS y,
+               CASE WHEN o_orderkey % 7 = 0 THEN 600.0 ELSE 50.0 END AS width,
+               CASE WHEN o_orderkey % 7 = 0 THEN 700.0 ELSE 50.0 END AS height
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+"""
+
+
+@register(
+    "q95_page_pruning",
+    oracle="WITH " + _PAGE_FIXTURE_SQL + """,
+    dims AS (
+        SELECT doc_id, page_width, page_height, count(*) AS n
+        FROM pages GROUP BY 1, 2, 3
+    ),
+    mode AS (
+        SELECT doc_id, page_width AS mw, page_height AS mh
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY n DESC, page_width ASC, page_height ASC) AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS n_dims
+            FROM dims
+        ) WHERE rn = 1 AND n_dims >= 2
+    ),
+    uncommon AS (
+        SELECT p.doc_id, p.page_number
+        FROM pages p JOIN mode m ON p.doc_id = m.doc_id
+        WHERE p.page_width <> m.mw OR p.page_height <> m.mh
+    ),
+    bitmap_pages AS (
+        SELECT DISTINCT g.doc_id, g.page_number
+        FROM page_graphics g
+        JOIN pages p ON g.doc_id = p.doc_id AND g.page_number = p.page_number
+        WHERE g.graphic_type <> 'svg'
+          AND (g.width * g.height) / (p.page_width * p.page_height) > 0.5
+    ),
+    cands AS (
+        SELECT u.doc_id, u.page_number FROM uncommon u
+        LEFT JOIN bitmap_pages b
+          ON u.doc_id = b.doc_id AND u.page_number = b.page_number
+        WHERE b.doc_id IS NULL
+    )
+    SELECT DISTINCT doc_id, page_number FROM (
+        SELECT doc_id, page_number FROM cands
+        UNION ALL
+        SELECT c.doc_id, c.page_number + 1 AS page_number
+        FROM cands c
+        WHERE EXISTS (
+            SELECT 1 FROM pages p
+            WHERE p.doc_id = c.doc_id AND p.page_number = c.page_number + 1
+        )
+    )
+    """,
+    survey_ref="§2A A22 page pruning; §2B except/anti-join + union + mode",
+    doc="CV candidate pages: uncommon-dimension pages (mode via top-1 count) "
+        "minus mostly-bitmap pages (set difference as anti-join), plus "
+        "existing successor pages (union + semi-join). Only these partitions "
+        "would reach the expensive render/CV stage.",
+)
+def q95_page_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pages = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            (F.col("o_orderkey") % 20).cast("long").alias("doc_id"),
+            (F.col("o_orderkey") % 37).cast("int").alias("page_number"),
+            F.when((F.col("o_orderkey") % 37).isin(0, 5), 500.0)
+            .otherwise(612.0)
+            .alias("page_width"),
+            F.lit(792.0).alias("page_height"),
+        )
+        .distinct()
+    )
+    graphics = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") % 20).cast("long").alias("doc_id"),
+        (F.col("o_orderkey") % 37).cast("int").alias("page_number"),
+        F.when(F.col("o_orderkey") % 5 == 0, "svg").otherwise("bitmap").alias(
+            "graphic_type"
+        ),
+        F.lit(0.0).alias("x"),
+        F.lit(0.0).alias("y"),
+        F.when(F.col("o_orderkey") % 7 == 0, 600.0).otherwise(50.0).alias("width"),
+        F.when(F.col("o_orderkey") % 7 == 0, 700.0).otherwise(50.0).alias("height"),
+    )
+    cands = cv_candidate_pages(pages, graphics)
+    return with_successor_pages(cands, pages)
+
+
+@register(
+    "q96_token_masking",
+    oracle="""
+    WITH tokens AS (
+        SELECT CAST(p_partkey % 40 AS BIGINT) AS doc_id,
+               CAST(p_partkey % 7 AS INT) AS page_number,
+               CAST(p_partkey AS BIGINT) AS token_seq,
+               (p_partkey % 61) / 100.0 AS x,
+               (p_partkey % 53) / 100.0 AS y,
+               0.02 AS width, 0.01 AS height
+        FROM part WHERE p_partkey % 3 = 2
+    ),
+    boxes AS (
+        SELECT CAST(p_partkey % 40 AS BIGINT) AS doc_id,
+               CAST(p_partkey % 7 AS INT) AS page_number,
+               (p_partkey % 31) / 100.0 AS x,
+               (p_partkey % 29) / 100.0 AS y,
+               0.30 AS width, 0.30 AS height
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    SELECT t.doc_id, t.page_number, t.token_seq
+    FROM tokens t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM boxes b
+        WHERE b.doc_id = t.doc_id AND b.page_number = t.page_number
+          AND t.x >= b.x AND t.x + t.width <= b.x + b.width
+          AND t.y >= b.y AND t.y + t.height <= b.y + b.height
+    )
+    """,
+    survey_ref="§2A A26 token masking by region; §2B anti-join + range predicates",
+    doc="Remove tokens fully inside graphic boxes: containment-predicate "
+        "anti-join keyed on (doc, page) — the partition key bounds the "
+        "range-predicate fan-out at scale.",
+)
+def q96_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    tokens = p.filter(F.col("p_partkey") % 3 == 2).select(
+        (F.col("p_partkey") % 40).cast("long").alias("doc_id"),
+        (F.col("p_partkey") % 7).cast("int").alias("page_number"),
+        F.col("p_partkey").cast("long").alias("token_seq"),
+        ((F.col("p_partkey") % 61) / F.lit(100.0)).alias("x"),
+        ((F.col("p_partkey") % 53) / F.lit(100.0)).alias("y"),
+        F.lit(0.02).alias("width"),
+        F.lit(0.01).alias("height"),
+    )
+    boxes = p.filter(F.col("p_partkey") % 9 == 0).select(
+        (F.col("p_partkey") % 40).cast("long").alias("doc_id"),
+        (F.col("p_partkey") % 7).cast("int").alias("page_number"),
+        ((F.col("p_partkey") % 31) / F.lit(100.0)).alias("x"),
+        ((F.col("p_partkey") % 29) / F.lit(100.0)).alias("y"),
+        F.lit(0.30).alias("width"),
+        F.lit(0.30).alias("height"),
+    )
+    return mask_tokens_by_boxes(tokens, boxes).select(
+        "doc_id", "page_number", "token_seq"
+    )
