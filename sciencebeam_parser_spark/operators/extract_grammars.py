@@ -188,27 +188,34 @@ def extract_names(
     (doc_id, group_id, name_seq, part_seq, part_type, text, is_valid).
     """
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("entity_group")
-        doc_id = pdf["doc_id"].iloc[0]
-        gid = pdf[group_col].iloc[0]
+    cols = [f.name for f in NAME_PARTS_SCHEMA.fields]
+
+    def fold_partition(batches):
+        # one Python roundtrip per PARTITION, grouping in pandas — groups
+        # are tiny (one name-model invocation), so per-group applyInPandas
+        # overhead would dominate; repartition(doc_id) guarantees group
+        # completeness within the partition, concat is partition-bounded
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
         out = []
-        for name_seq, (parts, valid) in enumerate(
-            _fold_names(list(zip(pdf["tag"], pdf["text"])))
-        ):
-            for part_seq, (part_type, text) in enumerate(parts):
-                out.append(
-                    (doc_id, gid, name_seq, part_seq, part_type, text,
-                     "true" if valid else "false")
-                )
-        return pd.DataFrame(
-            out, columns=[f.name for f in NAME_PARTS_SCHEMA.fields]
-        )
+        for (doc_id, gid), g in pdf.groupby(["doc_id", group_col], sort=False):
+            g = g.sort_values("entity_group")
+            for name_seq, (parts, valid) in enumerate(
+                _fold_names(list(zip(g["tag"], g["text"])))
+            ):
+                for part_seq, (part_type, text) in enumerate(parts):
+                    out.append(
+                        (doc_id, gid, name_seq, part_seq, part_type, text,
+                         "true" if valid else "false")
+                    )
+        yield pd.DataFrame(out, columns=cols)
 
     return (
         entity_runs.select("doc_id", group_col, "entity_group", "tag", "text")
-        .groupBy("doc_id", group_col)
-        .applyInPandas(fold, NAME_PARTS_SCHEMA)
+        .repartition("doc_id")
+        .mapInPandas(fold_partition, NAME_PARTS_SCHEMA)
     )
 
 
