@@ -11,4 +11,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     docpipe,
     pipeline_ops,
     spatial_ops,
+    matching_ops,
 )
