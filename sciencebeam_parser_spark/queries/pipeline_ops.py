@@ -227,3 +227,33 @@ def q91_training_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_model_data_lines(
         toks, labels=labels, model_name="segmentation"
     )
+
+
+@register(
+    "q98_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CASE WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+                ELSE 'application/octet-stream' END AS sniffed_type
+    FROM documents
+    """,
+    survey_ref="north-star multimodal columns; §2A A23 binary metadata",
+    doc="Typed metadata over an opaque binary column (document text cast to "
+        "bytes as the stand-in payload): byte length, sha256 digest, "
+        "magic-byte media-type sniff — all JVM-side expressions, no UDF; "
+        "the decode stages behind it are the stubbed mapInPandas kernels in "
+        "operators/multimodal.py.",
+)
+def q98_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import sniff_media_type
+
+    docs = table(spark, sf_dir, "documents")
+    content = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(content).cast("long").alias("n_bytes"),
+        F.sha2(content, 256).alias("sha256"),
+        sniff_media_type(content).alias("sniffed_type"),
+    )
