@@ -288,3 +288,58 @@ def q85_repetitive_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("is_repetitive_pattern"),
         (rep & (F.row_number().over(w_seq) == 1)).alias("is_first_repetitive_pattern"),
     )
+
+
+@register(
+    "q99_bio_entities_b_prefix",
+    oracle="WITH " + _TOKENS_CTE + f""",
+    tagged AS (
+        SELECT doc_id, token_seq, token,
+               {_LABEL_SQL} AS tag,
+               CASE WHEN token_seq % 5 = 1 THEN 'B-' ELSE 'I-' END
+                   || {_LABEL_SQL} AS label
+        FROM tokens
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN starts_with(label, 'B-')
+                         OR lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS boundary
+        FROM tagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(boundary) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    )
+    SELECT doc_id, entity_group, min(tag) AS tag,
+           min(token_seq) AS token_start, max(token_seq) AS token_end,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§2A A13 BIO grouping — explicit B- boundary path "
+               "(models/model.py:61-79)",
+    doc="Gaps-and-islands with BOTH boundary conditions exercised: a B- "
+        "prefix forces a new entity even mid-run of the same tag (every 5th "
+        "token is B-tagged), unlike q81's I-only labels where boundaries "
+        "are tag changes alone.",
+)
+def q99_bio_entities_b_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "num")
+        .when(F.length("token") >= 6, "long")
+        .otherwise("O")
+    )
+    labeled = toks.select(
+        "doc_id",
+        "token_seq",
+        F.concat(
+            F.when(F.col("token_seq") % 5 == 1, "B-").otherwise("I-"), tag
+        ).alias("label"),
+    )
+    return group_bio_entities(labeled).select(
+        "doc_id", "entity_group", "tag", "token_start", "token_end",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

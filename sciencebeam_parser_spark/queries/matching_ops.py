@@ -244,3 +244,88 @@ def q97_citation_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_content_ids(
         citations, targets.select("doc_id", "content_id", "text", "target_seq")
     )
+
+
+_RETOK_ALT_SQL = _RE2_DELIM_ALTERNATION.replace("'", "''")
+
+
+@register(
+    "q101_retokenize",
+    oracle="WITH "
+    + _TOKENS_CTE
+    + f""",
+    src AS (
+        SELECT doc_id, token_seq AS src_seq, token,
+               (token_seq * 10.0) AS x, 8.0 AS width,
+               list_filter(string_split(regexp_replace(token,
+                   '{_RETOK_ALT_SQL}', chr(1) || '\\1' || chr(1), 'g'),
+                   chr(1)), p -> len(p) > 0) AS pieces
+        FROM tokens WHERE trim(token) <> ''
+    ),
+    exploded AS (
+        SELECT doc_id, src_seq, token, x, width,
+               unnest(pieces) AS piece,
+               unnest(range(1, len(pieces) + 1)) AS pos,
+               CAST(list_sum([len(p) FOR p IN pieces]) AS BIGINT) AS total_len
+        FROM src
+    ),
+    with_offsets AS (
+        SELECT *,
+               sum(len(piece)) OVER (
+                   PARTITION BY doc_id, src_seq ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - len(piece) AS piece_offset
+        FROM exploded
+    ),
+    kept AS (SELECT * FROM with_offsets WHERE trim(piece) <> '')
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY src_seq, pos) - 1 AS BIGINT)
+               AS token_seq,
+           piece AS text,
+           round(x + width * piece_offset / total_len, 6) AS x,
+           round(width * len(piece) / total_len, 6) AS width
+    FROM kept
+    """,
+    survey_ref="§2A A4 re-tokenize with coordinate interpolation "
+               "(layout_document.py:136-212); §2B UDTF/explode",
+    doc="Delimiter re-tokenization: each source token fence-splits on the "
+        "reference's delimiter set (punctuation kept as tokens), width "
+        "distributed proportionally to char offsets "
+        "(get_relative_coordinates), token_seq re-minted in document order. "
+        "Pure explode + window SQL — whole-stage codegen, no UDF.",
+)
+def q101_retokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.retokenize import retokenize_tokens
+
+    toks = _tokens(spark, sf_dir)
+    f1 = toks.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.lit(" ").alias("whitespace"),
+        F.lit(0).alias("page_number"),
+        F.lit(0).alias("block_id"),
+        (F.col("token_seq") / 8).cast("long").alias("line_id"),
+        F.lit(None).cast("string").alias("font_id"),
+        F.lit(None).cast("string").alias("font_family"),
+        F.lit(None).cast("double").alias("font_size"),
+        F.lit(None).cast("boolean").alias("is_bold"),
+        F.lit(None).cast("boolean").alias("is_italics"),
+        F.lit(None).cast("boolean").alias("is_subscript"),
+        F.lit(None).cast("boolean").alias("is_superscript"),
+        (F.col("token_seq") * 10.0).alias("x"),
+        F.lit(0.0).alias("y"),
+        F.lit(8.0).alias("width"),
+        F.lit(10.0).alias("height"),
+        F.lit(612.0).alias("page_width"),
+        F.lit(792.0).alias("page_height"),
+    )
+    out = retokenize_tokens(f1, normalize=False)
+    return out.select(
+        "doc_id",
+        "token_seq",
+        "text",
+        F.round("x", 6).alias("x"),
+        F.round("width", 6).alias("width"),
+    )

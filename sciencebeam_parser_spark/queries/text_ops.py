@@ -793,3 +793,74 @@ def q93_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         table(spark, sf_dir, "embeddings"), k=5, n_centroids=8, n_probe=2
     )
+
+
+_SIMHASH_CTE = f"""
+    words AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> j) % 2 = 1
+                        THEN 1 ELSE -1 END) AS weight
+        FROM words, unnest(range(0, 32)) AS t(j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN weight > 0
+                             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q100_dedup_simhash_pairs",
+    oracle="WITH " + _SIMHASH_CTE + """,
+    chunks AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (8 * b)) & 255 AS chunk
+        FROM sig, unnest(range(0, 4)) AS t(b)
+    )
+    SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM chunks x
+    JOIN chunks y ON x.band_idx = y.band_idx AND x.chunk = y.chunk
+                 AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+    survey_ref="north-star dedup (SimHash near-dup pairs); §2B self-join + bit ops",
+    doc="SimHash near-duplicates: 32-bit signatures band into 4 bytes; by "
+        "pigeonhole any pair with hamming ≤ 3 shares an identical byte, so "
+        "the (band, chunk) equi-join finds all of them without an all-pairs "
+        "scan — the banding join IS the 100 TB plan; hamming filter is "
+        "bit_count(xor) on the candidates.",
+)
+def q100_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q64_dedup_simhash(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).withColumn(
+        "chunk", F.expr("(simhash >> (8 * band_idx)) & 255")
+    )
+    x, y = chunks.alias("x"), chunks.alias("y")
+    hamming = F.expr("bit_count(x.simhash ^ y.simhash)")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
