@@ -227,6 +227,232 @@ def add_line_indentation(tokens: DataFrame) -> DataFrame:
     )
 
 
+# Characters kept by the line punctuation profile —
+# PUNCTUATION_PROFILE_CHARACTERS (models/data.py:204-207) minus whitespace
+# (space / NBSP are excluded by the reference's `not c.isspace()` guard).
+# Escaped for use inside a regex character class (Java regex and RE2 agree
+# on these literal escapes; no \uXXXX escapes — RE2 drops them silently).
+_PUNCT_PROFILE_CLASS = "(（\\[•*,:;?.!/)）\\-−–‐«»„\"“”‘’'`$#@\\]♦♥♣♠"
+PUNCT_PROFILE_STRIP_RE = "[^" + _PUNCT_PROFILE_CLASS + "]"
+
+_NBSP = " "
+
+
+def segmentation_line_features(
+    tokens: DataFrame,
+    *,
+    use_first_token_of_block: bool = True,
+    position_bins: int = 12,
+    line_scale: int = 10,
+) -> DataFrame:
+    """A7 segmentation data generator — the 34-feature line vector
+    (models/segmentation/data.py:237-303) as pure Catalyst expressions.
+
+    One output row per layout line; ``data_line`` is the space-joined
+    34-feature string the reference feeds to the CRF (order asserted at
+    segmentation/data.py:293-298). The reference walks the document in a
+    Python loop carrying mutable state (previous token, pattern counter,
+    running token index); here each piece of state is a window:
+
+    * previous selected token        → ``lag()`` over (doc) by line_seq
+    * running document token index   → running ``sum()`` (exclusive frame)
+    * block line index/count/max-len → windows over (doc, block)
+    * page block index/count         → dense_rank + max over (doc, page)
+    * repetitive pattern counter     → count/row_number over (doc, pattern)
+
+    All partitions key on doc_id prefixes, so per-partition state is bounded
+    by document size regardless of corpus scale.
+
+    Input: F1 tokens with doc_id, page_number, block_id, line_id, token_seq,
+    text, font_family, font_size, is_bold, is_italics.
+    """
+    # -- per-line aggregation (one shuffle) --------------------------------
+    texts_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("token_seq", "text"))),
+        lambda s: s["text"],
+    )
+    lines = tokens.groupBy("doc_id", "page_number", "block_id", "line_id").agg(
+        F.min("token_seq").alias("line_seq"),
+        F.count("*").alias("n_line_tokens"),
+        F.array_join(texts_sorted, " ").alias("line_text"),
+        F.get(texts_sorted, 0).alias("_tok1"),
+        F.get(texts_sorted, 1).alias("_tok2"),
+        F.min_by(
+            F.struct("font_family", "font_size", "is_bold", "is_italics"),
+            F.col("token_seq"),
+        ).alias("_ftok"),
+    )
+
+    # -- block windows ------------------------------------------------------
+    w_block = W.partitionBy("doc_id", "block_id").orderBy("line_seq")
+    w_block_all = W.partitionBy("doc_id", "block_id")
+    w_block_frame = w_block.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    lines = lines.select(
+        "*",
+        (F.row_number().over(w_block) - 1).alias("line_index"),
+        F.count("*").over(w_block_all).alias("line_count"),
+        F.max(F.length("line_text")).over(w_block_all).alias("_max_line_len"),
+        F.first("_ftok").over(w_block_frame).alias("_block_ftok"),
+    )
+
+    # -- page windows -------------------------------------------------------
+    w_page = W.partitionBy("doc_id", "page_number")
+    lines = lines.withColumn(
+        "block_index", F.dense_rank().over(w_page.orderBy("block_id")) - 1
+    )
+    lines = lines.withColumn(
+        "block_count", F.max(F.col("block_index") + 1).over(w_page)
+    )
+
+    # -- document windows ---------------------------------------------------
+    w_doc = W.partitionBy("doc_id").orderBy("line_seq")
+    w_doc_all = W.partitionBy("doc_id")
+    sel = F.col("_block_ftok") if use_first_token_of_block else F.col("_ftok")
+    lines = lines.select(
+        "*",
+        sel.alias("_sel"),
+        F.lag(sel).over(w_doc).alias("_prev"),
+        F.coalesce(
+            F.sum("n_line_tokens").over(w_doc.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("doc_token_index"),
+        F.sum("n_line_tokens").over(w_doc_all).alias("doc_token_count"),
+    )
+
+    # -- repetitive patterns (models/segmentation/data.py:161-232) ----------
+    is_candidate = (F.col("line_index") == 0) & (
+        (F.col("block_index") < 2)
+        | (F.col("block_index") == F.col("block_count") - 1)
+    )
+    pattern = F.lower(F.regexp_replace("line_text", "[^a-zA-Z ]", ""))
+    lines = lines.withColumn(
+        "_pattern",
+        F.when(is_candidate & (F.length(pattern) >= 8), pattern),
+    )
+    w_pat = W.partitionBy("doc_id", "_pattern")
+    repetitive = F.col("_pattern").isNotNull() & (
+        F.count("*").over(w_pat) > 1
+    )
+    first_repetitive = repetitive & (
+        F.row_number().over(w_pat.orderBy("line_seq")) == 1
+    )
+
+    # -- the 34 features ----------------------------------------------------
+    tok1 = F.coalesce(F.col("_tok1"), F.lit(""))
+    f_token = tok1
+    f_second = F.when(
+        F.coalesce(F.col("_tok2"), F.lit("")) != "", F.col("_tok2")
+    ).otherwise(tok1)
+    digit = digit_feature(tok1)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(tok1)
+    )
+    block_status = (
+        F.when(F.col("line_index") == 0, "BLOCKSTART")
+        .when(F.col("line_index") == F.col("line_count") - 1, "BLOCKEND")
+        .otherwise("BLOCKIN")
+    )
+    page_status = (
+        F.when(
+            (F.col("block_index") == 0) & (F.col("line_index") == 0), "PAGESTART"
+        )
+        .when(
+            (F.col("block_index") == F.col("block_count") - 1)
+            & (F.col("line_index") == F.col("line_count") - 1),
+            "PAGEEND",
+        )
+        .otherwise("PAGEIN")
+    )
+    # _sel is a min_by struct over a non-empty group, hence never null —
+    # a null lagged struct therefore means "first line of the document"
+    prev_missing = F.col("_prev").isNull()
+    font_status = (
+        F.when(prev_missing, "NEWFONT")
+        .when(
+            F.col("_sel.font_family").eqNullSafe(F.col("_prev.font_family")),
+            "SAMEFONT",
+        )
+        .otherwise("NEWFONT")
+    )
+    prev_size = F.col("_prev.font_size")
+    cur_size = F.col("_sel.font_size")
+    font_size_status = (
+        F.when(
+            prev_missing
+            | prev_size.isNull()
+            | (prev_size == 0.0)
+            | cur_size.isNull()
+            | (cur_size == 0.0)
+            | (prev_size < cur_size),
+            "HIGHERFONT",
+        )
+        .when(prev_size > cur_size, "LOWERFONT")
+        .otherwise("SAMEFONTSIZE")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    raw_profile = F.regexp_replace("line_text", PUNCT_PROFILE_STRIP_RE, "")
+    profile = F.when(raw_profile == "", "no").otherwise(raw_profile)
+    whole_line = F.translate(F.trim("line_text"), " \t", _NBSP + _NBSP)
+    feats = {
+        "token_text": f_token,
+        "second_token_text": f_second,
+        "lower_token_text": F.lower(tok1),
+        "prefix_1": prefix_feature(tok1, 1),
+        "prefix_2": prefix_feature(tok1, 2),
+        "prefix_3": prefix_feature(tok1, 3),
+        "prefix_4": prefix_feature(tok1, 4),
+        "block_status": block_status,
+        "page_status": page_status,
+        "font_status": font_status,
+        "font_size_status": font_size_status,
+        "is_bold": bool_str(F.col("_sel.is_bold")),
+        "is_italic": bool_str(F.col("_sel.is_italics")),
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(tok1) == 1),
+        "rel_doc_position": linear_scaling_bin(
+            F.col("doc_token_index"), F.col("doc_token_count"), position_bins
+        ).cast("string"),
+        "line_punct_profile": profile,
+        "punct_profile_len": F.length(raw_profile).cast("string"),
+        "block_rel_line_len": linear_scaling_bin(
+            F.length("line_text"), F.col("_max_line_len"), line_scale
+        ).cast("string"),
+        "is_repetitive": bool_str(repetitive),
+        "is_first_repetitive": bool_str(first_repetitive),
+        "whole_line": whole_line,
+    }
+    zero = F.lit("0")
+    # exact reference order, segmentation/data.py:257-291
+    data_line_cols = [
+        feats["token_text"], feats["second_token_text"],
+        feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["block_status"], feats["page_status"],
+        feats["font_status"], feats["font_size_status"],
+        feats["is_bold"], feats["is_italic"],
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        zero, zero, zero, zero, zero, zero, zero,  # dummy name/date/email/http
+        feats["rel_doc_position"], zero,
+        feats["line_punct_profile"], feats["punct_profile_len"],
+        feats["block_rel_line_len"],
+        zero, zero,  # dummy bitmap/vector around
+        feats["is_repetitive"], feats["is_first_repetitive"],
+        F.lit("1"),  # dummy is_main_area
+        feats["whole_line"],
+    ]
+    return lines.select(
+        "doc_id",
+        "page_number",
+        "block_id",
+        "line_id",
+        "line_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
 def add_repetitive_patterns(tokens: DataFrame) -> DataFrame:
     """A9 — repetitive pattern detection (models/segmentation/data.py:161-232).
 

@@ -343,3 +343,238 @@ def q99_bio_entities_b_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "entity_group", "tag", "token_start", "token_end",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — segmentation 34-feature line vector (A7)
+# ---------------------------------------------------------------------------
+
+# Structured layout-token fixture: page/block/line hierarchy + fonts derived
+# deterministically from token_seq (5 tokens/line, 3 lines/block,
+# 4 blocks/page; fonts block-constant) so both engines see identical input.
+_LTOKENS_CTE = f"""
+    lt AS (
+        SELECT doc_id, token_seq, token AS text,
+               CAST((token_seq - 1) // 60 AS INT) AS page_number,
+               (token_seq - 1) // 15 AS block_id,
+               (token_seq - 1) // 5 AS line_id,
+               'f' || (((token_seq - 1) // 15) % 3) AS font_family,
+               8.0 + (((token_seq - 1) // 15) % 5) AS font_size,
+               ((token_seq - 1) // 15) % 4 = 0 AS is_bold,
+               ((token_seq - 1) // 15) % 5 = 0 AS is_italics
+        FROM tokens
+    )
+"""
+
+# regex class of kept punctuation-profile chars, SQL-quoted ('' for ')
+_PUNCT_STRIP_SQL = (
+    "[^(（\\[•*,:;?.!/)）\\-−–‐«»„\"“”‘’''`$#@\\]♦♥♣♠]"
+)
+
+_SEG_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + f""",
+    lines AS (
+        SELECT doc_id, page_number, block_id, line_id,
+               min(token_seq) AS line_seq,
+               CAST(count(*) AS BIGINT) AS n_line_tokens,
+               string_agg(text, ' ' ORDER BY token_seq) AS line_text,
+               arg_min(text, token_seq) AS tok1,
+               (list(text ORDER BY token_seq))[2] AS tok2,
+               arg_min(font_family, token_seq) AS b_family_tok,
+               arg_min(font_size, token_seq) AS b_size_tok,
+               arg_min(is_bold, token_seq) AS b_bold_tok,
+               arg_min(is_italics, token_seq) AS b_italics_tok
+        FROM lt GROUP BY 1, 2, 3, 4
+    ),
+    blk AS (
+        SELECT *,
+               row_number() OVER wb - 1 AS line_index,
+               count(*) OVER wba AS line_count,
+               max(len(line_text)) OVER wba AS max_line_len,
+               first_value(b_family_tok) OVER wb AS b_family,
+               first_value(b_size_tok) OVER wb AS b_size,
+               first_value(b_bold_tok) OVER wb AS b_bold,
+               first_value(b_italics_tok) OVER wb AS b_italics
+        FROM lines
+        WINDOW wb AS (PARTITION BY doc_id, block_id ORDER BY line_seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING),
+               wba AS (PARTITION BY doc_id, block_id)
+    ),
+    pg AS (
+        SELECT *, dense_rank() OVER (
+                   PARTITION BY doc_id, page_number ORDER BY block_id) - 1
+                   AS block_index
+        FROM blk
+    ),
+    pg2 AS (
+        SELECT *, max(block_index + 1) OVER (
+                   PARTITION BY doc_id, page_number) AS block_count
+        FROM pg
+    ),
+    docw AS (
+        SELECT *,
+               lag(b_family) OVER wd AS p_family,
+               lag(b_size) OVER wd AS p_size,
+               lag(line_seq) OVER wd AS p_line_seq,
+               CAST(COALESCE(sum(n_line_tokens) OVER (
+                   PARTITION BY doc_id ORDER BY line_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS doc_token_index,
+               CAST(sum(n_line_tokens) OVER (PARTITION BY doc_id)
+                   AS BIGINT) AS doc_token_count
+        FROM pg2
+        WINDOW wd AS (PARTITION BY doc_id ORDER BY line_seq)
+    ),
+    pat AS (
+        SELECT *,
+               CASE WHEN line_index = 0
+                         AND (block_index < 2
+                              OR block_index = block_count - 1)
+                         AND len(lower(regexp_replace(
+                             line_text, '[^a-zA-Z ]', '', 'g'))) >= 8
+                    THEN lower(regexp_replace(
+                             line_text, '[^a-zA-Z ]', '', 'g'))
+               END AS pattern
+        FROM docw
+    ),
+    rep AS (
+        SELECT *,
+               pattern IS NOT NULL
+                   AND count(*) OVER wp > 1 AS is_rep_b,
+               pattern IS NOT NULL
+                   AND count(*) OVER wp > 1
+                   AND row_number() OVER (
+                       PARTITION BY doc_id, pattern ORDER BY line_seq) = 1
+                   AS is_first_rep_b
+        FROM pat
+        WINDOW wp AS (PARTITION BY doc_id, pattern)
+    ),
+    feat AS (
+        SELECT doc_id, page_number, block_id, line_id, line_seq,
+               tok1 AS token_text,
+               CASE WHEN COALESCE(tok2, '') <> '' THEN tok2 ELSE tok1 END
+                   AS second_token_text,
+               lower(tok1) AS lower_token_text,
+               substr(tok1, 1, 1) AS prefix_1,
+               substr(tok1, 1, 2) AS prefix_2,
+               substr(tok1, 1, 3) AS prefix_3,
+               substr(tok1, 1, 4) AS prefix_4,
+               CASE WHEN line_index = 0 THEN 'BLOCKSTART'
+                    WHEN line_index = line_count - 1 THEN 'BLOCKEND'
+                    ELSE 'BLOCKIN' END AS block_status,
+               CASE WHEN block_index = 0 AND line_index = 0
+                        THEN 'PAGESTART'
+                    WHEN block_index = block_count - 1
+                         AND line_index = line_count - 1 THEN 'PAGEEND'
+                    ELSE 'PAGEIN' END AS page_status,
+               CASE WHEN p_line_seq IS NULL THEN 'NEWFONT'
+                    WHEN b_family IS NOT DISTINCT FROM p_family
+                        THEN 'SAMEFONT'
+                    ELSE 'NEWFONT' END AS font_status,
+               CASE WHEN p_line_seq IS NULL OR p_size IS NULL
+                         OR p_size = 0.0 OR b_size IS NULL
+                         OR b_size = 0.0 OR p_size < b_size
+                        THEN 'HIGHERFONT'
+                    WHEN p_size > b_size THEN 'LOWERFONT'
+                    ELSE 'SAMEFONTSIZE' END AS font_size_status,
+               CASE WHEN b_bold THEN '1' ELSE '0' END AS is_bold,
+               CASE WHEN b_italics THEN '1' ELSE '0' END AS is_italic,
+               CASE WHEN regexp_matches(tok1, '^[0-9]+$') THEN 'NOCAPS'
+                    WHEN len(tok1) > 0
+                         AND NOT regexp_matches(tok1, '[a-z]')
+                        THEN 'ALLCAP'
+                    WHEN regexp_matches(tok1, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END AS cap_status,
+               CASE WHEN regexp_matches(tok1, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(tok1, '[0-9]')
+                        THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END AS digit_status,
+               CASE WHEN len(tok1) = 1 THEN '1' ELSE '0' END
+                   AS is_single_char,
+               CAST(CASE WHEN doc_token_index >= doc_token_count THEN 12
+                         WHEN doc_token_index <= 0 THEN 0
+                         ELSE CAST(floor(
+                             doc_token_index / doc_token_count * 12)
+                             AS INT)
+                    END AS VARCHAR) AS rel_doc_position,
+               CASE WHEN regexp_replace(line_text,
+                         '{_PUNCT_STRIP_SQL}', '', 'g') = '' THEN 'no'
+                    ELSE regexp_replace(line_text,
+                         '{_PUNCT_STRIP_SQL}', '', 'g')
+                    END AS line_punct_profile,
+               CAST(len(regexp_replace(line_text,
+                   '{_PUNCT_STRIP_SQL}', '', 'g')) AS VARCHAR)
+                   AS punct_profile_len,
+               CAST(CASE WHEN len(line_text) >= max_line_len THEN 10
+                         WHEN len(line_text) <= 0 THEN 0
+                         ELSE CAST(floor(
+                             len(line_text) / max_line_len * 10) AS INT)
+                    END AS VARCHAR) AS block_rel_line_len,
+               CASE WHEN is_rep_b THEN '1' ELSE '0' END AS is_repetitive,
+               CASE WHEN is_first_rep_b THEN '1' ELSE '0' END
+                   AS is_first_repetitive,
+               translate(trim(line_text), ' ' || chr(9),
+                   chr(160) || chr(160)) AS whole_line
+        FROM rep
+    )
+    SELECT *,
+           concat_ws(' ', token_text, second_token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               block_status, page_status, font_status, font_size_status,
+               is_bold, is_italic, cap_status, digit_status, is_single_char,
+               '0', '0', '0', '0', '0', '0', '0',
+               rel_doc_position, '0',
+               line_punct_profile, punct_profile_len, block_rel_line_len,
+               '0', '0', is_repetitive, is_first_repetitive, '1',
+               whole_line) AS data_line
+    FROM feat
+    """
+)
+
+
+def _layout_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the structured layout-token fixture (see _LTOKENS_CTE)."""
+    t = _tokens(spark, sf_dir)
+    i = F.col("token_seq") - 1
+    blk = F.floor(i / 15)
+    return t.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.floor(i / 60).cast("int").alias("page_number"),
+        blk.cast("long").alias("block_id"),
+        F.floor(i / 5).cast("long").alias("line_id"),
+        F.concat(F.lit("f"), (blk % 3).cast("string")).alias("font_family"),
+        (F.lit(8.0) + (blk % 5)).alias("font_size"),
+        (blk % 4 == 0).alias("is_bold"),
+        (blk % 5 == 0).alias("is_italics"),
+    )
+
+
+@register(
+    "q102_segmentation_line_features",
+    oracle=_SEG_ORACLE,
+    survey_ref="§2A A7 segmentation data generator — the 34-feature line "
+               "vector (models/segmentation/data.py:237-303)",
+    doc="The full segmentation CRF input: one row per layout line with all "
+        "34 features (incl. dummies) joined into data_line exactly in the "
+        "reference's asserted order. Every mutable-state feature of the "
+        "reference's Python walk is a window: previous-token font → lag, "
+        "running token index → exclusive-frame sum, block/page indexes → "
+        "row_number/dense_rank, repetitive patterns → count over "
+        "(doc, pattern). All partitions key on doc_id — bounded state, "
+        "arbitrarily many documents.",
+)
+def q102_segmentation_line_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        segmentation_line_features,
+    )
+
+    return segmentation_line_features(_layout_tokens(spark, sf_dir))

@@ -165,3 +165,112 @@ class TestRepetitivePatterns:
         ]
         out = add_repetitive_patterns(tokens_df(spark, rows))
         assert out.count() == 0  # pattern 'abc' < 8 chars
+
+
+class TestSegmentationLineFeatures:
+    """Port of tests/models/segmentation/data_test.py semantics — the
+    34-feature line vector (models/segmentation/data.py:237-303)."""
+
+    SCHEMA = (
+        "doc_id long, page_number int, block_id long, line_id long, "
+        "token_seq long, text string, font_family string, font_size double, "
+        "is_bold boolean, is_italics boolean"
+    )
+
+    def _doc(self, spark, rows):
+        from sciencebeam_parser_spark.operators.features import (
+            segmentation_line_features,
+        )
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {
+            (r["block_id"], r["line_id"]): r
+            for r in segmentation_line_features(df).collect()
+        }
+
+    def _rows(self):
+        # doc 1: page 0 has blocks 0 (2 lines) and 1 (1 line);
+        # page 1 has block 2 (1 line). Fonts block-constant.
+        mk = lambda seq, text, blk, line, page, fam, size, bold: (
+            1, page, blk, line, seq, text, fam, size, bold, False
+        )
+        return [
+            mk(1, "Running", 0, 0, 0, "f0", 10.0, True),
+            mk(2, "head", 0, 0, 0, "f0", 10.0, True),
+            mk(3, "Second", 0, 1, 0, "f0", 10.0, True),
+            mk(4, "line.", 0, 1, 0, "f0", 10.0, True),
+            mk(5, "Body", 1, 2, 0, "f1", 9.0, False),
+            mk(6, "42", 2, 3, 1, "f1", 11.0, False),
+        ]
+
+    def test_status_features(self, spark):
+        by_line = self._doc(spark, self._rows())
+        l00, l01 = by_line[(0, 0)], by_line[(0, 1)]
+        l10, l20 = by_line[(1, 2)], by_line[(2, 3)]
+        assert l00["block_status"] == "BLOCKSTART"
+        assert l01["block_status"] == "BLOCKEND"
+        assert l10["block_status"] == "BLOCKSTART"  # single-line block
+        assert l00["page_status"] == "PAGESTART"
+        assert l01["page_status"] == "PAGEIN"
+        assert l10["page_status"] == "PAGEEND"
+        assert l20["page_status"] == "PAGESTART"  # first block of page 1
+
+    def test_token_and_font_features(self, spark):
+        by_line = self._doc(spark, self._rows())
+        l00, l01, l10 = by_line[(0, 0)], by_line[(0, 1)], by_line[(1, 2)]
+        assert l00["token_text"] == "Running"
+        assert l00["second_token_text"] == "head"
+        assert l01["token_text"] == "Second"
+        # single-token line falls back to token_text
+        assert by_line[(2, 3)]["second_token_text"] == "42"
+        # selected token = first token of BLOCK: line 2 of block 0 carries
+        # the block's first font, so font_status vs line 1 is SAMEFONT
+        assert l00["font_status"] == "NEWFONT"  # first line of document
+        assert l00["font_size_status"] == "HIGHERFONT"
+        assert l01["font_status"] == "SAMEFONT"
+        assert l01["font_size_status"] == "SAMEFONTSIZE"
+        assert l10["font_status"] == "NEWFONT"  # f0 → f1
+        assert l10["font_size_status"] == "LOWERFONT"  # 10 → 9
+        assert l00["is_bold"] == "1" and l10["is_bold"] == "0"
+        # digits → NOCAPS even though '42' has no lowercase
+        assert by_line[(2, 3)]["cap_status"] == "NOCAPS"
+        assert by_line[(2, 3)]["digit_status"] == "ALLDIGIT"
+        assert by_line[(2, 3)]["is_single_char"] == "0"
+
+    def test_punctuation_profile_and_data_line(self, spark):
+        by_line = self._doc(spark, self._rows())
+        l01 = by_line[(0, 1)]
+        assert l01["line_punct_profile"] == "."
+        assert l01["punct_profile_len"] == "1"
+        l00 = by_line[(0, 0)]
+        assert l00["line_punct_profile"] == "no"
+        assert l00["punct_profile_len"] == "0"
+        # whole-line feature replaces spaces with NBSP, so every data_line
+        # is exactly 34 space-separated fields (segmentation/data.py:293)
+        for row in by_line.values():
+            assert len(row["data_line"].split(" ")) == 34
+        assert l00["whole_line"] == "Running head"
+
+    def test_repetitive_pattern(self, spark):
+        # same first-line pattern on two pages → repetitive; first-seen once
+        rows = []
+        seq = 0
+        for page, blk0 in ((0, 0), (1, 10)):
+            for word in ("Journal", "of", "Important", "Results"):
+                seq += 1
+                rows.append(
+                    (1, page, blk0, blk0 * 10, seq, word, "f0", 10.0,
+                     False, False)
+                )
+            seq += 1
+            rows.append(
+                (1, page, blk0 + 1, (blk0 + 1) * 10, seq, "body", "f0",
+                 10.0, False, False)
+            )
+        by_line = self._doc(spark, rows)
+        assert by_line[(0, 0)]["is_repetitive"] == "1"
+        assert by_line[(0, 0)]["is_first_repetitive"] == "1"
+        assert by_line[(10, 100)]["is_repetitive"] == "1"
+        assert by_line[(10, 100)]["is_first_repetitive"] == "0"
+        # short pattern (<8 alpha chars) never counts
+        assert by_line[(1, 10)]["is_repetitive"] == "0"
