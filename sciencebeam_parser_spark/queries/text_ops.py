@@ -15,6 +15,8 @@ Scale notes (100 TB):
 """
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -83,35 +85,56 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_array(col: str = "text") -> Column:
+    """Word-trigram shingles as a pure array projection — no join, no
+    shuffle: zip the word array against its two shifted slices and join each
+    triple. The zip-of-slices form evaluates the (expensive) split() a
+    constant number of times — indexing via get(arr, i) inside a transform
+    lambda would re-evaluate it per element, quadratic per document.
+    Null (→ explode drops the row) for docs with fewer than 3 words."""
+    arr = _words(col)
+    n = F.size(arr)
+    z = F.arrays_zip(
+        F.slice(arr, 1, n - 2).alias("a"),
+        F.slice(arr, 2, n - 2).alias("b"),
+        F.slice(arr, 3, n - 2).alias("c"),
+    )
+    return F.when(
+        n >= 3,
+        F.transform(z, lambda s: F.concat_ws(" ", s["a"], s["b"], s["c"])),
+    ).otherwise(F.lit(None).cast("array<string>"))
+
+
+# fixed 56-bit permutation constants, md5-derived so any engine can restate
+# them; embedded as literals in the DuckDB oracle
+_MINHASH_XOR_CONSTS = [
+    int(hashlib.md5(f"perm:{i}".encode()).hexdigest()[:14], 16)
+    for i in range(16)
+]
+
+
 def _minhash_signature(docs: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """doc_id → m0..m{n-1} min-hash columns over word 3-gram shingles."""
-    words = docs.select(
-        "doc_id", F.posexplode(_words()).alias("pos", "w")
-    )
-    # word trigram shingles via self-joins on position (small per-doc counts)
-    a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
-    sh = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .join(
-            c,
-            (F.col("a.doc_id") == F.col("c.doc_id"))
-            & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "a.w", "b.w", "c.w").alias("shingle"),
-        )
-        .distinct()
-    )
+    """doc_id → m0..m{n-1} min-hash columns over word 3-gram shingles.
+
+    One shuffle total: shingles are an array projection (see
+    _shingle_array), exploded and min-aggregated per doc with map-side
+    partial aggregation. Duplicate shingles don't need dedup — min() is
+    idempotent over duplicates. The n hash functions are ONE md5 per
+    shingle XOR'd with n fixed 56-bit constants (16× less hashing than
+    independent keyed md5s): each XOR is a bijection of the hash space, so
+    each m_i ranks shingles in an independent-looking order — unlike
+    Kirsch-Mitzenmacher h1+i*h2, whose per-i minimizers correlate across
+    consecutive i and inflate LSH band collisions (measured 152 vs 28
+    candidate pairs at sf0.001).
+    """
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("h1"))
     aggs = [
-        F.min(_md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(n_hashes)
+        F.min(F.col("h1").bitwiseXOR(F.lit(c))).alias(f"m{i}")
+        for i, c in enumerate(_MINHASH_XOR_CONSTS[:n_hashes])
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_SH_SQL = """
@@ -130,15 +153,31 @@ _MINHASH_SH_SQL = """
 """.format(words=_WORDS_SQL)
 
 
+# one md5 per shingle XOR'd with the 16 permutation constants (see
+# _minhash_signature)
+_MINHASH_SIG_SQL = """
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h1
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM hashed GROUP BY doc_id
+    )
+""".format(
+    mins=", ".join(
+        f"CAST(min(xor(h1, {c})) AS BIGINT) AS m{i}"
+        for i, c in enumerate(_MINHASH_XOR_CONSTS)
+    )
+)
+
+
 @register(
     "q61_dedup_minhash_signature",
-    oracle="WITH " + _MINHASH_SH_SQL + f"""
-    SELECT doc_id,
-        {", ".join(
-            "min(" + _md5_long_sql(f"'{i}:' || shingle") + f") AS m{i}"
-            for i in range(16)
-        )}
-    FROM sh GROUP BY doc_id
+    oracle="WITH " + _MINHASH_SH_SQL + ", " + _MINHASH_SIG_SQL + """
+    SELECT * FROM sig
     """,
     survey_ref="north-star dedup (MinHash); §2B grouped agg",
     doc="16-permutation MinHash signature over word-trigram shingles, "
@@ -151,15 +190,7 @@ def q61_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q62_dedup_minhash_lsh_pairs",
-    oracle="WITH " + _MINHASH_SH_SQL + f""",
-    sig AS (
-        SELECT doc_id,
-            {", ".join(
-                "min(" + _md5_long_sql(f"'{i}:' || shingle") + f") AS m{i}"
-                for i in range(16)
-            )}
-        FROM sh GROUP BY doc_id
-    ),
+    oracle="WITH " + _MINHASH_SH_SQL + ", " + _MINHASH_SIG_SQL + f""",
     bands AS (
         SELECT doc_id, band_idx,
                CASE band_idx
@@ -233,18 +264,16 @@ def q62_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.posexplode(_words()).alias("pos", "w"))
-    a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
-    sh = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
-        .join(c, (F.col("a.doc_id") == F.col("c.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "a.w", "b.w", "c.w").alias("shingle"),
-        )
-        .distinct()
+    # per-doc set semantics via array_distinct — a projection, replacing the
+    # former global distinct() shuffle; set sizes likewise join-free
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array())).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_shingle_array())).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
         x.join(
@@ -287,29 +316,29 @@ def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="north-star dedup (SimHash); §2B grouped agg + bit ops",
     doc="32-bit SimHash from md5 word hashes: bit j of the signature is the "
-        "sign of the sum of per-word ±1 votes. Near-dups then pair by small "
-        "hamming distance (bit_count(xor)) — see tests.",
+        "sign of the sum of per-word ±1 votes. Computed as ONE groupBy with "
+        "32 sum aggregates (not a 32-way bit explode): partial aggregation "
+        "runs map-side, the shuffle carries one 32-int row per (partition, "
+        "doc) — at 100 TB the shuffle volume is O(docs), not O(words × 32). "
+        "Near-dups then pair by small hamming distance (q100).",
 )
 def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(_words()).alias("w"))
     h32 = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    bits = (
-        words.select("doc_id", h32.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
+    votes = words.select("doc_id", h32.alias("h")).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, j)") % 2 == 1, 1).otherwise(-1)
-            ).alias("weight")
-        )
+                F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(32)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    simhash = None
+    for j in range(32):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 # --------------------------------------------------------------------------
