@@ -29,6 +29,26 @@ def _norm(v) -> Column:
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _dot_n(a, b, dim: int) -> Column:
+    """Dot product unrolled to ``dim`` explicit terms. Unlike the
+    aggregate/zip_with fold (interpreted per element), the unrolled sum is
+    whole-stage-codegen'd; the left-to-right add order matches the fold's
+    (0.0 + x0 ≡ x0), so results are bit-identical to _dot."""
+    out = None
+    for i in range(dim):
+        term = F.get(a, i) * F.get(b, i)
+        out = term if out is None else out + term
+    return out
+
+
+def _norm_n(v, dim: int) -> Column:
+    out = None
+    for i in range(dim):
+        term = F.get(v, i) * F.get(v, i)
+        out = term if out is None else out + term
+    return F.sqrt(out)
+
+
 def cosine_topk(embeddings: DataFrame, *, k: int = 5, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors per vector (brute force)."""
@@ -49,15 +69,30 @@ def cosine_topk(embeddings: DataFrame, *, k: int = 5, id_col: str = "vec_id",
     )
 
 
-def _hyperplane_coeff(plane: int, dim_index: Column) -> Column:
-    """Deterministic pseudo-random coefficient in [-0.5, 0.5): md5 of
-    'plane:dim' scaled — engine-portable (same construction works in SQL)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{plane}:"), dim_index.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("double")
-    return h / F.lit(float(2**60)) - 0.5
+def _hyperplane_coeffs(plane: int, dim: int) -> list:
+    """Deterministic pseudo-random coefficients in [-0.5, 0.5): md5 of
+    'plane:dim_index' scaled — engine-portable (the SQL oracle states the
+    same md5 formula; dividing by 2^60, a power of two, only shifts the
+    exponent, so Python's and SQL's int→double roundings agree bit-exactly).
+
+    Computed DRIVER-SIDE once and embedded as an array literal: the
+    coefficients are row-constants, and evaluating md5 per (row, plane,
+    dim) — the expression-tree formulation — costs n_planes × dim hashes
+    per row for identical output."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16)
+        / 2.0**60
+        - 0.5
+        for i in range(1, dim + 1)
+    ]
+
+
+def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row (driver-side metadata probe)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
 
 
 def add_lsh_bucket(
@@ -67,23 +102,21 @@ def add_lsh_bucket(
     table: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = None,
 ) -> DataFrame:
     """Add an integer ``bucket`` column: bit b = sign of v·hyperplane_b.
     ``table`` seeds an independent hyperplane set (multi-table LSH)."""
+    if dim is None:
+        dim = _vector_dim(embeddings, vec_col)
     v = _as_double(F.col(vec_col))
     df = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = table * 1000 + p
+        coeffs = F.array(
+            *[F.lit(c) for c in _hyperplane_coeffs(table * 1000 + p, dim)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(1), F.size("v")),
-                    lambda i: _hyperplane_coeff(plane, i),
-                ),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -107,14 +140,16 @@ def ann_topk(
     The bucket equi-join replaces the cross join — this is the plan shape
     that scales: shuffle on (table, bucket); per-bucket quadratic bounded by
     bucket size; distinct-pair dedup before scoring."""
+    dim = _vector_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("norm", _norm(F.col("v")))
+    ).withColumn("norm", _norm_n(F.col("v"), dim))
     # candidate pairs from each table, unioned then deduped
     cand = None
     for t in range(n_tables):
         bucketed = add_lsh_bucket(
-            embeddings, n_planes=n_planes, table=t, id_col=id_col, vec_col=vec_col
+            embeddings, n_planes=n_planes, table=t, id_col=id_col,
+            vec_col=vec_col, dim=dim,
         ).select("vec_id", "bucket")
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs_t = a.join(
@@ -135,7 +170,7 @@ def ann_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("qa.v"), F.col("qb.v"))
+                _dot_n(F.col("qa.v"), F.col("qb.v"), dim)
                 / (F.col("qa.norm") * F.col("qb.norm"))
             ).alias("cos"),
         )
@@ -145,6 +180,57 @@ def ann_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def _score_pairs_numpy(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Exact 6-dp cosine for candidate (query_id, neighbor_id) pairs via a
+    broadcast row-normalized numpy index: only ids shuffle; each Arrow batch
+    does one vectorized gather + row-wise product. This is the scoring
+    pattern for every candidate-generation scheme (LSH buckets, IVF probes):
+    candidates are O(n·bucket), the index is the broadcast side, and Python
+    cost is one numpy op per batch — never a per-row fold.
+
+    The broadcast index must fit executor memory — same contract as any
+    broadcast dim; shard the index (join per shard, union) past that."""
+    spark = embeddings.sparkSession
+    index_pdf = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).toPandas()
+    import numpy as np
+
+    ids_all = index_pdf["vec_id"].to_numpy(dtype="int64")
+    m = np.stack(index_pdf["embedding"].to_numpy()).astype("float64")
+    m_normed = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids_all)
+    bc = spark.sparkContext.broadcast((ids_all[order], m_normed[order]))
+
+    def score(batches):
+        import numpy as np  # noqa: F811 — executor-side import
+        import pandas as pd
+
+        sorted_ids, corpus = bc.value
+        for pdf in batches:
+            qi = np.searchsorted(sorted_ids, pdf["query_id"].to_numpy())
+            ni = np.searchsorted(sorted_ids, pdf["neighbor_id"].to_numpy())
+            cos = np.round((corpus[qi] * corpus[ni]).sum(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    out_col: cos,
+                }
+            )
+
+    return pairs.mapInPandas(
+        score, f"query_id long, neighbor_id long, {out_col} double"
     )
 
 
@@ -224,25 +310,12 @@ def ivf_topk(
         F.col("vec_id").alias("member_id"), "cluster_id"
     )
     probes = assigns.select(F.col("vec_id").alias("query_id"), "cluster_id")
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("norm", _norm(F.col("v")))
-    qa, qb = base.alias("qa"), base.alias("qb")
-    scored = (
+    pairs = (
         probes.join(members, "cluster_id")
         .filter(F.col("query_id") != F.col("member_id"))
-        .join(qa, F.col("query_id") == F.col("qa.vec_id"))
-        .join(qb, F.col("member_id") == F.col("qb.vec_id"))
-        .select(
-            "query_id",
-            F.col("member_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qa.v"), F.col("qb.v"))
-                / (F.col("qa.norm") * F.col("qb.norm")),
-                6,
-            ).alias("cosine"),
-        )
+        .select("query_id", F.col("member_id").alias("neighbor_id"))
     )
+    scored = _score_pairs_numpy(embeddings, pairs, id_col=id_col, vec_col=vec_col)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
