@@ -453,6 +453,141 @@ def segmentation_line_features(
     )
 
 
+def header_token_features(tokens: DataFrame) -> DataFrame:
+    """A7 header data generator — the 32-feature token vector
+    (models/header/data.py:10-52) as pure column expressions.
+
+    One output row per token; ``data_line`` joins the 32 features in the
+    reference's exact order (incl. the GROBID-bug dummies: smallest-font
+    '0', larger-than-avg '1' — header/data.py:46-50). Same window-per-state
+    design as segmentation_line_features, but token-level:
+
+    * line token index/count   → row_number/count over (doc, line)
+    * block line index/count   → dense_rank + max over (doc, block)
+    * previous token font      → lag over (doc) by token_seq
+    * largest font in doc      → max over (doc)
+    * alignment (indentation)  → add_line_indentation's line flags
+
+    Input: F1 tokens with doc_id, block_id, line_id, token_seq, text,
+    font_family, font_size, is_bold, is_italics, x, width.
+    """
+    t = F.col("text")
+    w_line = W.partitionBy("doc_id", "line_id").orderBy("token_seq")
+    w_line_all = W.partitionBy("doc_id", "line_id")
+    w_doc = W.partitionBy("doc_id").orderBy("token_seq")
+    w_doc_all = W.partitionBy("doc_id")
+    w_block = W.partitionBy("doc_id", "block_id")
+
+    base = add_line_indentation(tokens).select(
+        "*",
+        (F.row_number().over(w_line) - 1).alias("_tok_idx"),
+        F.count("*").over(w_line_all).alias("_tok_cnt"),
+        (F.dense_rank().over(w_block.orderBy("line_id")) - 1).alias("_line_idx"),
+        F.lag("token_seq").over(w_doc).alias("_prev_seq"),
+        F.lag("font_family").over(w_doc).alias("_prev_family"),
+        F.lag("font_size").over(w_doc).alias("_prev_size"),
+        F.max("font_size").over(w_doc_all).alias("_max_size"),
+    )
+    base = base.withColumn(
+        "_line_cnt", F.max(F.col("_line_idx") + 1).over(w_block)
+    )
+
+    line_status = (
+        F.when(F.col("_tok_idx") == F.col("_tok_cnt") - 1, "LINEEND")
+        .when(F.col("_tok_idx") == 0, "LINESTART")
+        .otherwise("LINEIN")
+    )
+    block_status = (
+        F.when(
+            (F.col("_line_idx") == F.col("_line_cnt") - 1)
+            & (line_status == "LINEEND"),
+            "BLOCKEND",
+        )
+        .when(
+            (F.col("_line_idx") == 0) & (line_status == "LINESTART"),
+            "BLOCKSTART",
+        )
+        .otherwise("BLOCKIN")
+    )
+    prev_missing = F.col("_prev_seq").isNull()
+    font_status = (
+        F.when(prev_missing, "NEWFONT")
+        .when(
+            F.col("font_family").eqNullSafe(F.col("_prev_family")), "SAMEFONT"
+        )
+        .otherwise("NEWFONT")
+    )
+    ps, cs = F.col("_prev_size"), F.col("font_size")
+    font_size_status = (
+        F.when(
+            prev_missing | ps.isNull() | (ps == 0.0) | cs.isNull()
+            | (cs == 0.0) | (ps < cs),
+            "HIGHERFONT",
+        )
+        .when(ps > cs, "LOWERFONT")
+        .otherwise("SAMEFONTSIZE")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.lower(t),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "block_status": block_status,
+        "line_status": line_status,
+        "alignment_status": F.when(
+            F.col("is_indented"), "LINEINDENT"
+        ).otherwise("ALIGNEDLEFT"),
+        "font_status": font_status,
+        "font_size_status": font_size_status,
+        "is_bold": bool_str(F.col("is_bold")),
+        "is_italic": bool_str(F.col("is_italics")),
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "punct_type": punctuation_type_feature(t),
+        "is_largest_font": bool_str(F.col("font_size") == F.col("_max_size")),
+    }
+    zero = F.lit("0")
+    # exact reference order, header/data.py:15-51
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        feats["block_status"], feats["line_status"],
+        feats["alignment_status"],
+        feats["font_status"], feats["font_size_status"],
+        feats["is_bold"], feats["is_italic"],
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        zero, zero, zero, zero, zero, zero, zero,  # dummy name/date/loc/web
+        feats["punct_type"],
+        feats["is_largest_font"],
+        zero,  # dummy smallest font (GROBID #795)
+        F.lit("1"),  # dummy larger-than-average (GROBID #795)
+        zero,  # dummy label
+    ]
+    return base.select(
+        "doc_id",
+        "block_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
 def add_repetitive_patterns(tokens: DataFrame) -> DataFrame:
     """A9 — repetitive pattern detection (models/segmentation/data.py:161-232).
 

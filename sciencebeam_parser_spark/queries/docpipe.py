@@ -361,7 +361,9 @@ _LTOKENS_CTE = f"""
                'f' || (((token_seq - 1) // 15) % 3) AS font_family,
                8.0 + (((token_seq - 1) // 15) % 5) AS font_size,
                ((token_seq - 1) // 15) % 4 = 0 AS is_bold,
-               ((token_seq - 1) // 15) % 5 = 0 AS is_italics
+               ((token_seq - 1) // 15) % 5 = 0 AS is_italics,
+               (((token_seq - 1) // 5) % 3) * 20.0 AS x,
+               5.0 * len(token) AS width
         FROM tokens
     )
 """
@@ -553,6 +555,8 @@ def _layout_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(8.0) + (blk % 5)).alias("font_size"),
         (blk % 4 == 0).alias("is_bold"),
         (blk % 5 == 0).alias("is_italics"),
+        ((F.floor(i / 5) % 3) * 20.0).alias("x"),
+        (F.length("token") * 5.0).alias("width"),
     )
 
 
@@ -578,3 +582,161 @@ def q102_segmentation_line_features(
     )
 
     return segmentation_line_features(_layout_tokens(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q103 — header 32-feature token vector (A7)
+# ---------------------------------------------------------------------------
+
+_HDR_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + """,
+    linestart AS (
+        SELECT doc_id, line_id, x AS line_x, width / len(text) AS char_w
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, line_id ORDER BY token_seq) AS rn
+            FROM lt
+        )
+        WHERE rn = 1 AND x IS NOT NULL AND len(text) > 0
+    ),
+    flips AS (
+        SELECT doc_id, line_id,
+               CASE WHEN line_x - lag(line_x) OVER w > char_w THEN TRUE
+                    WHEN lag(line_x) OVER w - line_x > char_w THEN FALSE
+               END AS flip
+        FROM linestart
+        WINDOW w AS (PARTITION BY doc_id ORDER BY line_id)
+    ),
+    ind AS (
+        SELECT doc_id, line_id,
+               COALESCE(last_value(flip IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY line_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   FALSE) AS is_indented
+        FROM flips
+    ),
+    tokf AS (
+        SELECT lt.*, ind.is_indented,
+               row_number() OVER wl - 1 AS tok_idx,
+               count(*) OVER wla AS tok_cnt,
+               dense_rank() OVER (
+                   PARTITION BY lt.doc_id, block_id ORDER BY lt.line_id
+               ) - 1 AS line_idx,
+               lag(token_seq) OVER wd AS prev_seq,
+               lag(font_family) OVER wd AS prev_family,
+               lag(font_size) OVER wd AS prev_size,
+               max(font_size) OVER (PARTITION BY lt.doc_id) AS max_size
+        FROM lt JOIN ind ON lt.doc_id = ind.doc_id
+                        AND lt.line_id = ind.line_id
+        WINDOW wl AS (PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq),
+               wla AS (PARTITION BY lt.doc_id, lt.line_id),
+               wd AS (PARTITION BY lt.doc_id ORDER BY token_seq)
+    ),
+    tokf2 AS (
+        SELECT *, max(line_idx + 1) OVER (
+                   PARTITION BY doc_id, block_id) AS line_cnt
+        FROM tokf
+    ),
+    stat AS (
+        SELECT *,
+               CASE WHEN tok_idx = tok_cnt - 1 THEN 'LINEEND'
+                    WHEN tok_idx = 0 THEN 'LINESTART'
+                    ELSE 'LINEIN' END AS line_status
+        FROM tokf2
+    ),
+    feat AS (
+        SELECT doc_id, block_id, line_id, token_seq,
+               text AS token_text,
+               lower(text) AS lower_token_text,
+               substr(text, 1, 1) AS prefix_1,
+               substr(text, 1, 2) AS prefix_2,
+               substr(text, 1, 3) AS prefix_3,
+               substr(text, 1, 4) AS prefix_4,
+               CASE WHEN len(text) <= 1 THEN text
+                    ELSE substr(text, len(text), 1) END AS suffix_1,
+               CASE WHEN len(text) <= 2 THEN text
+                    ELSE substr(text, len(text) - 1, 2) END AS suffix_2,
+               CASE WHEN len(text) <= 3 THEN text
+                    ELSE substr(text, len(text) - 2, 3) END AS suffix_3,
+               CASE WHEN len(text) <= 4 THEN text
+                    ELSE substr(text, len(text) - 3, 4) END AS suffix_4,
+               CASE WHEN line_idx = line_cnt - 1
+                         AND line_status = 'LINEEND' THEN 'BLOCKEND'
+                    WHEN line_idx = 0 AND line_status = 'LINESTART'
+                        THEN 'BLOCKSTART'
+                    ELSE 'BLOCKIN' END AS block_status,
+               line_status,
+               CASE WHEN is_indented THEN 'LINEINDENT'
+                    ELSE 'ALIGNEDLEFT' END AS alignment_status,
+               CASE WHEN prev_seq IS NULL THEN 'NEWFONT'
+                    WHEN font_family IS NOT DISTINCT FROM prev_family
+                        THEN 'SAMEFONT'
+                    ELSE 'NEWFONT' END AS font_status,
+               CASE WHEN prev_seq IS NULL OR prev_size IS NULL
+                         OR prev_size = 0.0 OR font_size IS NULL
+                         OR font_size = 0.0 OR prev_size < font_size
+                        THEN 'HIGHERFONT'
+                    WHEN prev_size > font_size THEN 'LOWERFONT'
+                    ELSE 'SAMEFONTSIZE' END AS font_size_status,
+               CASE WHEN is_bold THEN '1' ELSE '0' END AS is_bold,
+               CASE WHEN is_italics THEN '1' ELSE '0' END AS is_italic,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'NOCAPS'
+                    WHEN len(text) > 0
+                         AND NOT regexp_matches(text, '[a-z]') THEN 'ALLCAP'
+                    WHEN regexp_matches(text, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END AS cap_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(text, '[0-9]')
+                        THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END AS digit_status,
+               CASE WHEN len(text) = 1 THEN '1' ELSE '0' END
+                   AS is_single_char,
+               CASE WHEN text IN ('(', '[') THEN 'OPENBRACKET'
+                    WHEN text IN (')', ']') THEN 'ENDBRACKET'
+                    WHEN text = '.' THEN 'DOT'
+                    WHEN text = ',' THEN 'COMMA'
+                    WHEN text IN ('-', '–') THEN 'HYPHEN'
+                    WHEN text IN ('"', '''', '`', '’') THEN 'QUOTE'
+                    WHEN regexp_matches(text, '^[,:;?.]+$') THEN 'PUNCT'
+                    ELSE 'NOPUNCT' END AS punct_type,
+               CASE WHEN font_size = max_size THEN '1' ELSE '0' END
+                   AS is_largest_font
+        FROM stat
+    )
+    SELECT *,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               block_status, line_status, alignment_status,
+               font_status, font_size_status, is_bold, is_italic,
+               cap_status, digit_status, is_single_char,
+               '0', '0', '0', '0', '0', '0', '0',
+               punct_type, is_largest_font, '0', '1', '0') AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q103_header_token_features",
+    oracle=_HDR_ORACLE,
+    survey_ref="§2A A7 header data generator — the 32-feature token vector "
+               "(models/header/data.py:10-52); A10 alignment status",
+    doc="The full header-model CRF input: one row per token with all 32 "
+        "features (incl. the GROBID-bug dummy font features the reference "
+        "preserves) joined into data_line in the reference's order. "
+        "Stateful pieces are windows: previous-token font → lag, line/"
+        "block indexes → row_number/dense_rank, indentation carry → "
+        "last(flip, ignorenulls) over preceding lines, largest-font → "
+        "doc-partition max.",
+)
+def q103_header_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        header_token_features,
+    )
+
+    return header_token_features(_layout_tokens(spark, sf_dir))

@@ -24,7 +24,7 @@ from sciencebeam_parser_spark.plans.training_data import (
 )
 from sciencebeam_parser_spark.queries.docpipe import _tokens
 from sciencebeam_parser_spark.queries.registry import register, table
-from sciencebeam_parser_spark.sinks.jats import tei_to_jats
+from sciencebeam_parser_spark.sinks.jats import tei_with_jats
 from sciencebeam_parser_spark.sinks.tei import entities_to_tei
 
 
@@ -192,18 +192,14 @@ def q89_extract_author_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks, labels = _mock_labeled_tokens(spark, sf_dir)
     ents = run_fulltext_cascade(toks, labels)
-    # tei feeds both the join and the JATS transform — materialize once or
-    # the whole cascade DAG executes twice
-    tei = entities_to_tei(ents).cache()
-    jats = tei_to_jats(tei)
-    return (
-        tei.join(jats, "doc_id")
-        .select(
-            "doc_id",
-            F.length("tei_xml").cast("long").alias("tei_len"),
-            F.length("jats_xml").cast("long").alias("jats_len"),
-            F.md5("jats_xml").alias("jats_md5"),
-        )
+    # one mapInPandas pass emits both serializations — no tei ⋈ jats
+    # self-join, no cache, the cascade DAG executes once
+    both = tei_with_jats(entities_to_tei(ents))
+    return both.select(
+        "doc_id",
+        F.length("tei_xml").cast("long").alias("tei_len"),
+        F.length("jats_xml").cast("long").alias("jats_len"),
+        F.md5("jats_xml").alias("jats_md5"),
     )
 
 

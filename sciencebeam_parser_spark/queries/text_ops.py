@@ -602,18 +602,17 @@ def q68_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 15),
-                lambda i: F.col("text").substr(i, F.lit(16)),
-            )
-        ).alias("gram"),
+    # both aggregates are per-document over the gram array → pure
+    # projection (array_min / array_distinct), no explode, NO shuffle:
+    # the 100 TB plan is a map-only scan
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 15),
+        lambda i: F.col("text").substr(i, F.lit(16)),
     )
-    return grams.groupBy("doc_id").agg(
-        F.min(F.md5("gram")).alias("fingerprint"),
-        F.countDistinct("gram").cast("long").alias("n_distinct_grams"),
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
     )
 
 

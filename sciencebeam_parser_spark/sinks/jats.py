@@ -144,6 +144,33 @@ def tei_to_jats(tei_df: DataFrame) -> DataFrame:
     )
 
 
+def tei_with_jats(tei_df: DataFrame) -> DataFrame:
+    """(doc_id, tei_xml) → (doc_id, tei_xml, jats_xml) in ONE pass —
+    avoids the tei ⋈ jats self-join (and the cache it forces) when a sink
+    needs both serializations."""
+
+    def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tei_xml": pdf["tei_xml"],
+                    "jats_xml": pdf["tei_xml"].map(tei_to_jats_xml),
+                }
+            )
+
+    return tei_df.select("doc_id", "tei_xml").mapInPandas(
+        convert,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tei_xml", T.StringType()),
+                T.StructField("jats_xml", T.StringType()),
+            ]
+        ),
+    )
+
+
 def write_xml_zip(
     df: DataFrame,
     output_dir: str,

@@ -274,3 +274,46 @@ class TestSegmentationLineFeatures:
         assert by_line[(10, 100)]["is_first_repetitive"] == "0"
         # short pattern (<8 alpha chars) never counts
         assert by_line[(1, 10)]["is_repetitive"] == "0"
+
+
+class TestHeaderTokenFeatures:
+    """models/header/data.py:10-52 — 32-feature token vector."""
+
+    SCHEMA = (
+        "doc_id long, page_number int, block_id long, line_id long, "
+        "token_seq long, text string, font_family string, font_size double, "
+        "is_bold boolean, is_italics boolean, x double, width double"
+    )
+
+    def test_vector(self, spark):
+        from sciencebeam_parser_spark.operators.features import (
+            header_token_features,
+        )
+
+        # one block, two lines; second line indented (x 0 → 30, char_w 5)
+        rows = [
+            (1, 0, 0, 0, 1, "The", "f0", 10.0, False, False, 0.0, 15.0),
+            (1, 0, 0, 0, 2, "Title", "f0", 12.0, True, False, 0.0, 25.0),
+            (1, 0, 0, 1, 3, "by", "f1", 9.0, False, False, 30.0, 10.0),
+            (1, 0, 0, 1, 4, "A.", "f1", 9.0, False, False, 30.0, 10.0),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        by_seq = {r["token_seq"]: r for r in header_token_features(df).collect()}
+        t1, t2, t3, t4 = (by_seq[i] for i in (1, 2, 3, 4))
+        assert t1["line_status"] == "LINESTART"
+        assert t2["line_status"] == "LINEEND"
+        assert t1["block_status"] == "BLOCKSTART"
+        assert t4["block_status"] == "BLOCKEND"
+        assert t3["block_status"] == "BLOCKIN"  # LINESTART but not line 0
+        assert t1["alignment_status"] == "ALIGNEDLEFT"
+        assert t3["alignment_status"] == "LINEINDENT"
+        assert t1["font_status"] == "NEWFONT"
+        assert t2["font_status"] == "SAMEFONT"
+        assert t2["font_size_status"] == "HIGHERFONT"  # 10 → 12
+        assert t3["font_size_status"] == "LOWERFONT"  # 12 → 9
+        assert t4["font_size_status"] == "SAMEFONTSIZE"
+        assert t2["is_largest_font"] == "1" and t1["is_largest_font"] == "0"
+        assert t2["suffix_4"] == "itle" and t1["suffix_4"] == "The"
+        assert t4["punct_type"] == "NOPUNCT"  # 'A.' is not a single '.'
+        for r in by_seq.values():
+            assert len(r["data_line"].split(" ")) == 32
