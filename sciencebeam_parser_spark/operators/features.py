@@ -453,6 +453,50 @@ def segmentation_line_features(
     )
 
 
+def add_word_shape(
+    df: DataFrame, text_col: str = "text", out_col: str = "word_shape"
+) -> DataFrame:
+    """get_word_shape_feature (models/data.py:360-383), used by the
+    citation/name data generators: char classes digit→d, upper→X, lower→x,
+    punctuation kept; shape = first char + middle (consecutive duplicates
+    collapsed) + last two of shape[1:].
+
+    The collapse uses an index-lambda array filter (keep c[i] when i==0 or
+    c[i-1]≠c[i]) — RE2 has no backreferences, so the regex '(.)\\1+' form
+    would not be oracle-portable. ASCII char classes as elsewhere (A7)."""
+    shape = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[a-z]", "x"), "[A-Z]", "X"
+        ),
+        "[0-9]",
+        "d",
+    )
+    df = df.withColumn("_shape", shape)
+    n = F.length("_shape")
+    df = df.withColumn(
+        "_mid",
+        F.when(
+            n >= 4, F.expr("substring(_shape, 2, length(_shape) - 3)")
+        ).otherwise(F.lit("")),
+    )
+    chars = F.split(F.col("_mid"), "")
+    collapsed = F.array_join(
+        F.filter(
+            chars, lambda c, i: (i == F.lit(0)) | (F.get(chars, i - 1) != c)
+        ),
+        "",
+    )
+    suffix = (
+        F.when(n >= 3, F.expr("substring(_shape, length(_shape) - 1, 2)"))
+        .when(n == 2, F.expr("substring(_shape, 2, 1)"))
+        .otherwise(F.lit(""))
+    )
+    return df.withColumn(
+        out_col,
+        F.concat(F.substring(F.col("_shape"), 1, 1), collapsed, suffix),
+    ).drop("_shape", "_mid")
+
+
 def header_token_features(tokens: DataFrame) -> DataFrame:
     """A7 header data generator — the 32-feature token vector
     (models/header/data.py:10-52) as pure column expressions.

@@ -740,3 +740,44 @@ def q103_header_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return header_token_features(_layout_tokens(spark, sf_dir))
+
+
+@register(
+    "q104_word_shape",
+    oracle="WITH " + _TOKENS_CTE + """,
+    shaped AS (
+        SELECT doc_id, token_seq, token,
+               regexp_replace(regexp_replace(regexp_replace(
+                   token, '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'),
+                   '[0-9]', 'd', 'g') AS shape
+        FROM tokens
+    ),
+    mids AS (
+        SELECT *, CASE WHEN len(shape) >= 4
+                       THEN substr(shape, 2, len(shape) - 3)
+                       ELSE '' END AS mid
+        FROM shaped
+    )
+    SELECT doc_id, token_seq, token,
+           substr(shape, 1, 1)
+           || array_to_string(list_filter(string_split(mid, ''),
+                  (c, i) -> i = 1 OR string_split(mid, '')[i - 1] <> c), '')
+           || CASE WHEN len(shape) >= 3
+                       THEN substr(shape, len(shape) - 1, 2)
+                   WHEN len(shape) = 2 THEN substr(shape, 2, 1)
+                   ELSE '' END AS word_shape
+    FROM mids
+    """,
+    survey_ref="§2A A7 word-shape feature (models/data.py:360-383, "
+               "citation/name data generators)",
+    doc="Word-shape per token: digit→d, upper→X, lower→x, punctuation "
+        "kept; first char + dedup-collapsed middle + last-two suffix. "
+        "Collapse via index-lambda array filter — portable to RE2 engines "
+        "(no backreferences).",
+)
+def q104_word_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import add_word_shape
+
+    return add_word_shape(_tokens(spark, sf_dir), text_col="token").select(
+        "doc_id", "token_seq", "token", "word_shape"
+    )

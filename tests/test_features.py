@@ -317,3 +317,30 @@ class TestHeaderTokenFeatures:
         assert t4["punct_type"] == "NOPUNCT"  # 'A.' is not a single '.'
         for r in by_seq.values():
             assert len(r["data_line"].split(" ")) == 32
+
+
+class TestWordShape:
+    """Port of tests/models/data_test.py:355-367 (get_word_shape_feature)."""
+
+    def test_reference_cases(self, spark):
+        from sciencebeam_parser_spark.operators.features import add_word_shape
+
+        cases = {
+            " ": " ",
+            "This": "Xxxx",
+            "Equals": "Xxxx",
+            "O'Conor": "X'Xxxx",
+            "McDonalds": "XxXxxx",
+            "any-where": "xx-xxx",
+            "1.First": "d.Xxxx",
+            "ThisIsCamelCase": "XxXxXxXxxx",
+            "This:happens": "Xx:xxx",
+        }
+        df = spark.createDataFrame(
+            [(t,) for t in cases], "text string"
+        )
+        got = {
+            r["text"]: r["word_shape"]
+            for r in add_word_shape(df).collect()
+        }
+        assert got == cases
