@@ -632,6 +632,109 @@ def header_token_features(tokens: DataFrame) -> DataFrame:
     )
 
 
+def citation_token_features(
+    tokens: DataFrame,
+    first_name_terms: DataFrame,
+    last_name_terms: DataFrame,
+    *,
+    position_bins: int = 12,
+) -> DataFrame:
+    """A7 citation data generator — the 30-feature token vector
+    (models/citation/data.py:10-48) as column expressions + two broadcast
+    gazetteer joins.
+
+    Unlike header/segmentation, citation features include LIVE lookups:
+    is_first_name / is_last_name are TextLookUp membership
+    (models/data.py:663-678 _get_str_lookup; lookup/__init__.py
+    SimpleTextLookUp = lowercase set) — here broadcast left joins on
+    lower(text), so the token fact table never shuffles for them.
+    ``*_name_terms``: one lowercase ``term`` column each.
+
+    Input: F1 tokens with doc_id, line_id, token_seq, text.
+    """
+    t = F.col("text")
+    w_line = W.partitionBy("doc_id", "line_id").orderBy("token_seq")
+    w_line_all = W.partitionBy("doc_id", "line_id")
+    w_doc = W.partitionBy("doc_id").orderBy("token_seq")
+    w_doc_all = W.partitionBy("doc_id")
+
+    fn = F.broadcast(
+        first_name_terms.select(F.col("term").alias("_fn_term")).distinct()
+    )
+    ln = F.broadcast(
+        last_name_terms.select(F.col("term").alias("_ln_term")).distinct()
+    )
+    base = (
+        tokens.withColumn("_lower", F.lower(t))
+        .join(fn, F.col("_lower") == F.col("_fn_term"), "left")
+        .join(ln, F.col("_lower") == F.col("_ln_term"), "left")
+        .select(
+            "*",
+            (F.row_number().over(w_line) - 1).alias("_tok_idx"),
+            F.count("*").over(w_line_all).alias("_tok_cnt"),
+            (F.row_number().over(w_doc) - 1).alias("_doc_idx"),
+            F.count("*").over(w_doc_all).alias("_doc_cnt"),
+        )
+    )
+    line_status = (
+        F.when(F.col("_tok_idx") == F.col("_tok_cnt") - 1, "LINEEND")
+        .when(F.col("_tok_idx") == 0, "LINESTART")
+        .otherwise("LINEIN")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.col("_lower"),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "line_status": line_status,
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "is_first_name": bool_str(F.col("_fn_term").isNotNull()),
+        "is_last_name": bool_str(F.col("_ln_term").isNotNull()),
+        "punct_type": punctuation_type_feature(t),
+        "rel_position": linear_scaling_bin(
+            F.col("_doc_idx"), F.col("_doc_cnt"), position_bins
+        ).cast("string"),
+    }
+    zero = F.lit("0")
+    # exact reference order, citation/data.py:15-47
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        feats["line_status"],
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        zero, zero,  # dummy proper/common name
+        feats["is_first_name"], feats["is_last_name"],
+        zero, zero, zero, zero,  # dummy location/year/month/http
+        zero, zero, zero, zero, zero,  # dummy known collab…identifier
+        feats["punct_type"],
+        feats["rel_position"],
+        zero,  # dummy label
+    ]
+    return base.select(
+        "doc_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
 def add_repetitive_patterns(tokens: DataFrame) -> DataFrame:
     """A9 — repetitive pattern detection (models/segmentation/data.py:161-232).
 

@@ -781,3 +781,134 @@ def q104_word_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_word_shape(_tokens(spark, sf_dir), text_col="token").select(
         "doc_id", "token_seq", "token", "word_shape"
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — citation 30-feature token vector with live gazetteer lookups (A7)
+# ---------------------------------------------------------------------------
+
+_CIT_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + """,
+    fn AS (
+        SELECT DISTINCT lower(w) AS term FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w
+            FROM part WHERE p_partkey % 2 = 0
+        )
+    ),
+    ln AS (
+        SELECT DISTINCT lower(w) AS term FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w
+            FROM part WHERE p_partkey % 2 = 1
+        )
+    ),
+    tokf AS (
+        SELECT lt.*,
+               lower(text) AS lower_text,
+               fn.term IS NOT NULL AS in_fn,
+               ln.term IS NOT NULL AS in_ln,
+               row_number() OVER wl - 1 AS tok_idx,
+               count(*) OVER wla AS tok_cnt,
+               row_number() OVER wd - 1 AS doc_idx,
+               count(*) OVER wda AS doc_cnt
+        FROM lt
+        LEFT JOIN fn ON lower(lt.text) = fn.term
+        LEFT JOIN ln ON lower(lt.text) = ln.term
+        WINDOW wl AS (PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq),
+               wla AS (PARTITION BY lt.doc_id, lt.line_id),
+               wd AS (PARTITION BY lt.doc_id ORDER BY token_seq),
+               wda AS (PARTITION BY lt.doc_id)
+    ),
+    feat AS (
+        SELECT doc_id, line_id, token_seq,
+               text AS token_text,
+               lower_text AS lower_token_text,
+               substr(text, 1, 1) AS prefix_1,
+               substr(text, 1, 2) AS prefix_2,
+               substr(text, 1, 3) AS prefix_3,
+               substr(text, 1, 4) AS prefix_4,
+               CASE WHEN len(text) <= 1 THEN text
+                    ELSE substr(text, len(text), 1) END AS suffix_1,
+               CASE WHEN len(text) <= 2 THEN text
+                    ELSE substr(text, len(text) - 1, 2) END AS suffix_2,
+               CASE WHEN len(text) <= 3 THEN text
+                    ELSE substr(text, len(text) - 2, 3) END AS suffix_3,
+               CASE WHEN len(text) <= 4 THEN text
+                    ELSE substr(text, len(text) - 3, 4) END AS suffix_4,
+               CASE WHEN tok_idx = tok_cnt - 1 THEN 'LINEEND'
+                    WHEN tok_idx = 0 THEN 'LINESTART'
+                    ELSE 'LINEIN' END AS line_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'NOCAPS'
+                    WHEN len(text) > 0
+                         AND NOT regexp_matches(text, '[a-z]') THEN 'ALLCAP'
+                    WHEN regexp_matches(text, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END AS cap_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(text, '[0-9]')
+                        THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END AS digit_status,
+               CASE WHEN len(text) = 1 THEN '1' ELSE '0' END
+                   AS is_single_char,
+               CASE WHEN in_fn THEN '1' ELSE '0' END AS is_first_name,
+               CASE WHEN in_ln THEN '1' ELSE '0' END AS is_last_name,
+               CASE WHEN text IN ('(', '[') THEN 'OPENBRACKET'
+                    WHEN text IN (')', ']') THEN 'ENDBRACKET'
+                    WHEN text = '.' THEN 'DOT'
+                    WHEN text = ',' THEN 'COMMA'
+                    WHEN text IN ('-', '–') THEN 'HYPHEN'
+                    WHEN text IN ('"', '''', '`', '’') THEN 'QUOTE'
+                    WHEN regexp_matches(text, '^[,:;?.]+$') THEN 'PUNCT'
+                    ELSE 'NOPUNCT' END AS punct_type,
+               CAST(CASE WHEN doc_idx >= doc_cnt THEN 12
+                         WHEN doc_idx <= 0 THEN 0
+                         ELSE CAST(floor(doc_idx / doc_cnt * 12) AS INT)
+                    END AS VARCHAR) AS rel_position
+        FROM tokf
+    )
+    SELECT *,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               line_status, cap_status, digit_status, is_single_char,
+               '0', '0', is_first_name, is_last_name,
+               '0', '0', '0', '0', '0', '0', '0', '0', '0',
+               punct_type, rel_position, '0') AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q105_citation_token_features",
+    oracle=_CIT_ORACLE,
+    survey_ref="§2A A7 citation data generator — 30-feature token vector "
+               "(models/citation/data.py:10-48) incl. live gazetteer "
+               "lookups (_get_str_lookup, models/data.py:663-678); §2B "
+               "broadcast left join",
+    doc="The citation-model CRF input: 30 features per token with REAL "
+        "first/last-name gazetteer membership — two broadcast left joins "
+        "on lower(text) (the fact table never shuffles for a lookup), "
+        "gazetteer terms derived deterministically from part.p_name words. "
+        "Position bins and line status are the usual windows.",
+)
+def q105_citation_token_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        citation_token_features,
+    )
+
+    part = table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("w")
+    )
+    fn = words.filter(F.col("p_partkey") % 2 == 0).select(
+        F.lower("w").alias("term")
+    )
+    ln = words.filter(F.col("p_partkey") % 2 == 1).select(
+        F.lower("w").alias("term")
+    )
+    return citation_token_features(_layout_tokens(spark, sf_dir), fn, ln)
