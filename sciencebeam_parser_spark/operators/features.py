@@ -735,6 +735,157 @@ def citation_token_features(
     )
 
 
+def ref_segmenter_token_features(
+    tokens: DataFrame,
+    first_name_terms: DataFrame,
+    *,
+    line_scale: int = 10,
+) -> DataFrame:
+    """A7 reference-segmenter data generator — the 28-feature token vector
+    (models/reference_segmenter/data.py:10-47).
+
+    Novel pieces vs the header/citation vectors (models/data.py:700-775):
+    the line-scoped features use the NO-SPACE concatenation of the line's
+    token texts (''.join); ``line_token_relative_position`` bins the
+    token's running char offset within that string; ``line_relative_length``
+    bins the line length against the document-wide max; the punctuation
+    profile length is truncated at 10. Line-level strings are aggregated
+    once per line and joined back (co-partitioned on (doc, line)); running
+    char offsets are an exclusive-frame window sum.
+
+    Input: F1 tokens with doc_id, block_id, line_id, token_seq, text, x,
+    width (for indentation). ``first_name_terms``: lowercase ``term`` col.
+    """
+    t = F.col("text")
+    w_line = W.partitionBy("doc_id", "line_id").orderBy("token_seq")
+    w_line_all = W.partitionBy("doc_id", "line_id")
+    w_block = W.partitionBy("doc_id", "block_id")
+    w_doc_all = W.partitionBy("doc_id")
+
+    # per-line no-space concatenation + profile features, joined back
+    texts_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("token_seq", "text"))),
+        lambda s: s["text"],
+    )
+    lines = tokens.groupBy("doc_id", "line_id").agg(
+        F.array_join(texts_sorted, "").alias("_line_text")
+    )
+    raw_profile = F.regexp_replace("_line_text", PUNCT_PROFILE_STRIP_RE, "")
+    lines = lines.select(
+        "doc_id",
+        "line_id",
+        F.length("_line_text").alias("_line_len"),
+        F.when(raw_profile == "", "no").otherwise(raw_profile).alias(
+            "_profile"
+        ),
+        F.least(F.length(raw_profile), F.lit(10)).alias("_profile_trunc_len"),
+    ).withColumn("_max_line_len", F.max("_line_len").over(w_doc_all))
+
+    fn = F.broadcast(
+        first_name_terms.select(F.col("term").alias("_fn_term")).distinct()
+    )
+    base = (
+        add_line_indentation(tokens)
+        .join(lines, ["doc_id", "line_id"])
+        .join(fn, F.lower(t) == F.col("_fn_term"), "left")
+        .select(
+            "*",
+            (F.row_number().over(w_line) - 1).alias("_tok_idx"),
+            F.count("*").over(w_line_all).alias("_tok_cnt"),
+            F.coalesce(
+                F.sum(F.length("text")).over(
+                    w_line.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_line_pos"),
+            (F.dense_rank().over(w_block.orderBy("line_id")) - 1).alias(
+                "_line_idx"
+            ),
+        )
+    )
+    base = base.withColumn(
+        "_line_cnt", F.max(F.col("_line_idx") + 1).over(w_block)
+    )
+
+    line_status = (
+        F.when(F.col("_tok_idx") == F.col("_tok_cnt") - 1, "LINEEND")
+        .when(F.col("_tok_idx") == 0, "LINESTART")
+        .otherwise("LINEIN")
+    )
+    block_status = (
+        F.when(
+            (F.col("_line_idx") == F.col("_line_cnt") - 1)
+            & (line_status == "LINEEND"),
+            "BLOCKEND",
+        )
+        .when(
+            (F.col("_line_idx") == 0) & (line_status == "LINESTART"),
+            "BLOCKSTART",
+        )
+        .otherwise("BLOCKIN")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.lower(t),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "line_status": line_status,
+        "alignment_status": F.when(
+            F.col("is_indented"), "LINEINDENT"
+        ).otherwise("ALIGNEDLEFT"),
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "is_first_name": bool_str(F.col("_fn_term").isNotNull()),
+        "line_punct_profile": F.col("_profile"),
+        "line_rel_position": linear_scaling_bin(
+            F.col("_line_pos"), F.col("_line_len"), line_scale
+        ).cast("string"),
+        "line_rel_length": linear_scaling_bin(
+            F.col("_line_len"), F.col("_max_line_len"), line_scale
+        ).cast("string"),
+        "block_status": block_status,
+        "punct_profile_trunc_len": F.col("_profile_trunc_len").cast("string"),
+    }
+    zero = F.lit("0")
+    # exact reference order, reference_segmenter/data.py:15-46
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        feats["line_status"], feats["alignment_status"],
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        zero, zero,  # dummy proper/common name
+        feats["is_first_name"],
+        zero, zero, zero, zero,  # dummy location/year/month/http
+        feats["line_punct_profile"],
+        feats["line_rel_position"], feats["line_rel_length"],
+        feats["block_status"],
+        feats["punct_profile_trunc_len"],
+        zero,  # dummy label
+    ]
+    return base.select(
+        "doc_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
 def add_repetitive_patterns(tokens: DataFrame) -> DataFrame:
     """A9 — repetitive pattern detection (models/segmentation/data.py:161-232).
 

@@ -912,3 +912,186 @@ def q105_citation_token_features(
         F.lower("w").alias("term")
     )
     return citation_token_features(_layout_tokens(spark, sf_dir), fn, ln)
+
+
+# ---------------------------------------------------------------------------
+# q106 — reference-segmenter 28-feature token vector (A7)
+# ---------------------------------------------------------------------------
+
+_REFSEG_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + f""",
+    fn AS (
+        SELECT DISTINCT lower(w) AS term FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w
+            FROM part WHERE p_partkey % 2 = 0
+        )
+    ),
+    lines AS (
+        SELECT doc_id, line_id,
+               string_agg(text, '' ORDER BY token_seq) AS line_text
+        FROM lt GROUP BY 1, 2
+    ),
+    linef AS (
+        SELECT doc_id, line_id,
+               len(line_text) AS line_len,
+               CASE WHEN regexp_replace(line_text,
+                        '{_PUNCT_STRIP_SQL}', '', 'g') = '' THEN 'no'
+                    ELSE regexp_replace(line_text,
+                        '{_PUNCT_STRIP_SQL}', '', 'g') END AS profile,
+               least(len(regexp_replace(line_text,
+                   '{_PUNCT_STRIP_SQL}', '', 'g')), 10) AS profile_trunc_len,
+               max(len(line_text)) OVER (PARTITION BY doc_id)
+                   AS max_line_len
+        FROM lines
+    ),
+    linestart AS (
+        SELECT doc_id, line_id, x AS line_x, width / len(text) AS char_w
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, line_id ORDER BY token_seq) AS rn
+            FROM lt
+        )
+        WHERE rn = 1 AND x IS NOT NULL AND len(text) > 0
+    ),
+    flips AS (
+        SELECT doc_id, line_id,
+               CASE WHEN line_x - lag(line_x) OVER w > char_w THEN TRUE
+                    WHEN lag(line_x) OVER w - line_x > char_w THEN FALSE
+               END AS flip
+        FROM linestart
+        WINDOW w AS (PARTITION BY doc_id ORDER BY line_id)
+    ),
+    ind AS (
+        SELECT doc_id, line_id,
+               COALESCE(last_value(flip IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY line_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   FALSE) AS is_indented
+        FROM flips
+    ),
+    tokf AS (
+        SELECT lt.*, linef.line_len, linef.profile,
+               linef.profile_trunc_len, linef.max_line_len,
+               ind.is_indented,
+               fn.term IS NOT NULL AS in_fn,
+               row_number() OVER wl - 1 AS tok_idx,
+               count(*) OVER wla AS tok_cnt,
+               CAST(COALESCE(sum(len(text)) OVER (
+                   PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS line_pos,
+               dense_rank() OVER (
+                   PARTITION BY lt.doc_id, block_id ORDER BY lt.line_id
+               ) - 1 AS line_idx
+        FROM lt
+        JOIN linef ON lt.doc_id = linef.doc_id
+                  AND lt.line_id = linef.line_id
+        JOIN ind ON lt.doc_id = ind.doc_id AND lt.line_id = ind.line_id
+        LEFT JOIN fn ON lower(lt.text) = fn.term
+        WINDOW wl AS (PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq),
+               wla AS (PARTITION BY lt.doc_id, lt.line_id)
+    ),
+    tokf2 AS (
+        SELECT *, max(line_idx + 1) OVER (
+                   PARTITION BY doc_id, block_id) AS line_cnt
+        FROM tokf
+    ),
+    stat AS (
+        SELECT *,
+               CASE WHEN tok_idx = tok_cnt - 1 THEN 'LINEEND'
+                    WHEN tok_idx = 0 THEN 'LINESTART'
+                    ELSE 'LINEIN' END AS line_status
+        FROM tokf2
+    ),
+    feat AS (
+        SELECT doc_id, line_id, token_seq,
+               text AS token_text,
+               lower(text) AS lower_token_text,
+               substr(text, 1, 1) AS prefix_1,
+               substr(text, 1, 2) AS prefix_2,
+               substr(text, 1, 3) AS prefix_3,
+               substr(text, 1, 4) AS prefix_4,
+               CASE WHEN len(text) <= 1 THEN text
+                    ELSE substr(text, len(text), 1) END AS suffix_1,
+               CASE WHEN len(text) <= 2 THEN text
+                    ELSE substr(text, len(text) - 1, 2) END AS suffix_2,
+               CASE WHEN len(text) <= 3 THEN text
+                    ELSE substr(text, len(text) - 2, 3) END AS suffix_3,
+               CASE WHEN len(text) <= 4 THEN text
+                    ELSE substr(text, len(text) - 3, 4) END AS suffix_4,
+               line_status,
+               CASE WHEN is_indented THEN 'LINEINDENT'
+                    ELSE 'ALIGNEDLEFT' END AS alignment_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'NOCAPS'
+                    WHEN len(text) > 0
+                         AND NOT regexp_matches(text, '[a-z]') THEN 'ALLCAP'
+                    WHEN regexp_matches(text, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END AS cap_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(text, '[0-9]')
+                        THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END AS digit_status,
+               CASE WHEN len(text) = 1 THEN '1' ELSE '0' END
+                   AS is_single_char,
+               CASE WHEN in_fn THEN '1' ELSE '0' END AS is_first_name,
+               profile AS line_punct_profile,
+               CAST(CASE WHEN line_pos >= line_len THEN 10
+                         WHEN line_pos <= 0 THEN 0
+                         ELSE CAST(floor(line_pos / line_len * 10) AS INT)
+                    END AS VARCHAR) AS line_rel_position,
+               CAST(CASE WHEN line_len >= max_line_len THEN 10
+                         WHEN line_len <= 0 THEN 0
+                         ELSE CAST(floor(line_len / max_line_len * 10)
+                                   AS INT)
+                    END AS VARCHAR) AS line_rel_length,
+               CASE WHEN line_idx = line_cnt - 1
+                         AND line_status = 'LINEEND' THEN 'BLOCKEND'
+                    WHEN line_idx = 0 AND line_status = 'LINESTART'
+                        THEN 'BLOCKSTART'
+                    ELSE 'BLOCKIN' END AS block_status,
+               CAST(profile_trunc_len AS VARCHAR) AS punct_profile_trunc_len
+        FROM stat
+    )
+    SELECT *,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               line_status, alignment_status,
+               cap_status, digit_status, is_single_char,
+               '0', '0', is_first_name, '0', '0', '0', '0',
+               line_punct_profile, line_rel_position, line_rel_length,
+               block_status, punct_profile_trunc_len, '0') AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q106_refseg_token_features",
+    oracle=_REFSEG_ORACLE,
+    survey_ref="§2A A7 reference-segmenter data generator — 28-feature "
+               "token vector (models/reference_segmenter/data.py:10-47); "
+               "line-scoped char-offset bins (models/data.py:636-665)",
+    doc="The reference-segmenter CRF input: 28 features per token. The "
+        "line-scoped features (punctuation profile, in-line char-position "
+        "bin, doc-relative line length, truncated profile length) use the "
+        "reference's NO-SPACE line concatenation, aggregated once per line "
+        "and joined back co-partitioned; the running char offset is an "
+        "exclusive-frame window sum.",
+)
+def q106_refseg_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        ref_segmenter_token_features,
+    )
+
+    part = table(spark, sf_dir, "part")
+    fn = (
+        part.filter(F.col("p_partkey") % 2 == 0)
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .select(F.lower("w").alias("term"))
+    )
+    return ref_segmenter_token_features(_layout_tokens(spark, sf_dir), fn)
