@@ -886,6 +886,288 @@ def ref_segmenter_token_features(
     )
 
 
+def _line_status_lineend(w_line, w_line_all) -> Column:
+    return (
+        F.when(
+            F.row_number().over(w_line) - 1 == F.count("*").over(w_line_all) - 1,
+            "LINEEND",
+        )
+        .when(F.row_number().over(w_line) - 1 == 0, "LINESTART")
+        .otherwise("LINEIN")
+    )
+
+
+def name_token_features(
+    tokens: DataFrame,
+    first_name_terms: DataFrame,
+    last_name_terms: DataFrame,
+) -> DataFrame:
+    """A7 name data generator — the 21-feature token vector
+    (models/name/data.py:10-37): a subset of the citation vector (same
+    lookups, line status, scalar classes) without the document-position
+    bin. Input as citation_token_features."""
+    t = F.col("text")
+    w_line = W.partitionBy("doc_id", "line_id").orderBy("token_seq")
+    w_line_all = W.partitionBy("doc_id", "line_id")
+    fn = F.broadcast(
+        first_name_terms.select(F.col("term").alias("_fn_term")).distinct()
+    )
+    ln = F.broadcast(
+        last_name_terms.select(F.col("term").alias("_ln_term")).distinct()
+    )
+    base = (
+        tokens.withColumn("_lower", F.lower(t))
+        .join(fn, F.col("_lower") == F.col("_fn_term"), "left")
+        .join(ln, F.col("_lower") == F.col("_ln_term"), "left")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.col("_lower"),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "line_status": _line_status_lineend(w_line, w_line_all),
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "is_first_name": bool_str(F.col("_fn_term").isNotNull()),
+        "is_last_name": bool_str(F.col("_ln_term").isNotNull()),
+        "punct_type": punctuation_type_feature(t),
+    }
+    zero = F.lit("0")
+    # exact reference order, name/data.py:15-36
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        feats["line_status"], feats["cap_status"], feats["digit_status"],
+        feats["is_single_char"],
+        zero,  # dummy common name
+        feats["is_first_name"], feats["is_last_name"],
+        zero, zero,  # dummy known title/suffix
+        feats["punct_type"],
+        zero,  # dummy label
+    ]
+    return base.select(
+        "doc_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
+def affiliation_token_features(
+    tokens: DataFrame,
+    first_name_terms: DataFrame,
+    country_terms: DataFrame,
+) -> DataFrame:
+    """A7 affiliation-address data generator — the 22-feature token vector
+    (models/affiliation_address/data.py:10-41). Distinctives: a DUMMY
+    'LINEEND' line status (GROBID #796, preserved), the ALLCAPS
+    capitalisation variant and CONTAINDIGIT digit variant
+    (models/data.py:421-437), the country gazetteer lookup, and the word
+    shape embedded in the vector."""
+    t = F.col("text")
+    fn = F.broadcast(
+        first_name_terms.select(F.col("term").alias("_fn_term")).distinct()
+    )
+    co = F.broadcast(
+        country_terms.select(F.col("term").alias("_co_term")).distinct()
+    )
+    base = add_word_shape(
+        tokens.withColumn("_lower", F.lower(t))
+        .join(fn, F.col("_lower") == F.col("_fn_term"), "left")
+        .join(co, F.col("_lower") == F.col("_co_term"), "left")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    digit_v = F.when(digit == "CONTAINSDIGITS", "CONTAINDIGIT").otherwise(digit)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    cap_v = F.when(cap == "ALLCAP", "ALLCAPS").otherwise(cap)
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.col("_lower"),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "cap_status": cap_v,
+        "digit_status": digit_v,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "is_first_name": bool_str(F.col("_fn_term").isNotNull()),
+        "is_country": bool_str(F.col("_co_term").isNotNull()),
+        "punct_type": punctuation_type_feature(t),
+        "word_shape": F.col("word_shape"),
+    }
+    zero = F.lit("0")
+    # exact reference order, affiliation_address/data.py:17-40
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        F.lit("LINEEND"),  # dummy line status (GROBID #796)
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        zero, zero,  # dummy proper/common name
+        feats["is_first_name"],
+        zero,  # dummy location
+        feats["is_country"],
+        feats["punct_type"], feats["word_shape"],
+        zero,  # dummy label
+    ]
+    return base.select(
+        "doc_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
+def fulltext_token_features(tokens: DataFrame) -> DataFrame:
+    """A7 fulltext data generator — the 27-feature token vector
+    (models/fulltext/data.py:10-43, shared by the figure/table models via
+    their ``get_data_generator``). Distinctives: the LINESTART-priority
+    line/block status variants (models/data.py:218-241), the dummy callout
+    type 'UNKNOWN', and the superscript flag.
+
+    Input: F1 tokens with doc_id, block_id, line_id, token_seq, text,
+    font_family, font_size, is_bold, is_italics, is_superscript, x, width.
+    """
+    t = F.col("text")
+    w_line = W.partitionBy("doc_id", "line_id").orderBy("token_seq")
+    w_line_all = W.partitionBy("doc_id", "line_id")
+    w_doc = W.partitionBy("doc_id").orderBy("token_seq")
+    w_block = W.partitionBy("doc_id", "block_id")
+
+    base = add_line_indentation(tokens).select(
+        "*",
+        (F.row_number().over(w_line) - 1).alias("_tok_idx"),
+        F.count("*").over(w_line_all).alias("_tok_cnt"),
+        (F.dense_rank().over(w_block.orderBy("line_id")) - 1).alias("_line_idx"),
+        F.lag("token_seq").over(w_doc).alias("_prev_seq"),
+        F.lag("font_family").over(w_doc).alias("_prev_family"),
+        F.lag("font_size").over(w_doc).alias("_prev_size"),
+    )
+    base = base.withColumn(
+        "_line_cnt", F.max(F.col("_line_idx") + 1).over(w_block)
+    )
+    # LINESTART-priority variant (get_line_status_with_linestart_…)
+    line_status = (
+        F.when(F.col("_tok_idx") == 0, "LINESTART")
+        .when(F.col("_tok_idx") == F.col("_tok_cnt") - 1, "LINEEND")
+        .otherwise("LINEIN")
+    )
+    block_status = (
+        F.when(
+            (F.col("_line_idx") == 0) & (line_status == "LINESTART"),
+            "BLOCKSTART",
+        )
+        .when(
+            (F.col("_line_idx") == F.col("_line_cnt") - 1)
+            & (line_status == "LINEEND"),
+            "BLOCKEND",
+        )
+        .otherwise("BLOCKIN")
+    )
+    prev_missing = F.col("_prev_seq").isNull()
+    font_status = (
+        F.when(prev_missing, "NEWFONT")
+        .when(
+            F.col("font_family").eqNullSafe(F.col("_prev_family")), "SAMEFONT"
+        )
+        .otherwise("NEWFONT")
+    )
+    ps, cs = F.col("_prev_size"), F.col("font_size")
+    font_size_status = (
+        F.when(
+            prev_missing | ps.isNull() | (ps == 0.0) | cs.isNull()
+            | (cs == 0.0) | (ps < cs),
+            "HIGHERFONT",
+        )
+        .when(ps > cs, "LOWERFONT")
+        .otherwise("SAMEFONTSIZE")
+    )
+    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    digit = digit_feature(t)
+    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(t)
+    )
+    feats = {
+        "token_text": t,
+        "lower_token_text": F.lower(t),
+        "prefix_1": prefix_feature(t, 1),
+        "prefix_2": prefix_feature(t, 2),
+        "prefix_3": prefix_feature(t, 3),
+        "prefix_4": prefix_feature(t, 4),
+        "suffix_1": suffix_feature(t, 1),
+        "suffix_2": suffix_feature(t, 2),
+        "suffix_3": suffix_feature(t, 3),
+        "suffix_4": suffix_feature(t, 4),
+        "block_status": block_status,
+        "line_status": line_status,
+        "alignment_status": F.when(
+            F.col("is_indented"), "LINEINDENT"
+        ).otherwise("ALIGNEDLEFT"),
+        "font_status": font_status,
+        "font_size_status": font_size_status,
+        "is_bold": bool_str(F.col("is_bold")),
+        "is_italic": bool_str(F.col("is_italics")),
+        "cap_status": cap,
+        "digit_status": digit,
+        "is_single_char": bool_str(F.length(t) == 1),
+        "punct_type": punctuation_type_feature(t),
+        "is_superscript": bool_str(F.col("is_superscript")),
+    }
+    zero = F.lit("0")
+    # exact reference order, fulltext/data.py:15-42
+    data_line_cols = [
+        feats["token_text"], feats["lower_token_text"],
+        feats["prefix_1"], feats["prefix_2"], feats["prefix_3"],
+        feats["prefix_4"],
+        feats["suffix_1"], feats["suffix_2"], feats["suffix_3"],
+        feats["suffix_4"],
+        feats["block_status"], feats["line_status"],
+        feats["alignment_status"],
+        feats["font_status"], feats["font_size_status"],
+        feats["is_bold"], feats["is_italic"],
+        feats["cap_status"], feats["digit_status"], feats["is_single_char"],
+        feats["punct_type"],
+        zero, zero, zero,  # dummy rel doc/page position, bitmap around
+        F.lit("UNKNOWN"),  # dummy callout type
+        zero,  # dummy is_callout_known
+        feats["is_superscript"],
+    ]
+    return base.select(
+        "doc_id",
+        "block_id",
+        "line_id",
+        "token_seq",
+        *[expr.alias(name) for name, expr in feats.items()],
+        F.concat_ws(" ", *data_line_cols).alias("data_line"),
+    )
+
+
 def add_repetitive_patterns(tokens: DataFrame) -> DataFrame:
     """A9 — repetitive pattern detection (models/segmentation/data.py:161-232).
 

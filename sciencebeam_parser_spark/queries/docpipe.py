@@ -363,7 +363,8 @@ _LTOKENS_CTE = f"""
                ((token_seq - 1) // 15) % 4 = 0 AS is_bold,
                ((token_seq - 1) // 15) % 5 = 0 AS is_italics,
                (((token_seq - 1) // 5) % 3) * 20.0 AS x,
-               5.0 * len(token) AS width
+               5.0 * len(token) AS width,
+               ((token_seq - 1) // 15) % 7 = 0 AS is_superscript
         FROM tokens
     )
 """
@@ -557,6 +558,7 @@ def _layout_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (blk % 5 == 0).alias("is_italics"),
         ((F.floor(i / 5) % 3) * 20.0).alias("x"),
         (F.length("token") * 5.0).alias("width"),
+        (blk % 7 == 0).alias("is_superscript"),
     )
 
 
@@ -1095,3 +1097,358 @@ def q106_refseg_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower("w").alias("term"))
     )
     return ref_segmenter_token_features(_layout_tokens(spark, sf_dir), fn)
+
+
+# ---------------------------------------------------------------------------
+# q107/q108 — name (21) and affiliation (22) token vectors (A7)
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments for the per-model token vectors
+_SQL_PREFIX_SUFFIX = """
+               text AS token_text,
+               lower(text) AS lower_token_text,
+               substr(text, 1, 1) AS prefix_1,
+               substr(text, 1, 2) AS prefix_2,
+               substr(text, 1, 3) AS prefix_3,
+               substr(text, 1, 4) AS prefix_4,
+               CASE WHEN len(text) <= 1 THEN text
+                    ELSE substr(text, len(text), 1) END AS suffix_1,
+               CASE WHEN len(text) <= 2 THEN text
+                    ELSE substr(text, len(text) - 1, 2) END AS suffix_2,
+               CASE WHEN len(text) <= 3 THEN text
+                    ELSE substr(text, len(text) - 2, 3) END AS suffix_3,
+               CASE WHEN len(text) <= 4 THEN text
+                    ELSE substr(text, len(text) - 3, 4) END AS suffix_4
+"""
+_SQL_CAP_DIGIT = """
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'NOCAPS'
+                    WHEN len(text) > 0
+                         AND NOT regexp_matches(text, '[a-z]') THEN 'ALLCAP'
+                    WHEN regexp_matches(text, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END AS cap_status,
+               CASE WHEN regexp_matches(text, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(text, '[0-9]')
+                        THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END AS digit_status,
+               CASE WHEN len(text) = 1 THEN '1' ELSE '0' END
+                   AS is_single_char
+"""
+_SQL_PUNCT_TYPE = """
+               CASE WHEN text IN ('(', '[') THEN 'OPENBRACKET'
+                    WHEN text IN (')', ']') THEN 'ENDBRACKET'
+                    WHEN text = '.' THEN 'DOT'
+                    WHEN text = ',' THEN 'COMMA'
+                    WHEN text IN ('-', '–') THEN 'HYPHEN'
+                    WHEN text IN ('"', '''', '`', '’') THEN 'QUOTE'
+                    WHEN regexp_matches(text, '^[,:;?.]+$') THEN 'PUNCT'
+                    ELSE 'NOPUNCT' END AS punct_type
+"""
+_SQL_PART_GAZETTEER = """
+    fn AS (
+        SELECT DISTINCT lower(w) AS term FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w
+            FROM part WHERE p_partkey % 2 = 0
+        )
+    ),
+    ln AS (
+        SELECT DISTINCT lower(w) AS term FROM (
+            SELECT unnest(string_split(p_name, ' ')) AS w
+            FROM part WHERE p_partkey % 2 = 1
+        )
+    )
+"""
+
+
+def _part_name_terms(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") % 2 == parity)
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .select(F.lower("w").alias("term"))
+    )
+
+
+_NAME_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + ", "
+    + _SQL_PART_GAZETTEER
+    + f""",
+    feat AS (
+        SELECT lt.doc_id, lt.line_id, token_seq,
+               {_SQL_PREFIX_SUFFIX},
+               CASE WHEN row_number() OVER wl = count(*) OVER wla
+                        THEN 'LINEEND'
+                    WHEN row_number() OVER wl = 1 THEN 'LINESTART'
+                    ELSE 'LINEIN' END AS line_status,
+               {_SQL_CAP_DIGIT},
+               CASE WHEN fn.term IS NOT NULL THEN '1' ELSE '0' END
+                   AS is_first_name,
+               CASE WHEN ln.term IS NOT NULL THEN '1' ELSE '0' END
+                   AS is_last_name,
+               {_SQL_PUNCT_TYPE}
+        FROM lt
+        LEFT JOIN fn ON lower(lt.text) = fn.term
+        LEFT JOIN ln ON lower(lt.text) = ln.term
+        WINDOW wl AS (PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq),
+               wla AS (PARTITION BY lt.doc_id, lt.line_id)
+    )
+    SELECT *,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               line_status, cap_status, digit_status, is_single_char,
+               '0', is_first_name, is_last_name, '0', '0',
+               punct_type, '0') AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q107_name_token_features",
+    oracle=_NAME_ORACLE,
+    survey_ref="§2A A7 name data generator — 21-feature token vector "
+               "(models/name/data.py:10-37)",
+    doc="The name-model CRF input: 21 features per token with first/last "
+        "name gazetteer lookups as broadcast left joins; line status and "
+        "scalar classes as shared column expressions.",
+)
+def q107_name_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        name_token_features,
+    )
+
+    return name_token_features(
+        _layout_tokens(spark, sf_dir),
+        _part_name_terms(spark, sf_dir, 0),
+        _part_name_terms(spark, sf_dir, 1),
+    )
+
+
+_WORD_SHAPE_SQL = """
+    shaped AS (
+        SELECT doc_id, line_id, token_seq,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'),
+                   '[0-9]', 'd', 'g') AS shape
+        FROM lt
+    ),
+    ws AS (
+        SELECT doc_id, line_id, token_seq,
+               substr(shape, 1, 1)
+               || array_to_string(list_filter(string_split(mid, ''),
+                      (c, i) -> i = 1 OR string_split(mid, '')[i - 1] <> c),
+                      '')
+               || CASE WHEN len(shape) >= 3
+                           THEN substr(shape, len(shape) - 1, 2)
+                       WHEN len(shape) = 2 THEN substr(shape, 2, 1)
+                       ELSE '' END AS word_shape
+        FROM (
+            SELECT *, CASE WHEN len(shape) >= 4
+                           THEN substr(shape, 2, len(shape) - 3)
+                           ELSE '' END AS mid
+            FROM shaped
+        )
+    )
+"""
+
+_AFF_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + ", "
+    + _SQL_PART_GAZETTEER
+    + ", "
+    + _WORD_SHAPE_SQL
+    + f""",
+    co AS (SELECT DISTINCT lower(n_name) AS term FROM nation),
+    feat AS (
+        SELECT lt.doc_id, lt.line_id, lt.token_seq,
+               {_SQL_PREFIX_SUFFIX},
+               {_SQL_CAP_DIGIT},
+               CASE WHEN fn.term IS NOT NULL THEN '1' ELSE '0' END
+                   AS is_first_name,
+               CASE WHEN co.term IS NOT NULL THEN '1' ELSE '0' END
+                   AS is_country,
+               {_SQL_PUNCT_TYPE},
+               ws.word_shape
+        FROM lt
+        LEFT JOIN fn ON lower(lt.text) = fn.term
+        LEFT JOIN co ON lower(lt.text) = co.term
+        JOIN ws ON lt.doc_id = ws.doc_id AND lt.token_seq = ws.token_seq
+    )
+    SELECT doc_id, line_id, token_seq, token_text, lower_token_text,
+           prefix_1, prefix_2, prefix_3, prefix_4,
+           suffix_1, suffix_2, suffix_3, suffix_4,
+           CASE WHEN cap_status = 'ALLCAP' THEN 'ALLCAPS'
+                ELSE cap_status END AS cap_status,
+           CASE WHEN digit_status = 'CONTAINSDIGITS' THEN 'CONTAINDIGIT'
+                ELSE digit_status END AS digit_status,
+           is_single_char, is_first_name, is_country, punct_type,
+           word_shape,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               'LINEEND',
+               CASE WHEN cap_status = 'ALLCAP' THEN 'ALLCAPS'
+                    ELSE cap_status END,
+               CASE WHEN digit_status = 'CONTAINSDIGITS'
+                    THEN 'CONTAINDIGIT' ELSE digit_status END,
+               is_single_char, '0', '0', is_first_name, '0', is_country,
+               punct_type, word_shape, '0') AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q108_affiliation_token_features",
+    oracle=_AFF_ORACLE,
+    survey_ref="§2A A7 affiliation-address data generator — 22-feature "
+               "token vector (models/affiliation_address/data.py:10-41); "
+               "country lookup (models/data.py:668-672)",
+    doc="The affiliation-model CRF input: 22 features per token — the "
+        "GROBID-#796 dummy LINEEND preserved, ALLCAPS/CONTAINDIGIT "
+        "variant classes, country gazetteer membership (nation table, "
+        "broadcast), and the word shape embedded in the vector.",
+)
+def q108_affiliation_token_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        affiliation_token_features,
+    )
+
+    nation = table(spark, sf_dir, "nation").select(
+        F.lower("n_name").alias("term")
+    )
+    return affiliation_token_features(
+        _layout_tokens(spark, sf_dir),
+        _part_name_terms(spark, sf_dir, 0),
+        nation,
+    )
+
+
+_FT_ORACLE = (
+    "WITH "
+    + _TOKENS_CTE
+    + ", "
+    + _LTOKENS_CTE
+    + f""",
+    linestart AS (
+        SELECT doc_id, line_id, x AS line_x, width / len(text) AS char_w
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, line_id ORDER BY token_seq) AS rn
+            FROM lt
+        )
+        WHERE rn = 1 AND x IS NOT NULL AND len(text) > 0
+    ),
+    flips AS (
+        SELECT doc_id, line_id,
+               CASE WHEN line_x - lag(line_x) OVER w > char_w THEN TRUE
+                    WHEN lag(line_x) OVER w - line_x > char_w THEN FALSE
+               END AS flip
+        FROM linestart
+        WINDOW w AS (PARTITION BY doc_id ORDER BY line_id)
+    ),
+    ind AS (
+        SELECT doc_id, line_id,
+               COALESCE(last_value(flip IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY line_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   FALSE) AS is_indented
+        FROM flips
+    ),
+    tokf AS (
+        SELECT lt.*, ind.is_indented,
+               row_number() OVER wl - 1 AS tok_idx,
+               count(*) OVER wla AS tok_cnt,
+               dense_rank() OVER (
+                   PARTITION BY lt.doc_id, block_id ORDER BY lt.line_id
+               ) - 1 AS line_idx,
+               lag(token_seq) OVER wd AS prev_seq,
+               lag(font_family) OVER wd AS prev_family,
+               lag(font_size) OVER wd AS prev_size
+        FROM lt JOIN ind ON lt.doc_id = ind.doc_id
+                        AND lt.line_id = ind.line_id
+        WINDOW wl AS (PARTITION BY lt.doc_id, lt.line_id ORDER BY token_seq),
+               wla AS (PARTITION BY lt.doc_id, lt.line_id),
+               wd AS (PARTITION BY lt.doc_id ORDER BY token_seq)
+    ),
+    tokf2 AS (
+        SELECT *, max(line_idx + 1) OVER (
+                   PARTITION BY doc_id, block_id) AS line_cnt
+        FROM tokf
+    ),
+    stat AS (
+        SELECT *,
+               CASE WHEN tok_idx = 0 THEN 'LINESTART'
+                    WHEN tok_idx = tok_cnt - 1 THEN 'LINEEND'
+                    ELSE 'LINEIN' END AS line_status
+        FROM tokf2
+    ),
+    feat AS (
+        SELECT doc_id, block_id, line_id, token_seq,
+               {_SQL_PREFIX_SUFFIX},
+               CASE WHEN line_idx = 0 AND line_status = 'LINESTART'
+                        THEN 'BLOCKSTART'
+                    WHEN line_idx = line_cnt - 1
+                         AND line_status = 'LINEEND' THEN 'BLOCKEND'
+                    ELSE 'BLOCKIN' END AS block_status,
+               line_status,
+               CASE WHEN is_indented THEN 'LINEINDENT'
+                    ELSE 'ALIGNEDLEFT' END AS alignment_status,
+               CASE WHEN prev_seq IS NULL THEN 'NEWFONT'
+                    WHEN font_family IS NOT DISTINCT FROM prev_family
+                        THEN 'SAMEFONT'
+                    ELSE 'NEWFONT' END AS font_status,
+               CASE WHEN prev_seq IS NULL OR prev_size IS NULL
+                         OR prev_size = 0.0 OR font_size IS NULL
+                         OR font_size = 0.0 OR prev_size < font_size
+                        THEN 'HIGHERFONT'
+                    WHEN prev_size > font_size THEN 'LOWERFONT'
+                    ELSE 'SAMEFONTSIZE' END AS font_size_status,
+               CASE WHEN is_bold THEN '1' ELSE '0' END AS is_bold,
+               CASE WHEN is_italics THEN '1' ELSE '0' END AS is_italic,
+               {_SQL_CAP_DIGIT},
+               {_SQL_PUNCT_TYPE},
+               CASE WHEN is_superscript THEN '1' ELSE '0' END
+                   AS is_superscript
+        FROM stat
+    )
+    SELECT *,
+           concat_ws(' ', token_text, lower_token_text,
+               prefix_1, prefix_2, prefix_3, prefix_4,
+               suffix_1, suffix_2, suffix_3, suffix_4,
+               block_status, line_status, alignment_status,
+               font_status, font_size_status, is_bold, is_italic,
+               cap_status, digit_status, is_single_char, punct_type,
+               '0', '0', '0', 'UNKNOWN', '0', is_superscript) AS data_line
+    FROM feat
+    """
+)
+
+
+@register(
+    "q109_fulltext_token_features",
+    oracle=_FT_ORACLE,
+    survey_ref="§2A A7 fulltext data generator — 27-feature token vector "
+               "(models/fulltext/data.py:10-43; shared by figure/table "
+               "models per models/figure/model.py get_data_generator)",
+    doc="The fulltext-model CRF input: 27 features per token with the "
+        "LINESTART-priority line/block status variants, alignment status, "
+        "font lag features, callout dummies and the superscript flag.",
+)
+def q109_fulltext_token_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        fulltext_token_features,
+    )
+
+    return fulltext_token_features(_layout_tokens(spark, sf_dir))
