@@ -1,0 +1,104 @@
+"""Physical-plan quality gates (SURVEY §4, BASELINE scale posture).
+
+These tests pin the plan SHAPES that make the engine scale, so a future
+refactor that silently regresses one (a lost filter pushdown, a broadcast
+that becomes a shuffle join, a top-k that sorts globally) fails CI — the
+100 TB concerns checked at sf0.001 cost.
+
+Each assertion reads the *executed* plan string (AQE final plan where
+relevant); they check structural markers, not exact operator trees, so
+Spark-version formatting changes don't break them.
+"""
+from __future__ import annotations
+
+import pytest
+
+from sciencebeam_parser_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        # q10 filters on o_orderdate/l_shipdate/c_mktsegment — all three
+        # must reach the parquet scans as PushedFilters
+        plan = plan_of(spark, "q10_shipping_priority")
+        assert "PushedFilters: [" in plan
+        assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+    def test_column_pruning(self, spark):
+        # q68 projects 4 derived columns from one text column — the scan
+        # must not read other document columns (ReadSchema minimal)
+        plan = plan_of(spark, "q68_token_count")
+        scan_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "text" in scan_schema
+        assert "source" not in scan_schema and "lang" not in scan_schema
+
+
+class TestJoinStrategies:
+    def test_dimension_join_broadcasts(self, spark):
+        plan = plan_of(spark, "q11_broadcast_dim_join")
+        assert "BroadcastHashJoin" in plan
+
+    def test_gazetteer_lookups_broadcast(self, spark):
+        # q105's two name-gazetteer joins must be broadcast — the token
+        # fact table must NOT shuffle for a lookup
+        plan = plan_of(spark, "q105_citation_token_features")
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_lsh_pairs_join_on_bucket(self, spark):
+        # the near-dup candidate join keys on (band, chunk)/bucket — the
+        # plan must contain an equi hash/merge join, never a cartesian
+        for name in ("q100_dedup_simhash_pairs", "q62_dedup_minhash_lsh_pairs"):
+            plan = plan_of(spark, name)
+            assert "CartesianProduct" not in plan, name
+            assert "NestedLoop" not in plan, name
+
+
+class TestTopKAndAggs:
+    def test_global_topk_take_ordered(self, spark):
+        # a global ORDER BY + LIMIT must compile to TakeOrderedAndProject,
+        # not a full sort
+        plan = plan_of(spark, "q30_global_topk")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_simhash_single_aggregate(self, spark):
+        # the 32-vote simhash is ONE partial+final aggregate pair over the
+        # exploded words — no bit-explode join, no extra shuffle rounds
+        plan = plan_of(spark, "q64_dedup_simhash")
+        assert "HashAggregate" in plan
+        assert plan.count("Exchange") <= 2
+
+    def test_fingerprint_is_map_only(self, spark):
+        # q69 computes per-doc aggregates as array expressions — the plan
+        # must contain NO shuffle at all
+        plan = plan_of(spark, "q69_doc_fingerprint")
+        assert "Exchange" not in plan
+
+
+class TestWholeStageCodegen:
+    @pytest.mark.parametrize(
+        "name",
+        ["q82_token_features", "q103_header_token_features"],
+    )
+    def test_feature_vectors_are_codegen(self, spark, name):
+        # feature projections must run inside whole-stage codegen (the
+        # Catalyst-beats-Python-loops claim), not as interpreted Python.
+        # Execute first: AQE finalizes codegen spans only after an action.
+        df = REGISTRY[name].build(spark, SF_DIR)
+        df.collect()  # count() would spawn a separate query execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark whole-stage-codegen'd operators in the
+        # finalized AQE plan string
+        assert "*(" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
