@@ -874,3 +874,85 @@ def q45_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q46_map_functions",
+    oracle="""
+    WITH per_font AS (
+        SELECT CAST(o_orderkey % 50 AS BIGINT) AS doc_id,
+               'f' || (o_orderkey % 3) AS font_family,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_fonts,
+           string_agg(font_family, ',' ORDER BY font_family) AS families,
+           CAST(max(CASE WHEN font_family = 'f0' THEN n END) AS BIGINT)
+               AS f0_count,
+           CAST(sum(n) AS BIGINT) AS total
+    FROM per_font GROUP BY doc_id
+    """,
+    survey_ref="§2B scalar map family (font map A2, attrs map §1.2, "
+               "text_by_content_id A20)",
+    doc="Map column surface: per-doc font histogram built with "
+        "map_from_entries, then size / sorted map_keys / element_at / "
+        "aggregated map_values — the font_by_id_map join pattern of the "
+        "ALTO source (A2). The oracle states the same results relationally "
+        "(map internals aren't portable across engines; the VALUES are).",
+)
+def q46_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    per_font = o.select(
+        (F.col("o_orderkey") % 50).cast("long").alias("doc_id"),
+        F.concat(F.lit("f"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "font_family"
+        ),
+    ).groupBy("doc_id", "font_family").agg(F.count("*").alias("n"))
+    mapped = per_font.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("font_family", "n")))
+        ).alias("font_map")
+    )
+    return mapped.select(
+        "doc_id",
+        F.size("font_map").alias("n_fonts"),
+        F.array_join(F.array_sort(F.map_keys("font_map")), ",").alias(
+            "families"
+        ),
+        F.element_at("font_map", "f0").alias("f0_count"),
+        F.aggregate(
+            F.map_values("font_map"), F.lit(0).cast("long"), lambda s, x: s + x
+        ).alias("total"),
+    )
+
+
+@register(
+    "q47_percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+           round(stddev_samp(l_quantity), 6) AS sd,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2B aggregations (engine-general ordered-statistic "
+               "surface; complements count/min/max/avg/sum)",
+    doc="Exact interpolated percentiles (Spark `percentile` ≡ DuckDB "
+        "quantile_cont: both linear interpolation over the sorted group) "
+        "+ sample stddev, rounded to 6 dp so cross-engine float summation "
+        "order can't flip the hash. At scale percentile is a sort-based "
+        "agg per group — the shuffle keys on the group column.",
+)
+def q47_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q3"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd"),
+        F.count("*").alias("n"),
+    )
