@@ -54,6 +54,9 @@ def main():
                 continue
         per_query[name] = round(dt, 3)
         total += dt
+        # pipeline queries cache intermediates; drop them so later queries
+        # aren't measured under another query's memory pressure
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {
