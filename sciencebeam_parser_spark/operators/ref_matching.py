@@ -100,6 +100,12 @@ def match_content_ids(
     citations: (doc_id, citation_id, text); targets: (doc_id, content_id,
     text, target_seq). Returns (doc_id, citation_id, target_content_id).
     """
+    # Both inputs fan out to every chain stage (key builds, anti-join
+    # remainders, the inverted token index, the final left join). The
+    # repeated subtrees in the logical plan are deduplicated at runtime by
+    # Spark's ReuseExchange/ReuseSubquery — measured FASTER than forcing a
+    # .cache() here (an InMemoryRelation is a barrier AQE can't optimize
+    # through), so the inputs are deliberately left uncached.
     cit = citations.select("doc_id", "citation_id", "text")
     tgt = targets.select("doc_id", "content_id", "text", "target_seq")
 
