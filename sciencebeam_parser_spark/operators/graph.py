@@ -1,0 +1,74 @@
+"""Connected components over near-duplicate pairs (north-star dedup).
+
+A dedup pipeline doesn't stop at candidate PAIRS: transitive closure turns
+pairs into dedup GROUPS (keep one representative per component). The
+reference's dedup analog is set-based page/pattern grouping (SURVEY A9/A22);
+at corpus scale the standard formulation is small-star/large-star label
+propagation over the similarity graph.
+
+Implementation: iterative minimum-label propagation —
+
+    comp[v] ← min(comp[v], min over neighbors comp[u])
+
+repeated until fixpoint. Each round is one join + one aggregation (both
+equi-keyed shuffles); rounds needed = graph diameter in the worst case,
+O(log n) for the short chains near-dup graphs actually produce. Lineage is
+cut with localCheckpoint every round — without it the plan doubles per
+iteration and the driver OOMs on plan size long before data is a problem.
+
+The DuckDB oracle states the same fixpoint as a recursive CTE (min
+reachable node id per vertex), so correctness is checked end-to-end.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(src, dst) undirected edges → (doc_id, component_id) with
+    component_id = the smallest doc_id reachable from doc_id.
+
+    Deterministic: pure min-propagation, no randomness. Only vertices that
+    appear in at least one edge are returned (singletons are trivially
+    their own component and usually not worth materializing at scale).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "comp", F.col("doc_id")
+    )
+    for _ in range(max_iterations):
+        # candidate label per vertex: min over self + neighbor labels
+        neighbor_labels = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .select(F.col("a").alias("doc_id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)  # cut lineage: O(1) plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("component_id"))

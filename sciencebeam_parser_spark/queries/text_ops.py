@@ -188,9 +188,11 @@ def q61_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signature(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "q62_dedup_minhash_lsh_pairs",
-    oracle="WITH " + _MINHASH_SH_SQL + ", " + _MINHASH_SIG_SQL + f""",
+_LSH_PAIRS_SQL = (
+    _MINHASH_SH_SQL
+    + ", "
+    + _MINHASH_SIG_SQL
+    + f""",
     bands AS (
         SELECT doc_id, band_idx,
                CASE band_idx
@@ -201,11 +203,22 @@ def q61_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                    )}
                END AS band_hash
         FROM sig, unnest(range(0, 4)) AS t(band_idx)
+    ),
+    lsh_pairs AS (
+        SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+        FROM bands x
+        JOIN bands y ON x.band_idx = y.band_idx
+                    AND x.band_hash = y.band_hash
+                    AND x.doc_id < y.doc_id
     )
-    SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-    FROM bands x
-    JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-               AND x.doc_id < y.doc_id
+"""
+)
+
+
+@register(
+    "q62_dedup_minhash_lsh_pairs",
+    oracle="WITH " + _LSH_PAIRS_SQL + """
+    SELECT doc1, doc2 FROM lsh_pairs
     """,
     survey_ref="north-star dedup (MinHash+LSH banding); §2B self-join",
     doc="LSH candidate pairs: 16 minhashes → 4 bands of 4; docs sharing any "
@@ -892,3 +905,35 @@ def q100_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "q110_dedup_clusters",
+    oracle="WITH RECURSIVE " + _LSH_PAIRS_SQL + """,
+    sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM lsh_pairs
+        UNION
+        SELECT doc2 AS a, doc1 AS b FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+    survey_ref="north-star dedup (pairs → transitive groups); §2B "
+               "iterative algorithm surface (driver-loop DAG, A28 analog)",
+    doc="Dedup GROUPS from LSH candidate pairs: connected components by "
+        "iterative min-label propagation (join + agg per round, "
+        "localCheckpoint cuts lineage; rounds ≈ diameter, O(log n) on "
+        "near-dup chains). component_id = smallest doc_id in the group — "
+        "the canonical keeper. Oracle: the same fixpoint as a recursive "
+        "CTE (min reachable node).",
+)
+def q110_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.graph import connected_components
+
+    pairs = q62_dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs)

@@ -1,0 +1,31 @@
+"""Connected-components (dedup clusters) tests."""
+from sciencebeam_parser_spark.operators.graph import connected_components
+
+
+def components_of(spark, edges):
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    return {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        comp = components_of(spark, [(1, 2), (2, 3), (10, 11)])
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_converges_past_one_hop(self, spark):
+        # a 6-node chain needs several propagation rounds
+        comp = components_of(spark, [(i, i + 1) for i in range(1, 6)])
+        assert set(comp.values()) == {1}
+        assert len(comp) == 6
+
+    def test_edge_direction_irrelevant(self, spark):
+        a = components_of(spark, [(5, 2), (2, 9)])
+        b = components_of(spark, [(2, 5), (9, 2)])
+        assert a == b == {2: 2, 5: 2, 9: 2}
+
+    def test_cycle(self, spark):
+        comp = components_of(spark, [(1, 2), (2, 3), (3, 1)])
+        assert comp == {1: 1, 2: 1, 3: 1}
