@@ -956,3 +956,50 @@ def q47_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q48_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey % 50 AS k,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    fact AS (
+        SELECT l_orderkey % 50 AS k, l_quantity FROM lineitem
+    )
+    SELECT fact.k,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+           max(n_orders) AS n_orders
+    FROM fact JOIN dim ON fact.k = dim.k
+    GROUP BY fact.k
+    """,
+    survey_ref="§2B joins / SURVEY §4 skew handling (salting); BASELINE "
+               "scale posture",
+    doc="Explicit salted join: the fact side gets a row-local salt, the "
+        "dim side is exploded once per salt, the join keys on (k, salt) — "
+        "a hot key spreads over n_salts shuffle partitions instead of "
+        "landing on one executor. The result multiset is invariant to the "
+        "salt, so the oracle is the plain join. (AQE skew-split is the "
+        "no-code first choice; this is the fallback it can't always "
+        "cover.)",
+)
+def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 50).alias("k"), "l_quantity"
+    )
+    dim = (
+        table(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 50).alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = salted_join(li, dim, "k", n_salts=8)
+    return joined.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+        F.max("n_orders").alias("n_orders"),
+    )

@@ -29,3 +29,43 @@ class TestConnectedComponents:
     def test_cycle(self, spark):
         comp = components_of(spark, [(1, 2), (2, 3), (3, 1)])
         assert comp == {1: 1, 2: 1, 3: 1}
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from sciencebeam_parser_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], "k long, v string"
+        )
+        right = spark.createDataFrame(
+            [(1, 10), (2, 20), (4, 40)], "k long, w long"
+        )
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(left, right, "k").collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in left.join(right, "k").collect()
+        )
+        assert got == want
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from sciencebeam_parser_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+        right = spark.createDataFrame([(1, 10)], "k long, w long")
+        rows = {
+            r["k"]: r["w"]
+            for r in salted_join(left, right, "k", how="left").collect()
+        }
+        assert rows == {1: 10, 9: None}
+
+    def test_rejects_unsupported_how(self, spark):
+        import pytest
+        from sciencebeam_parser_spark.operators.skew import salted_join
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how="full")
