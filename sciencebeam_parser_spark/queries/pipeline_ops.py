@@ -253,3 +253,52 @@ def q98_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(content, 256).alias("sha256"),
         sniff_media_type(content).alias("sniffed_type"),
     )
+
+
+@register(
+    "q111_multimodal_decode",
+    oracle="""
+    WITH media AS (
+        SELECT 'm' || doc_id AS media_id, sha256(text) AS h
+        FROM documents
+    )
+    SELECT media_id,
+           64 + CAST('0x' || substr(h, 1, 2) AS INT) AS width,
+           64 + CAST('0x' || substr(h, 3, 2) AS INT) AS height,
+           'RGB' AS mode,
+           round(CAST('0x' || substr(h, 1, 2) AS INT) / 255.0, 6) AS f0,
+           round(CAST('0x' || substr(h, 3, 2) AS INT) / 255.0, 6) AS f1,
+           round(CAST('0x' || substr(h, 5, 2) AS INT) / 255.0, 6) AS f2,
+           round(CAST('0x' || substr(h, 7, 2) AS INT) / 255.0, 6) AS f3,
+           round(CAST('0x' || substr(h, 9, 2) AS INT) / 255.0, 6) AS f4,
+           round(CAST('0x' || substr(h, 11, 2) AS INT) / 255.0, 6) AS f5,
+           round(CAST('0x' || substr(h, 13, 2) AS INT) / 255.0, 6) AS f6,
+           round(CAST('0x' || substr(h, 15, 2) AS INT) / 255.0, 6) AS f7
+    FROM media
+    """,
+    survey_ref="north-star multimodal columns — decode/feature-extract "
+               "kernel plumbing (§2A A23/A24 analog); mapInPandas batch "
+               "path",
+    doc="The image-decode mapInPandas stage end-to-end with the "
+        "deterministic sha256 fake decoder (real decode is the stubbed "
+        "kernel, same schema/batching): binary content → width/height/"
+        "mode/8-dim feature. The oracle restates the hash-derived fake in "
+        "SQL — the Arrow batch plumbing, schema, and column pruning are "
+        "what's under test.",
+)
+def q111_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import decode_images
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    decoded = decode_images(media, use_fake_decoder=True)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "mode",
+        *[F.get("feature", i).alias(f"f{i}") for i in range(8)],
+    )
