@@ -302,3 +302,41 @@ def q111_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode",
         *[F.get("feature", i).alias(f"f{i}") for i in range(8)],
     )
+
+
+@register(
+    "q112_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT 'm' || doc_id AS media_id, sha256(text) AS h
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           substr(h, i * 2 + 1, 16) AS frame_hex
+    FROM media, unnest(range(0, 4)) AS t(i)
+    """,
+    survey_ref="north-star multimodal columns — video frame sampling "
+               "(table-function mapInPandas, §2B UDTF surface)",
+    doc="The frame-sampling stub end-to-end: one output row per sampled "
+        "frame (mapInPandas emitting multiple rows per input — the UDTF "
+        "shape), frame payload = deterministic sha256 slice so the oracle "
+        "can restate it; ffmpeg would replace the kernel, not the "
+        "plumbing.",
+)
+def q112_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    frames = sample_frames(media, use_fake_decoder=True)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
