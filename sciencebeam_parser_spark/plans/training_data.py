@@ -110,3 +110,69 @@ __all__ = [
     "generate_training_documents",
     "DEFAULT_FEATURE_COLUMNS",
 ]
+
+
+def generate_exact_model_data_lines(
+    tokens: DataFrame,
+    model_name: str,
+    *,
+    labels: Optional[DataFrame] = None,
+    first_name_terms: Optional[DataFrame] = None,
+    last_name_terms: Optional[DataFrame] = None,
+    country_terms: Optional[DataFrame] = None,
+) -> DataFrame:
+    """A30 with the EXACT per-model CRF vectors (the reference's per-model
+    data generators, reproduced field-for-field by the operators in
+    operators/features.py) instead of the generic feature set:
+    (doc_id, token_seq, data_line) with the label appended when ``labels``
+    is given (the --use-model path of generate_data.py:433+).
+
+    Token-level models only — segmentation emits per-LINE rows (use
+    segmentation_line_features directly). Lookup-using models require
+    their gazetteer term DataFrames.
+    """
+    from sciencebeam_parser_spark.operators.features import (
+        affiliation_token_features,
+        citation_token_features,
+        fulltext_token_features,
+        header_token_features,
+        name_token_features,
+        ref_segmenter_token_features,
+    )
+
+    if model_name == "header":
+        df = header_token_features(tokens)
+    elif model_name == "fulltext":
+        df = fulltext_token_features(tokens)
+    elif model_name == "citation":
+        df = citation_token_features(
+            tokens, first_name_terms, last_name_terms
+        )
+    elif model_name == "name":
+        df = name_token_features(tokens, first_name_terms, last_name_terms)
+    elif model_name == "affiliation_address":
+        df = affiliation_token_features(
+            tokens, first_name_terms, country_terms
+        )
+    elif model_name == "reference_segmenter":
+        df = ref_segmenter_token_features(tokens, first_name_terms)
+    else:
+        raise ValueError(
+            f"no exact token-level data generator for {model_name!r}"
+        )
+    out = df.select("doc_id", "token_seq", "data_line")
+    if labels is not None:
+        out = out.join(
+            labels.filter(F.col("model_name") == model_name).select(
+                "doc_id", "token_seq", "label"
+            ),
+            ["doc_id", "token_seq"],
+            "left",
+        ).select(
+            "doc_id",
+            "token_seq",
+            F.concat_ws(
+                " ", "data_line", F.coalesce("label", F.lit("O"))
+            ).alias("data_line"),
+        )
+    return out

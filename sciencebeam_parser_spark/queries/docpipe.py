@@ -1452,3 +1452,37 @@ def q109_fulltext_token_features(
     )
 
     return fulltext_token_features(_layout_tokens(spark, sf_dir))
+
+
+@register(
+    "q113_training_data_exact",
+    oracle="WITH hdr AS (" + _HDR_ORACLE + """)
+    SELECT doc_id, token_seq,
+           data_line || ' ' ||
+           CASE WHEN regexp_matches(token_text, '^[0-9]+$')
+                THEN 'I-<pubnum>' ELSE 'I-<title>' END AS data_line
+    FROM hdr
+    """,
+    survey_ref="§2A A30 training-data generation with the exact header "
+               "vector (training/cli/generate_data.py --use-model path)",
+    doc="The A30 ETL over the exact per-model generator dispatch: header "
+        "32-feature data_line + appended mock label (numeric → <pubnum>, "
+        "else <title>) — one concat_ws projection over the q103 relation; "
+        "the oracle nests the header-vector oracle as a CTE and restates "
+        "the label join.",
+)
+def q113_training_data_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.plans.training_data import (
+        generate_exact_model_data_lines,
+    )
+
+    toks = _layout_tokens(spark, sf_dir)
+    labels = toks.select(
+        "doc_id",
+        "token_seq",
+        F.lit("header").alias("model_name"),
+        F.when(F.col("text").rlike("^[0-9]+$"), "I-<pubnum>")
+        .otherwise("I-<title>")
+        .alias("label"),
+    )
+    return generate_exact_model_data_lines(toks, "header", labels=labels)
