@@ -1486,3 +1486,121 @@ def q113_training_data_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
     )
     return generate_exact_model_data_lines(toks, "header", labels=labels)
+
+
+# ---------------------------------------------------------------------------
+# q114 — ALTO XML round-trip (A2 source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q114_alto_roundtrip",
+    oracle="WITH " + _TOKENS_CTE + ", " + _LTOKENS_CTE + """
+    SELECT 'd' || doc_id AS doc_id,
+           page_number + 1 AS page_number,
+           block_id + 1 AS block_id,
+           line_id + 1 AS line_id,
+           token_seq - 1 AS token_seq,
+           text,
+           's' || (block_id % 3) AS font_id,
+           'fam' || (block_id % 3) AS font_family,
+           CAST(8 + block_id % 3 AS DOUBLE) AS font_size,
+           block_id % 3 = 0 AS is_bold,
+           x, width
+    FROM lt
+    """,
+    survey_ref="§2A A2 ALTO XML parse (external/pdfalto/parser.py:30-173); "
+               "§2B XML parse via UDF + explode",
+    doc="Source round-trip: ALTO v3 XML is BUILT per document with pure "
+        "string aggregation (tokens → String/TextLine/TextBlock/Page, "
+        "escaped, Styles header with 3 TextStyles), then parsed back by "
+        "the mapInPandas ALTO kernel. The oracle predicts the parser's "
+        "output directly from the token fixture: surrogate block/line/"
+        "token ids re-minted in traversal order (SURVEY §1.4), fonts "
+        "joined via STYLEREFS inside the kernel.",
+)
+def q114_alto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.sources.alto import parse_alto_tokens_df
+
+    lt = _layout_tokens(spark, sf_dir)
+    esc = F.col("text")
+    for raw, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    token_xml = F.concat(
+        F.lit('<String CONTENT="'), esc,
+        F.lit('" STYLEREFS="s'), (F.col("block_id") % 3).cast("string"),
+        F.lit('" HPOS="'), F.col("x").cast("string"),
+        F.lit('" VPOS="0.0" WIDTH="'), F.col("width").cast("string"),
+        F.lit('" HEIGHT="10.0"/>'),
+    )
+    toks = lt.select(
+        "doc_id", "page_number", "block_id", "line_id", "token_seq",
+        token_xml.alias("tok_xml"),
+    )
+    lines = toks.groupBy("doc_id", "page_number", "block_id", "line_id").agg(
+        F.concat(
+            F.lit("<TextLine>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_seq", "tok_xml"))),
+                    lambda s: s["tok_xml"],
+                ),
+                "",
+            ),
+            F.lit("</TextLine>"),
+        ).alias("line_xml"),
+    )
+    blocks = lines.groupBy("doc_id", "page_number", "block_id").agg(
+        F.concat(
+            F.lit("<TextBlock>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "line_xml"))),
+                    lambda s: s["line_xml"],
+                ),
+                "",
+            ),
+            F.lit("</TextBlock>"),
+        ).alias("block_xml"),
+    )
+    pages = blocks.groupBy("doc_id", "page_number").agg(
+        F.concat(
+            F.lit('<Page PHYSICAL_IMG_NR="'),
+            (F.col("page_number") + 1).cast("string"),
+            F.lit('" WIDTH="612.0" HEIGHT="792.0">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_id", "block_xml"))),
+                    lambda s: s["block_xml"],
+                ),
+                "",
+            ),
+            F.lit("</Page>"),
+        ).alias("page_xml"),
+    )
+    styles = "".join(
+        f'<TextStyle ID="s{i}" FONTFAMILY="fam{i}" FONTSIZE="{8 + i}"'
+        f' FONTSTYLE="{"bold" if i == 0 else ""}"/>'
+        for i in range(3)
+    )
+    docs_xml = pages.groupBy("doc_id").agg(
+        F.concat(
+            F.lit(
+                '<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">'
+                f"<Styles>{styles}</Styles><Layout>"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_number", "page_xml"))),
+                    lambda s: s["page_xml"],
+                ),
+                "",
+            ),
+            F.lit("</Layout></alto>"),
+        ).alias("xml"),
+    ).select(F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"), "xml")
+    parsed = parse_alto_tokens_df(docs_xml)
+    return parsed.select(
+        "doc_id", "page_number", "block_id", "line_id", "token_seq",
+        "text", "font_id", "font_family", "font_size", "is_bold",
+        "x", "width",
+    )

@@ -161,3 +161,26 @@ def read_alto_graphics(spark: SparkSession, paths: str | list[str]) -> DataFrame
                     yield pd.DataFrame(rows, columns=cols)
 
     return binary.select("path", "content").mapInPandas(parse, schema=GRAPHICS_SCHEMA)
+
+
+def parse_alto_tokens_df(
+    df: DataFrame, *, id_col: str = "doc_id", xml_col: str = "xml"
+) -> DataFrame:
+    """(doc_id, xml string) relation → F1 tokens — the same mapInPandas
+    kernel as read_alto_tokens without the binaryFile scan, for pipelines
+    whose ALTO payloads already sit in a column (e.g. a table of pdfalto
+    outputs)."""
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TOKENS_SCHEMA.fields]
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = list(
+                    iter_alto_token_rows(
+                        str(row[id_col]), row[xml_col].encode("utf-8")
+                    )
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, xml_col).mapInPandas(parse, schema=TOKENS_SCHEMA)
