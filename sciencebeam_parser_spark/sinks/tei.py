@@ -108,11 +108,25 @@ def _build_tei(entities: pd.DataFrame) -> str:
 
 
 def entities_to_tei(entities: DataFrame) -> DataFrame:
-    """entities relation → (doc_id, tei_xml), one TEI document per doc."""
+    """entities relation → (doc_id, tei_xml), one TEI document per doc.
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [pdf["doc_id"].iloc[0]], "tei_xml": [_build_tei(pdf)]}
-        )
+    Batched per PARTITION, not per group: documents average a handful of
+    entities, so groupBy().applyInPandas would pay one Python/Arrow
+    roundtrip per document. repartition(doc_id) co-locates each document,
+    the partition's batches are concatenated once, and a pandas groupby
+    drives _build_tei — same per-doc semantics, O(partitions) roundtrips."""
 
-    return entities.groupBy("doc_id").applyInPandas(build, schema=TEI_OUT_SCHEMA)
+    def build_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = [
+            (doc_id, _build_tei(group))
+            for doc_id, group in pdf.groupby("doc_id", sort=False)
+        ]
+        yield pd.DataFrame(out, columns=["doc_id", "tei_xml"])
+
+    return entities.repartition("doc_id").mapInPandas(
+        build_partition, schema=TEI_OUT_SCHEMA
+    )
