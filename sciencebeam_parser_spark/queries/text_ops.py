@@ -937,3 +937,64 @@ def q110_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q62_dedup_minhash_lsh_pairs(spark, sf_dir)
     return connected_components(pairs)
+
+
+@register(
+    "q115_kmv_distinct_sketch",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT source, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    hashed AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                   / 1152921504606846976.0 AS h
+        FROM words
+    ),
+    ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kth AS (SELECT source, h AS h_k FROM ranked WHERE rn = 16),
+    exact AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM words GROUP BY source
+    )
+    SELECT exact.source,
+           exact.exact_distinct,
+           round(15.0 / kth.h_k, 4) AS kmv_estimate
+    FROM exact JOIN kth ON exact.source = kth.source
+    """,
+    survey_ref="§2B count(distinct)/approx_count_distinct; custom sketch "
+               "as a composition of existing ops (engine extension)",
+    doc="K-minimum-values distinct sketch (k=16): per-source distinct "
+        "words hashed to [0,1), the k-th smallest hash h_k gives the "
+        "estimator (k-1)/h_k. Unlike HLL (engine-specific registers, not "
+        "oracle-portable) KMV is DETERMINISTIC given the hash, so DuckDB "
+        "reproduces it exactly — and it merges by unioning min-k sets, "
+        "the property that makes it a partial-aggregatable sketch at "
+        "100 TB. Exact count(distinct) emitted alongside for calibration.",
+)
+def q115_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(_words()).alias("w")
+    ).distinct()
+    hashed = words.select(
+        "source", (_md5_long(F.col("w")) / F.lit(float(2**60))).alias("h")
+    ).distinct()
+    w_ = W.partitionBy("source").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w_))
+        .filter(F.col("rn") == 16)
+        .select("source", F.col("h").alias("h_k"))
+    )
+    exact = words.groupBy("source").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return exact.join(kth, "source").select(
+        "source",
+        "exact_distinct",
+        F.round(F.lit(15.0) / F.col("h_k"), 4).alias("kmv_estimate"),
+    )
