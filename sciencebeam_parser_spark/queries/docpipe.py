@@ -1604,3 +1604,49 @@ def q114_alto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", "font_id", "font_family", "font_size", "is_bold",
         "x", "width",
     )
+
+
+@register(
+    "q116_model_protocol",
+    oracle="WITH " + _TOKENS_CTE + """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           token_seq,
+           'mock_crf' AS model_name,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY doc_id ORDER BY token_seq) = 1
+                THEN 'B-<start>'
+                WHEN regexp_matches(token, '^[0-9]+$') THEN 'I-<num>'
+                ELSE 'I-<word>' END AS label
+    FROM tokens
+    """,
+    survey_ref="§2A A11/A12 model protocol — applyInPandas inference with "
+               "batch assembly/alignment (models/model.py:207-355, "
+               "model_impl.py)",
+    doc="The sequence-labeling stage end-to-end through "
+        "FunctionLabelModel: groupBy(doc).applyInPandas replaces the "
+        "reference's manual blank-line batch protocol, the UDF sorts by "
+        "token_seq (order doesn't survive shuffles) and enforces the "
+        "one-label-per-token alignment assert. The mock CRF is "
+        "position+shape-deterministic, so the oracle restates it as "
+        "window SQL — the protocol plumbing is what's under test.",
+)
+def q116_model_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.plans.models import (
+        FunctionLabelModel,
+        apply_model,
+    )
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .withColumnRenamed("token", "text")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+
+    def mock_crf(texts):
+        return [
+            "B-<start>" if i == 0
+            else ("I-<num>" if t.isdigit() else "I-<word>")
+            for i, t in enumerate(texts)
+        ]
+
+    return apply_model(toks, FunctionLabelModel("mock_crf", mock_crf))
