@@ -49,26 +49,24 @@ def connected_components(
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "comp", F.col("doc_id")
     )
+    # per-vertex labels only ever DECREASE, so the label sum strictly
+    # decreases until the fixpoint — an O(1)-row aggregate detects
+    # convergence without the per-round join a row-diff check would need
+    prev_sum = None
     for _ in range(max_iterations):
         # candidate label per vertex: min over self + neighbor labels
         neighbor_labels = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .select(F.col("a").alias("doc_id"), "comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # cut lineage: O(1) plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("comp").alias("component_id"))
