@@ -1650,3 +1650,60 @@ def q116_model_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return apply_model(toks, FunctionLabelModel("mock_crf", mock_crf))
+
+
+@register(
+    "q117_model_json_output",
+    oracle="WITH " + _TOKENS_CTE + """,
+    labeled AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) = 1
+                    THEN 'B-<start>'
+                    WHEN regexp_matches(token, '^[0-9]+$') THEN 'I-<num>'
+                    ELSE 'I-<word>' END AS label
+        FROM tokens
+    ),
+    agg AS (
+        SELECT doc_id,
+               list(token ORDER BY token_seq) AS tokens,
+               list(label ORDER BY token_seq) AS labels
+        FROM labeled GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(to_json(struct_pack(doc_id := doc_id, tokens := tokens,
+                                    labels := labels)) AS VARCHAR)
+               AS payload
+    FROM agg
+    """,
+    survey_ref="§2B JSON generation (to_json); §3.3 per-model REST "
+               "endpoint TagOutputFormats.JSON "
+               "(service/api/routers/models.py:52-59)",
+    doc="The model-endpoint JSON payload: per doc, ordered token and "
+        "label arrays serialized with to_json(struct(...)) — the response "
+        "body of the reference's per-model REST API, produced engine-side "
+        "as one aggregation + one projection.",
+)
+def q117_model_json_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    labeled = toks.select(
+        "doc_id",
+        "token_seq",
+        "token",
+        F.when(F.row_number().over(w) == 1, "B-<start>")
+        .when(F.col("token").rlike("^[0-9]+$"), "I-<num>")
+        .otherwise("I-<word>")
+        .alias("label"),
+    )
+    sorted_pairs = F.array_sort(
+        F.collect_list(F.struct("token_seq", "token", "label"))
+    )
+    agg = labeled.groupBy("doc_id").agg(
+        F.transform(sorted_pairs, lambda s: s["token"]).alias("tokens"),
+        F.transform(sorted_pairs, lambda s: s["label"]).alias("labels"),
+    )
+    return agg.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "tokens", "labels")).alias("payload"),
+    )
