@@ -1707,3 +1707,64 @@ def q117_model_json_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.to_json(F.struct("doc_id", "tokens", "labels")).alias("payload"),
     )
+
+
+@register(
+    "q118_media_type_gate",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'application/msword'
+                   WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+                   WHEN 3 THEN 'application/rtf'
+                   ELSE 'image/png' END AS media_type
+        FROM documents
+    )
+    SELECT media_type,
+           CASE WHEN media_type = 'application/pdf' THEN 'passthrough'
+                WHEN media_type IN ('application/msword',
+                    'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                    'application/vnd.openxmlformats-officedocument.wordprocessingml.template',
+                    'application/rtf') THEN 'convert'
+                ELSE 'unsupported' END AS conversion,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM src
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2A A3 DOC/DOCX→PDF conversion gate "
+               "(app/parser.py:460-483, DOC_TO_PDF_SUPPORTED_MEDIA_TYPES)",
+    doc="The media-type routing gate in front of the LibreOffice sidecar: "
+        "PDF passes through, office formats route to conversion, anything "
+        "else is rejected as unsupported — a when/isin projection (the "
+        "sidecar itself is the stubbed mapInPandas kernel in "
+        "sources/doc_converter.py).",
+)
+def q118_media_type_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.sources.doc_converter import (
+        classify_sources,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.lit("application/pdf"),
+                F.lit("application/msword"),
+                F.lit(
+                    "application/vnd.openxmlformats-officedocument"
+                    ".wordprocessingml.document"
+                ),
+                F.lit("application/rtf"),
+                F.lit("image/png"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+    return (
+        classify_sources(src)
+        .groupBy("media_type", "conversion")
+        .agg(F.count("*").alias("n_docs"))
+    )
