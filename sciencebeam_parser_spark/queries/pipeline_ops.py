@@ -340,3 +340,78 @@ def q112_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.lower(F.hex("frame")).alias("frame_hex"),
     )
+
+
+@register(
+    "q119_extract_affiliations",
+    oracle=None,  # stateful split-on-marker/second-institution fold: rows-only
+    survey_ref="§2A A16 affiliation grammar (models/affiliation_address/"
+               "extract.py AffiliationAddressSemanticExtractor)",
+    doc="Affiliation-model fold over deterministic tag runs: numeric "
+        "markers open affiliations (aff0, aff1, …), a second institution "
+        "splits, country text is dot-cleaned; standalone parts before any "
+        "marker become notes.",
+)
+def q119_extract_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.extract_grammars import (
+        extract_affiliations,
+    )
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("token_seq") <= 15)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "<marker>")
+        .when(F.col("token_seq") % 3 == 0, "<institution>")
+        .when(F.col("token_seq") % 3 == 1, "<settlement>")
+        .otherwise("<country>")
+    )
+    runs = toks.select(
+        "doc_id",
+        F.col("token_seq").alias("entity_group"),
+        tag.alias("tag"),
+        F.col("token").alias("text"),
+    )
+    return extract_affiliations(runs).select(
+        "doc_id", "aff_id", "part_seq", "part_type", "text"
+    )
+
+
+@register(
+    "q120_extract_reference_segments",
+    oracle=None,  # stateful label/reference pairing fold: rows-only
+    survey_ref="§2A A16 reference-segmenter grammar (models/"
+               "reference_segmenter/extract.py "
+               "ReferenceSegmenterSemanticExtractor)",
+    doc="Reference-segmenter fold: <label> opens a reference (b0, b1, …), "
+        "<reference> closes it; a first short un-labeled reference is "
+        "demoted to a heading (is_looks_like_reference needs >3 tokens).",
+)
+def q120_extract_reference_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.extract_grammars import (
+        extract_reference_segments,
+    )
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("token_seq") <= 20)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "<label>")
+        .when(F.length("token") >= 4, "<reference>")
+        .otherwise("<other>")
+    )
+    runs = toks.select(
+        "doc_id",
+        F.col("token_seq").alias("entity_group"),
+        tag.alias("tag"),
+        F.col("token").alias("text"),
+    )
+    return extract_reference_segments(runs).select(
+        "doc_id", "content_id", "seq", "part_type", "text"
+    )
