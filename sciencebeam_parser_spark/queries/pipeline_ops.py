@@ -28,7 +28,7 @@ from sciencebeam_parser_spark.sinks.jats import tei_with_jats
 from sciencebeam_parser_spark.sinks.tei import entities_to_tei
 
 
-def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
+def _mock_labeled_tokens(spark: SparkSession, sf_dir: str, *, cache: bool = True):
     """Tokens + deterministic mock labels for all cascade models.
 
     Segmentation: first 30% of each doc <header>, last 30% <references>,
@@ -93,8 +93,13 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
     )
     # the cascade references tokens/labels from many branches (4 models ×
     # filter/join/window): materialize once — the reference's
-    # ModelResultCache / .cache() DAG-reuse analog (SURVEY §4)
-    return toks.drop("_seg").cache(), labels.cache()
+    # ModelResultCache / .cache() DAG-reuse analog (SURVEY §4). Single-pass
+    # consumers (q91) skip the cache: materialization without reuse is
+    # pure cost.
+    toks = toks.drop("_seg")
+    if cache:
+        return toks.cache(), labels.cache()
+    return toks, labels
 
 
 @register(
@@ -212,7 +217,7 @@ def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as one concat_ws projection over the A7 feature relation.",
 )
 def q91_training_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    toks, labels = _mock_labeled_tokens(spark, sf_dir, cache=False)
     toks = toks.select(
         "doc_id", "token_seq", "text",
         (F.col("token_seq") / 8).cast("long").alias("line_id"),
