@@ -1768,3 +1768,83 @@ def q118_media_type_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_type", "conversion")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "q121_alto_graphics_roundtrip",
+    oracle="WITH " + _TOKENS_CTE + ", " + _LTOKENS_CTE + """,
+    pages AS (SELECT DISTINCT doc_id, page_number FROM lt),
+    g AS (
+        SELECT doc_id, page_number, i
+        FROM pages, unnest(range(0, 2)) AS t(i)
+    )
+    SELECT 'd' || doc_id AS doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY page_number, i) - 1 AS BIGINT)
+               AS graphic_id,
+           page_number + 1 AS page_number,
+           CAST(10 * page_number + 5 * i AS DOUBLE) AS x,
+           5.0 AS y,
+           100.0 AS width,
+           50.0 AS height,
+           CASE WHEN i = 0 THEN 'bitmap' ELSE 'svg' END AS graphic_type,
+           'img_' || page_number || '_' || i AS local_file_path
+    FROM g
+    """,
+    survey_ref="§2A A2 ALTO graphics parse (Illustration elements, "
+               "external/pdfalto/parser.py + processors/graphic_provider)",
+    doc="Graphics half of the ALTO source round-trip: Illustration "
+        "elements are built per page (two per page, bitmap+svg, "
+        "deterministic coords/FILEID), parsed back by the graphics "
+        "kernel; graphic_id re-minted 0-based per document in page order.",
+)
+def q121_alto_graphics_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.sources.alto import parse_alto_graphics_df
+
+    lt = _layout_tokens(spark, sf_dir)
+    pages = lt.select("doc_id", "page_number").distinct()
+    page_xml = pages.select(
+        "doc_id",
+        "page_number",
+        F.concat(
+            F.lit('<Page PHYSICAL_IMG_NR="'),
+            (F.col("page_number") + 1).cast("string"),
+            F.lit('">'),
+            *[
+                F.concat(
+                    F.lit('<Illustration TYPE="'),
+                    F.lit("bitmap" if i == 0 else "svg"),
+                    F.lit('" FILEID="img_'),
+                    F.col("page_number").cast("string"),
+                    F.lit(f'_{i}" HPOS="'),
+                    (10 * F.col("page_number") + 5 * i).cast("double").cast("string"),
+                    F.lit('" VPOS="5.0" WIDTH="100.0" HEIGHT="50.0"/>'),
+                )
+                for i in (0, 1)
+            ],
+            F.lit("</Page>"),
+        ).alias("page_xml"),
+    )
+    docs_xml = page_xml.groupBy("doc_id").agg(
+        F.concat(
+            F.lit('<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#"><Layout>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_number", "page_xml"))),
+                    lambda s: s["page_xml"],
+                ),
+                "",
+            ),
+            F.lit("</Layout></alto>"),
+        ).alias("xml"),
+    ).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "xml",
+    )
+    parsed = parse_alto_graphics_df(docs_xml)
+    return parsed.select(
+        "doc_id", "graphic_id", "page_number", "x", "y", "width", "height",
+        "graphic_type", "local_file_path",
+    )

@@ -184,3 +184,25 @@ def parse_alto_tokens_df(
                     yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, xml_col).mapInPandas(parse, schema=TOKENS_SCHEMA)
+
+
+def parse_alto_graphics_df(
+    df: DataFrame, *, id_col: str = "doc_id", xml_col: str = "xml"
+) -> DataFrame:
+    """(doc_id, xml string) relation → graphics rows (Illustration
+    elements) — the graphics half of the A2 source without the binaryFile
+    scan."""
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GRAPHICS_SCHEMA.fields]
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = list(
+                    iter_alto_graphic_rows(
+                        str(row[id_col]), row[xml_col].encode("utf-8")
+                    )
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, xml_col).mapInPandas(parse, schema=GRAPHICS_SCHEMA)
