@@ -22,7 +22,7 @@ from sciencebeam_parser_spark.plans.cascade import run_fulltext_cascade
 from sciencebeam_parser_spark.plans.training_data import (
     generate_model_data_lines,
 )
-from sciencebeam_parser_spark.queries.docpipe import _tokens
+from sciencebeam_parser_spark.queries.docpipe import _TOKENS_CTE, _tokens
 from sciencebeam_parser_spark.queries.registry import register, table
 from sciencebeam_parser_spark.sinks.jats import tei_with_jats
 from sciencebeam_parser_spark.sinks.tei import entities_to_tei
@@ -349,7 +349,72 @@ def q112_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q119_extract_affiliations",
-    oracle=None,  # stateful split-on-marker/second-institution fold: rows-only
+    # The fold is stateful, but on this fixture (one run per token, no note
+    # tags) the state collapses to window algebra: an affiliation opens at a
+    # <marker>, at the document start, or at the 2nd+ <institution> within a
+    # marker-delimited span (the open aff already holds one); country text
+    # splits into rtrim('.') + a trailing-dot suffix row.
+    oracle="""
+    WITH """ + _TOKENS_CTE + """,
+    tt AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'marker'
+                    WHEN token_seq % 3 = 0 THEN 'institution'
+                    WHEN token_seq % 3 = 1 THEN 'settlement'
+                    ELSE 'country' END AS tag
+        FROM tokens
+        WHERE token_seq <= 15
+    ),
+    sp AS (
+        SELECT *,
+               sum(CASE WHEN tag = 'marker' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY token_seq
+                       ROWS UNBOUNDED PRECEDING) AS span_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY token_seq) AS rn
+        FROM tt
+    ),
+    io AS (
+        SELECT *,
+               sum(CASE WHEN tag = 'institution' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id, span_id ORDER BY token_seq
+                       ROWS UNBOUNDED PRECEDING) AS inst_ord
+        FROM sp
+    ),
+    af AS (
+        SELECT *,
+               sum(CASE WHEN tag = 'marker' OR rn = 1
+                        OR (tag = 'institution' AND inst_ord >= 2)
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY token_seq
+                       ROWS UNBOUNDED PRECEDING) AS aff_ord
+        FROM io
+    ),
+    cl AS (
+        SELECT *,
+               CASE WHEN tag = 'country' AND regexp_matches(token, '[^.]')
+                    THEN rtrim(token, '.') ELSE token END AS cleaned,
+               CASE WHEN tag = 'country' AND regexp_matches(token, '[^.]')
+                    THEN substr(token, len(rtrim(token, '.')) + 1)
+                    ELSE '' END AS sfx
+        FROM af
+    ),
+    rows_out AS (
+        SELECT doc_id, aff_ord, token_seq, 0 AS sub,
+               tag AS part_type, cleaned AS text
+        FROM cl
+        UNION ALL
+        SELECT doc_id, aff_ord, token_seq, 1, 'country-suffix', sfx
+        FROM cl WHERE sfx <> ''
+    )
+    SELECT doc_id,
+           'aff' || CAST(aff_ord - 1 AS VARCHAR) AS aff_id,
+           CAST(row_number() OVER (PARTITION BY doc_id, aff_ord
+                                   ORDER BY token_seq, sub) - 1
+                AS INTEGER) AS part_seq,
+           part_type, text
+    FROM rows_out
+    """,
     survey_ref="§2A A16 affiliation grammar (models/affiliation_address/"
                "extract.py AffiliationAddressSemanticExtractor)",
     doc="Affiliation-model fold over deterministic tag runs: numeric "
@@ -386,7 +451,88 @@ def q119_extract_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q120_extract_reference_segments",
-    oracle=None,  # stateful label/reference pairing fold: rows-only
+    # Stateful fold, SQL-expressible on single-token runs: a <label> attaches
+    # to the next closing <reference>; trailing labels flush at document end
+    # with the next id; a first un-labeled <reference> (always ≤3 tokens
+    # here) becomes a heading; emit order = (close position, labels-before-
+    # reference, original position).
+    oracle="""
+    WITH """ + _TOKENS_CTE + """,
+    tt AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'label'
+                    WHEN len(token) >= 4 THEN 'reference'
+                    ELSE 'other' END AS tag
+        FROM tokens
+        WHERE token_seq <= 20
+    ),
+    h AS (
+        SELECT *,
+               (tag = 'reference'
+                AND sum(CASE WHEN tag = 'reference' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY token_seq
+                            ROWS UNBOUNDED PRECEDING) = 1
+                AND COALESCE(
+                      sum(CASE WHEN tag = 'label' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY token_seq
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                      0) = 0) AS is_heading
+        FROM tt
+    ),
+    c AS (
+        SELECT *,
+               (tag = 'reference' AND NOT is_heading) AS is_close,
+               CASE WHEN tag = 'reference' AND NOT is_heading THEN
+                 sum(CASE WHEN tag = 'reference' AND NOT is_heading
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY token_seq
+                         ROWS UNBOUNDED PRECEDING)
+               END AS close_ord
+        FROM h
+    ),
+    n AS (
+        SELECT *,
+               min(CASE WHEN is_close THEN token_seq END)
+                 OVER (PARTITION BY doc_id ORDER BY token_seq
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS next_close_pos,
+               min(CASE WHEN is_close THEN close_ord END)
+                 OVER (PARTITION BY doc_id ORDER BY token_seq
+                       ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS next_close_ord,
+               sum(CASE WHEN is_close THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id) AS n_closes
+        FROM c
+    ),
+    rows_out AS (
+        SELECT doc_id, CAST(NULL AS VARCHAR) AS content_id,
+               'note' AS part_type, token AS text,
+               token_seq AS emit_pos, 0 AS sub, token_seq AS orig
+        FROM n WHERE tag = 'other'
+        UNION ALL
+        SELECT doc_id, CAST(NULL AS VARCHAR), 'heading', token,
+               token_seq, 0, token_seq
+        FROM n WHERE is_heading
+        UNION ALL
+        SELECT doc_id, 'b' || CAST(close_ord - 1 AS VARCHAR),
+               'raw_reference_text', token, token_seq, 1, token_seq
+        FROM n WHERE is_close
+        UNION ALL
+        SELECT doc_id,
+               'b' || CAST(COALESCE(next_close_ord - 1, n_closes)
+                           AS VARCHAR),
+               'reference_label', token,
+               COALESCE(next_close_pos, 1000000000), 0, token_seq
+        FROM n WHERE tag = 'label'
+    )
+    SELECT doc_id, content_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY emit_pos, sub, orig) - 1
+                AS INTEGER) AS seq,
+           part_type, text
+    FROM rows_out
+    """,
     survey_ref="§2A A16 reference-segmenter grammar (models/"
                "reference_segmenter/extract.py "
                "ReferenceSegmenterSemanticExtractor)",
