@@ -105,9 +105,50 @@ def generate_training_documents(
     return out
 
 
+def translate_iob_to_grobid(label):
+    """IOB2 → GROBID/wapiti tag scheme (training/cli/
+    generate_delft_data.py:77-90 ``translate_tags_IOB_to_grobid``):
+    ``O`` → ``<other>``, ``B-x`` → ``I-x``, ``I-x`` → ``x``; anything else
+    passes through unchanged."""
+    tail = F.substring(label, 3, 1_000_000)
+    return (
+        F.when(label == "O", F.lit("<other>"))
+        .when(label.startswith("B-"), F.concat(F.lit("I-"), tail))
+        .when(label.startswith("I-"), tail)
+        .otherwise(label)
+    )
+
+
+def generate_delft_data_lines(
+    labeled_tokens: DataFrame,
+    feature_columns: Sequence[str],
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """DELFT training-data conversion (A30, training/cli/
+    generate_delft_data.py:172-227): one line per token in the delft DATA
+    format — token text, space-joined feature values, then the
+    IOB→GROBID-translated tag (``iter_format_tag_result(TagOutputFormats.
+    DATA)``). Token/tag alignment, asserted manually in the reference
+    (:203-206), holds by construction here (single relation). The blank-line
+    document separator (:268-270) is a sink concern, not a row."""
+    line = F.concat_ws(
+        " ",
+        F.col(text_col),
+        *[F.col(c).cast("string") for c in feature_columns],
+        translate_iob_to_grobid(F.col(label_col)),
+    )
+    return labeled_tokens.select(
+        "doc_id", "token_seq", line.alias("delft_line")
+    )
+
+
 __all__ = [
     "generate_model_data_lines",
     "generate_training_documents",
+    "generate_delft_data_lines",
+    "translate_iob_to_grobid",
     "DEFAULT_FEATURE_COLUMNS",
 ]
 

@@ -2,10 +2,12 @@
 (A16), TEI/JATS sinks (A29), gazetteer membership (A7 lookup), and
 training-data generation (A30) as registered queries.
 
-The cascade/grammar/sink queries are genuinely non-SQL-expressible (stateful
-per-doc folds, XML assembly), so they register without an oracle — the
-driver records the weaker rows-only check for them, as the contract allows.
-Gazetteer membership IS relational and carries an exact DuckDB oracle.
+The cascade/name-fold/sink queries are genuinely non-SQL-expressible
+(stateful lookahead folds, XML assembly), so they register without an
+oracle — the driver records the weaker rows-only check for them, as the
+contract allows. The affiliation and reference-segmenter folds DO carry
+oracles: on their single-token-run fixtures the state collapses to window
+algebra. Gazetteer membership is plainly relational (broadcast join).
 
 All derive deterministic fixtures from the `documents` table: tokens by
 whitespace tokenization (same as docpipe), mock model labels from token
@@ -565,4 +567,86 @@ def q120_extract_reference_segments(
     )
     return extract_reference_segments(runs).select(
         "doc_id", "content_id", "seq", "part_type", "text"
+    )
+
+
+@register(
+    "q122_delft_data_lines",
+    # IOB labels derive from the q81 BIO fixture (numeric → num runs, long
+    # tokens → long runs, else O) WITH B- prefixes, so all three translation
+    # branches (O → <other>, B-x → I-x, I-x → x) appear in the output.
+    oracle="""
+    WITH """ + _TOKENS_CTE + """,
+    tagged AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'num'
+                    WHEN len(token) >= 6 THEN 'long' END AS tag
+        FROM tokens
+    ),
+    iob AS (
+        SELECT *,
+               CASE WHEN tag IS NULL THEN 'O'
+                    WHEN lag(tag) OVER w IS DISTINCT FROM tag
+                         THEN 'B-' || tag
+                    ELSE 'I-' || tag END AS label
+        FROM tagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    )
+    SELECT doc_id, token_seq,
+           concat_ws(' ', token,
+               substr(token, 1, 1),
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(token, '[0-9]') THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END,
+               CAST(len(token) AS VARCHAR),
+               CASE WHEN label = 'O' THEN '<other>'
+                    WHEN label LIKE 'B-%' THEN 'I-' || substr(label, 3)
+                    WHEN label LIKE 'I-%' THEN substr(label, 3)
+                    ELSE label END) AS delft_line
+    FROM iob
+    """,
+    survey_ref="§2A A30 delft conversion (training/cli/"
+               "generate_delft_data.py:77-90 IOB→GROBID translation, "
+               ":172-227 DATA-format lines)",
+    doc="DELFT training-data conversion: token + feature values + "
+        "IOB→GROBID-translated tag per line; alignment holds by "
+        "construction on the single token relation.",
+)
+def q122_delft_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.features import (
+        digit_feature,
+        prefix_feature,
+    )
+    from sciencebeam_parser_spark.plans.training_data import (
+        generate_delft_data_lines,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "num")
+        .when(F.length("token") >= 6, "long")
+    )
+    tagged = toks.withColumn("tag", tag)
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    prev = F.lag("tag").over(w)
+    iob = (
+        F.when(F.col("tag").isNull(), "O")
+        .when(
+            prev.isNull() | (prev != F.col("tag")),
+            F.concat(F.lit("B-"), F.col("tag")),
+        )
+        .otherwise(F.concat(F.lit("I-"), F.col("tag")))
+    )
+    t = F.col("token")
+    labeled = tagged.select(
+        "doc_id",
+        "token_seq",
+        t.alias("text"),
+        prefix_feature(t, 1).alias("prefix_1"),
+        digit_feature(t).alias("digit_class"),
+        F.length(t).alias("tok_len"),
+        iob.alias("label"),
+    )
+    return generate_delft_data_lines(
+        labeled, ["prefix_1", "digit_class", "tok_len"]
     )

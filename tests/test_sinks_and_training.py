@@ -165,3 +165,38 @@ class TestTrainingData:
         body = doc_row.data_file_text.split("\n")
         assert doc_row.n_lines == 4
         assert [ln.split(" ")[0] for ln in body] == ["The", "Title", "body", "text"]
+
+
+class TestDelftConversion:
+    def test_iob_translation_branches(self, spark):
+        from sciencebeam_parser_spark.plans.training_data import (
+            translate_iob_to_grobid,
+        )
+
+        df = spark.createDataFrame(
+            [("O",), ("B-<title>",), ("I-<title>",), ("<other>",)],
+            "label string",
+        ).select(translate_iob_to_grobid(F.col("label")).alias("t"))
+        # translate_tags_IOB_to_grobid (generate_delft_data.py:77-90)
+        assert [r.t for r in df.collect()] == [
+            "<other>", "I-<title>", "<title>", "<other>"
+        ]
+
+    def test_delft_data_lines(self, spark, mini_tokens):
+        from sciencebeam_parser_spark.plans.training_data import (
+            generate_delft_data_lines,
+        )
+
+        labeled = mini_tokens.withColumn(
+            "label",
+            F.when(F.col("token_seq") == 0, "B-<title>")
+            .when(F.col("token_seq") == 1, "I-<title>")
+            .otherwise("O"),
+        ).withColumn("f1", F.length("text"))
+        lines = {
+            (r.doc_id, r.token_seq): r.delft_line
+            for r in generate_delft_data_lines(labeled, ["f1"]).collect()
+        }
+        assert lines[("d1", 0)] == "The 3 I-<title>"
+        assert lines[("d1", 1)] == "Title 5 <title>"
+        assert lines[("d1", 2)] == "body 4 <other>"
