@@ -650,3 +650,99 @@ def q122_delft_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_delft_data_lines(
         labeled, ["prefix_1", "digit_class", "tok_len"]
     )
+
+
+@register(
+    "q123_model_xml_output",
+    # Same island numbering as q81; each run becomes an element named by the
+    # stripped tag ('O' → 'other'), text XML-escaped (& first), runs joined
+    # in entity order inside a per-document <xml><p>…</p></xml> envelope.
+    oracle="""
+    WITH """ + _TOKENS_CTE + """,
+    tagged AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'num'
+                    WHEN len(token) >= 6 THEN 'long'
+                    ELSE 'O' END AS tag
+        FROM tokens
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS boundary
+        FROM tagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(boundary) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    ),
+    runs AS (
+        SELECT doc_id, entity_group,
+               CASE WHEN min(tag) = 'O' THEN 'other' ELSE min(tag) END
+                   AS elem_name,
+               replace(replace(replace(
+                   string_agg(token, ' ' ORDER BY token_seq),
+                   '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS elem_text
+        FROM grouped GROUP BY doc_id, entity_group
+    )
+    SELECT doc_id,
+           '<xml>' || chr(10) || '<p>' || chr(10)
+           || string_agg(
+                  '<' || elem_name || '>' || elem_text
+                  || '</' || elem_name || '>',
+                  chr(10) ORDER BY entity_group)
+           || chr(10) || '</p>' || chr(10) || '</xml>' AS xml
+    FROM runs GROUP BY doc_id
+    """,
+    survey_ref="§3.3 per-model endpoints (service/api/routers/models.py:"
+               "54-58 TagOutputFormats.XML); §2A A13 runs; §2B ordered "
+               "string aggregation",
+    doc="XML tag-output format: BIO runs wrapped in elements named by the "
+        "stripped tag inside a per-doc <xml><p> envelope — completes the "
+        "endpoint format family (json=q117, raw_data=q91, data=q122).",
+)
+def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.bio import group_bio_entities
+
+    toks = _tokens(spark, sf_dir)
+    tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "num")
+        .when(F.length("token") >= 6, "long")
+        .otherwise("O")
+    )
+    labeled = toks.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.when(tag == "O", "O").otherwise(F.concat(F.lit("I-"), tag)).alias(
+            "label"
+        ),
+    )
+    runs = group_bio_entities(labeled, text_col="text")
+    name = F.when(F.col("tag") == "O", "other").otherwise(
+        F.regexp_replace("tag", "[<>]", "")
+    )
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    elem = F.concat(
+        F.lit("<"), name, F.lit(">"), esc, F.lit("</"), name, F.lit(">")
+    )
+    per_run = runs.select("doc_id", "entity_group", elem.alias("elem"))
+    return per_run.groupBy("doc_id").agg(
+        F.concat(
+            F.lit("<xml>\n<p>\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("entity_group", "elem"))
+                    ),
+                    lambda s: s["elem"],
+                ),
+                "\n",
+            ),
+            F.lit("\n</p>\n</xml>"),
+        ).alias("xml")
+    )
