@@ -12,4 +12,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     pipeline_ops,
     spatial_ops,
     matching_ops,
+    corpus_ops,
 )

@@ -1,0 +1,183 @@
+"""Corpus-preparation operators for a training-data pipeline: deterministic
+sampling and context-window sequence packing, plus the segmented model
+endpoint chain (§3.3).
+
+These extend the north-star LLM-pipeline family (dedup/similarity/text
+analysis in text_ops) with the two remaining corpus-shaping steps every
+large-scale pretraining ETL needs:
+
+* corpus sampling — hash-bucketed, so it is deterministic, re-runnable, and
+  stratifiable by any key (the antithesis of TABLESAMPLE, whose row picks
+  are partition-count-dependent); at 100 TB a filter on a hash of the key
+  column is embarrassingly parallel, shuffle-free, and composes with
+  partition pruning.
+* sequence packing — the GPT-style "concatenate the token stream, chunk
+  into fixed windows" step, expressed as a running-sum window + integer
+  division. Partitioned by `source` (the corpus shard key), so window state
+  is bounded per shard and shards pack independently — the same layout a
+  1000-executor job would use.
+
+Both carry exact DuckDB oracles (md5-derived hashes, engine-portable; see
+text_ops._md5_long).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.docpipe import _TOKENS_CTE, _tokens
+from sciencebeam_parser_spark.queries.registry import register, table
+
+
+@register(
+    "q124_segmented_model_chain",
+    # the SegmentedModelRouterFactory flow with mock labels: segmentation
+    # assigns regions by document fraction, the chain keeps only <header>
+    # tokens, re-labels them (first 3 → <title>), and groups BIO runs —
+    # filter → semi-join-style region gate → window relabel → islands.
+    oracle="WITH " + _TOKENS_CTE + """,
+    seg AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN (token_seq - 1.0)
+                         / count(*) OVER (PARTITION BY doc_id) < 0.3
+                    THEN '<header>' ELSE '<other>' END AS region
+        FROM tokens
+    ),
+    hdr AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 3
+                    THEN '<title>' ELSE '<abstract>' END AS tag
+        FROM seg WHERE region = '<header>'
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS b
+        FROM hdr
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    )
+    SELECT doc_id, entity_group, min(tag) AS tag,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(token, ' ' ORDER BY token_seq) AS text
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§3.3 segmented model endpoints (service/api/routers/"
+               "models.py SegmentedModelRouterFactory: segmentation → "
+               "label filter → downstream model); §2A A14/A15",
+    doc="Two-model chain: segmentation regions by document fraction, "
+        "header-region filter, header-model relabel, BIO runs — the "
+        "segmented endpoint flow as pure window SQL.",
+)
+def q124_segmented_model_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.bio import group_bio_entities
+
+    toks = _tokens(spark, sf_dir)
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    region = F.when(
+        (F.col("token_seq") - 1.0) / n < 0.3, "<header>"
+    ).otherwise("<other>")
+    header = toks.withColumn("region", region).filter(
+        F.col("region") == "<header>"
+    )
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    tag = F.when(F.row_number().over(w) <= 3, "<title>").otherwise(
+        "<abstract>"
+    )
+    labeled = header.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.concat(F.lit("I-"), tag).alias("label"),
+    )
+    runs = group_bio_entities(labeled, text_col="text")
+    return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
+
+
+@register(
+    "q125_corpus_sample",
+    # 60-bit md5 bucket of the doc key; keep bucket < 20 of 100. Same hash
+    # literal on both engines (conv hex→dec vs '0x' cast).
+    oracle="""
+    SELECT doc_id, source,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 AS BIGINT) AS sample_bucket
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 < 20
+    """,
+    survey_ref="north-star training-data pipeline: deterministic corpus "
+               "subsampling (engine-general; motivated by A30 corpus ETL)",
+    doc="Deterministic 20% corpus sample via md5 bucketing on the document "
+        "key: re-runnable, partition-layout-independent (unlike "
+        "TABLESAMPLE), shuffle-free, and stratifiable by replacing the "
+        "hash key.",
+)
+def q125_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < 20)
+        .select("doc_id", "source", "sample_bucket")
+    )
+
+
+@register(
+    "q126_sequence_packing",
+    # pack_id = floor(exclusive-prefix-token-count / window); windows are
+    # per source shard, docs ordered by doc_id — the concat-then-chunk
+    # token-stream layout used for LLM pretraining batches.
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT *,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS token_start
+        FROM counts
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_start // 512 AS BIGINT) AS pack_id,
+           CAST(token_start % 512 AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+    survey_ref="north-star training-data pipeline: context-window sequence "
+               "packing (concat-and-chunk); §2B running-sum window",
+    doc="Pack each source's token stream into 512-token context windows: "
+        "exclusive running sum of per-doc token counts → window id and "
+        "offset. Per-shard windows keep state bounded; shards pack "
+        "independently at any scale.",
+)
+def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    counts = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("token_start"),
+        F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
+        (start % F.lit(512)).cast("long").alias("pack_offset"),
+    )
