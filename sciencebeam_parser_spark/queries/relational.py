@@ -684,6 +684,40 @@ def q36_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q37_grouping_sets",
+    # explicit GROUPING SETS (neither rollup nor cube): one sheet per
+    # orderstatus, one per shipmode-like priority, and the grand total —
+    # compiles to the same single-scan Expand as q35/q36, so no extra
+    # passes over the fact table at any scale.
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS grp_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ref="§2B grouping sets (engine-general aggregation surface "
+               "alongside rollup/cube)",
+)
+def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q37_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority)
+                    AS BIGINT) AS grp_id,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM q37_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function families
 # --------------------------------------------------------------------------
