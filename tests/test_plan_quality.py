@@ -102,3 +102,28 @@ class TestWholeStageCodegen:
         # finalized AQE plan string
         assert "*(" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCorpusOps:
+    def test_sample_is_map_only_and_pruned(self, spark):
+        # q125 must stay a single map-side scan+filter+project: no
+        # exchange, and the scan must not read the wide text column
+        plan = plan_of(spark, "q125_corpus_sample")
+        assert "Exchange" not in plan
+        assert "text" not in plan.split("FileScan", 1)[1].split("]", 1)[0]
+
+    def test_packing_single_shuffle_on_shard_key(self, spark):
+        # q126: exactly one exchange (hashpartitioning on source) feeding
+        # the running-sum window — shards pack independently
+        plan = plan_of(spark, "q126_sequence_packing")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "source" in plan.split("Exchange hashpartitioning", 1)[1].split(
+            ")"
+        )[0]
+
+    def test_grouping_sets_single_expand(self, spark):
+        # q37: all three grouping sheets from ONE scan via Expand — not a
+        # union of separate aggregations
+        plan = plan_of(spark, "q37_grouping_sets")
+        assert plan.count("Expand") == 1
+        assert plan.count("FileScan") == 1
