@@ -268,9 +268,7 @@ def extract_affiliations(entity_runs: DataFrame) -> DataFrame:
     outside any affiliation get a null aff_id.
     """
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("entity_group")
-        doc_id = pdf["doc_id"].iloc[0]
+    def fold_doc(doc_id: str, tag_texts) -> list:
         out = []
         next_aff = 0
         aff_id: Optional[str] = None
@@ -284,7 +282,7 @@ def extract_affiliations(entity_runs: DataFrame) -> DataFrame:
                     out.append((doc_id, aff_id, seq, pt, tx))
             aff_id, aff_rows, aff_has_institution = None, [], False
 
-        for tag, text in zip(pdf["tag"], pdf["text"]):
+        for tag, text in tag_texts:
             if tag == "<marker>":
                 flush()
                 aff_id = f"aff{next_aff}"
@@ -312,12 +310,28 @@ def extract_affiliations(entity_runs: DataFrame) -> DataFrame:
             if suffix:
                 aff_rows.append((f"{part_type}-suffix", suffix))
         flush()
-        return pd.DataFrame(out, columns=[f.name for f in AFF_PARTS_SCHEMA.fields])
+        return out
+
+    cols = [f.name for f in AFF_PARTS_SCHEMA.fields]
+
+    def fold_partition(batches):
+        # groups are tiny (one affiliation block per doc): one Python
+        # roundtrip per PARTITION with pandas groupby beats per-group
+        # applyInPandas overhead; repartition(doc_id) keeps groups whole
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            g = g.sort_values("entity_group")
+            out.extend(fold_doc(doc_id, zip(g["tag"], g["text"])))
+        yield pd.DataFrame(out, columns=cols)
 
     return (
         entity_runs.select("doc_id", "entity_group", "tag", "text")
-        .groupBy("doc_id")
-        .applyInPandas(fold, AFF_PARTS_SCHEMA)
+        .repartition("doc_id")
+        .mapInPandas(fold_partition, AFF_PARTS_SCHEMA)
     )
 
 
@@ -347,9 +361,7 @@ def extract_reference_segments(entity_runs: DataFrame) -> DataFrame:
     {reference_label, raw_reference_text, heading, note}.
     """
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("entity_group")
-        doc_id = pdf["doc_id"].iloc[0]
+    def fold_doc(doc_id: str, tag_texts) -> list:
         out = []
         seq = 0
         next_id = 0
@@ -362,7 +374,7 @@ def extract_reference_segments(entity_runs: DataFrame) -> DataFrame:
             out.append((doc_id, content_id, seq, part_type, text))
             seq += 1
 
-        for tag, text in zip(pdf["tag"], pdf["text"]):
+        for tag, text in tag_texts:
             if tag == "<label>":
                 if not ref_open:
                     ref_open = True
@@ -391,12 +403,26 @@ def extract_reference_segments(entity_runs: DataFrame) -> DataFrame:
             cid = f"b{next_id}"
             for pt, tx in ref_rows:
                 emit(cid, pt, tx)
-        return pd.DataFrame(out, columns=[f.name for f in REF_SEGMENTS_SCHEMA.fields])
+        return out
+
+    cols = [f.name for f in REF_SEGMENTS_SCHEMA.fields]
+
+    def fold_partition(batches):
+        # tiny per-doc groups: partition-batched fold (see extract_names)
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            g = g.sort_values("entity_group")
+            out.extend(fold_doc(doc_id, zip(g["tag"], g["text"])))
+        yield pd.DataFrame(out, columns=cols)
 
     return (
         entity_runs.select("doc_id", "entity_group", "tag", "text")
-        .groupBy("doc_id")
-        .applyInPandas(fold, REF_SEGMENTS_SCHEMA)
+        .repartition("doc_id")
+        .mapInPandas(fold_partition, REF_SEGMENTS_SCHEMA)
     )
 
 
