@@ -30,7 +30,7 @@ from sciencebeam_parser_spark.sinks.jats import tei_with_jats
 from sciencebeam_parser_spark.sinks.tei import entities_to_tei
 
 
-def _mock_labeled_tokens(spark: SparkSession, sf_dir: str, *, cache: bool = True):
+def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
     """Tokens + deterministic mock labels for all cascade models.
 
     Segmentation: first 30% of each doc <header>, last 30% <references>,
@@ -93,15 +93,14 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str, *, cache: bool = True
             "'citation', _l_cit) AS (model_name, label)"
         ),
     )
-    # the cascade references tokens/labels from many branches (4 models ×
-    # filter/join/window): materialize once — the reference's
-    # ModelResultCache / .cache() DAG-reuse analog (SURVEY §4). Single-pass
-    # consumers (q91) skip the cache: materialization without reuse is
-    # pure cost.
-    toks = toks.drop("_seg")
-    if cache:
-        return toks.cache(), labels.cache()
-    return toks, labels
+    # Deliberately NOT cached: since the single-projection stack unpivot,
+    # ReuseExchange dedups the repeated fixture subtrees across the
+    # cascade's branches, and forcing an InMemoryRelation here blocks that
+    # reuse — measured 2× slower at sf0.1 (cascade 19.9 s vs 10.2 s, TEI
+    # sink 28.2 s vs 13.7 s). The cascade's own entities cache
+    # (CascadeConfig.cache_entities) stays: pandas-UDF consumers get no
+    # exchange reuse.
+    return toks.drop("_seg"), labels
 
 
 @register(
@@ -219,7 +218,7 @@ def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as one concat_ws projection over the A7 feature relation.",
 )
 def q91_training_data_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks, labels = _mock_labeled_tokens(spark, sf_dir, cache=False)
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
     toks = toks.select(
         "doc_id", "token_seq", "text",
         (F.col("token_seq") / 8).cast("long").alias("line_id"),
