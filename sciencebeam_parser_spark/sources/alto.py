@@ -105,6 +105,68 @@ def iter_alto_token_rows(doc_id: str, xml_bytes: bytes) -> Iterator[dict]:
                     token_seq += 1
 
 
+_TOKEN_COLS = [f.name for f in TOKENS_SCHEMA.fields]
+
+
+def _append_alto_token_cols(doc_id: str, xml_bytes: bytes, out: dict) -> None:
+    """Columnar variant of ``iter_alto_token_rows``: same traversal and
+    values, but appends straight into per-column lists (bound-method
+    locals) — measurably cheaper than one dict per token when a batch
+    holds hundreds of documents."""
+    root = ET.fromstring(xml_bytes)
+    font_tuples = {
+        fid: (
+            f["font_id"], f["font_family"], f["font_size"], f["is_bold"],
+            f["is_italics"], f["is_subscript"], f["is_superscript"],
+        )
+        for fid, f in _parse_fonts(root).items()
+    }
+    empty_font = (EMPTY_FONT_ID, None, None, None, None, None, None)
+    (a_doc, a_page, a_blk, a_line, a_seq, a_text, a_ws, a_fid, a_fam,
+     a_fsz, a_bold, a_ital, a_sub, a_sup, a_x, a_y, a_w, a_h, a_pw,
+     a_ph) = (out[c].append for c in _TOKEN_COLS)
+    token_seq = 0
+    block_id = 0
+    line_id = 0
+    for page_index, page in enumerate(root.iter(f"{ALTO_NS}Page")):
+        page_number = int(page.get("PHYSICAL_IMG_NR") or (1 + page_index))
+        page_width = float(page.get("WIDTH")) if page.get("WIDTH") else None
+        page_height = float(page.get("HEIGHT")) if page.get("HEIGHT") else None
+        for block in page.iter(f"{ALTO_NS}TextBlock"):
+            block_id += 1
+            for line in block.iter(f"{ALTO_NS}TextLine"):
+                strings = list(line.iter(f"{ALTO_NS}String"))
+                if not strings:
+                    continue  # TextLine[alto:String] predicate (parser.py:89)
+                line_id += 1
+                for token_node in strings:
+                    get = token_node.get
+                    fid, fam, fsz, bold, ital, sub, sup = font_tuples.get(
+                        get("STYLEREFS"), empty_font
+                    )
+                    a_doc(doc_id)
+                    a_page(page_number)
+                    a_blk(block_id)
+                    a_line(line_id)
+                    a_seq(token_seq)
+                    a_text(get("CONTENT") or "")
+                    a_ws(" ")
+                    a_fid(fid)
+                    a_fam(fam)
+                    a_fsz(fsz)
+                    a_bold(bold)
+                    a_ital(ital)
+                    a_sub(sub)
+                    a_sup(sup)
+                    a_x(float(get("HPOS", 0)))
+                    a_y(float(get("VPOS", 0)))
+                    a_w(float(get("WIDTH", 0)))
+                    a_h(float(get("HEIGHT", 0)))
+                    a_pw(page_width)
+                    a_ph(page_height)
+                    token_seq += 1
+
+
 def iter_alto_graphic_rows(doc_id: str, xml_bytes: bytes) -> Iterator[dict]:
     root = ET.fromstring(xml_bytes)
     graphic_id = 0
@@ -135,14 +197,15 @@ def read_alto_tokens(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     binary = spark.read.format("binaryFile").load(paths)
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in TOKENS_SCHEMA.fields]
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = list(
-                    iter_alto_token_rows(_doc_id_for_path(row["path"]), row["content"])
-                )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+            # accumulate across documents: ONE pandas frame / Arrow batch
+            # per input batch, not one per document; columnar lists beat
+            # dict-per-token row building
+            data = {c: [] for c in _TOKEN_COLS}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                _append_alto_token_cols(_doc_id_for_path(path_), content, data)
+            if data["doc_id"]:
+                yield pd.DataFrame(data, columns=_TOKEN_COLS)
 
     return binary.select("path", "content").mapInPandas(parse, schema=TOKENS_SCHEMA)
 
@@ -153,12 +216,11 @@ def read_alto_graphics(spark: SparkSession, paths: str | list[str]) -> DataFrame
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in GRAPHICS_SCHEMA.fields]
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = list(
-                    iter_alto_graphic_rows(_doc_id_for_path(row["path"]), row["content"])
-                )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+            rows: list = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(iter_alto_graphic_rows(_doc_id_for_path(path_), content))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return binary.select("path", "content").mapInPandas(parse, schema=GRAPHICS_SCHEMA)
 
@@ -172,16 +234,12 @@ def parse_alto_tokens_df(
     outputs)."""
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in TOKENS_SCHEMA.fields]
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = list(
-                    iter_alto_token_rows(
-                        str(row[id_col]), row[xml_col].encode("utf-8")
-                    )
-                )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+            data = {c: [] for c in _TOKEN_COLS}
+            for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
+                _append_alto_token_cols(str(doc_id), xml.encode("utf-8"), data)
+            if data["doc_id"]:
+                yield pd.DataFrame(data, columns=_TOKEN_COLS)
 
     return df.select(id_col, xml_col).mapInPandas(parse, schema=TOKENS_SCHEMA)
 
@@ -196,13 +254,12 @@ def parse_alto_graphics_df(
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in GRAPHICS_SCHEMA.fields]
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = list(
-                    iter_alto_graphic_rows(
-                        str(row[id_col]), row[xml_col].encode("utf-8")
-                    )
+            rows: list = []
+            for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
+                rows.extend(
+                    iter_alto_graphic_rows(str(doc_id), xml.encode("utf-8"))
                 )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, xml_col).mapInPandas(parse, schema=GRAPHICS_SCHEMA)
