@@ -55,27 +55,42 @@ class FunctionLabelModel:
     def apply(self, tokens: DataFrame) -> DataFrame:
         name, fn = self.name, self.fn
 
-        def label_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("token_seq")
-            labels = list(fn(list(pdf["text"])))
-            # alignment assert (models/model.py:317-327)
-            if len(labels) != len(pdf):
-                raise ValueError(
-                    f"model {name}: {len(labels)} labels for {len(pdf)} tokens"
+        def label_partition(batches):
+            # the reference's batch assembly (models/model.py:207-214) packs
+            # N documents into ONE prediction call; the Spark analog is one
+            # Python roundtrip per PARTITION with a pandas groupby, not one
+            # applyInPandas call per doc. repartition(doc_id) keeps each
+            # document whole within its partition.
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            outs = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                g = g.sort_values("token_seq")
+                labels = list(fn(list(g["text"])))
+                # alignment assert (models/model.py:317-327)
+                if len(labels) != len(g):
+                    raise ValueError(
+                        f"model {name}: {len(labels)} labels for "
+                        f"{len(g)} tokens"
+                    )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": g["doc_id"].values,
+                            "token_seq": g["token_seq"].values,
+                            "model_name": name,
+                            "label": labels,
+                        }
+                    )
                 )
-            return pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "token_seq": pdf["token_seq"].values,
-                    "model_name": name,
-                    "label": labels,
-                }
-            )
+            yield pd.concat(outs, ignore_index=True)
 
         return (
             tokens.select("doc_id", "token_seq", "text")
-            .groupBy("doc_id")
-            .applyInPandas(label_doc, schema=LABELS_OUT_SCHEMA)
+            .repartition("doc_id")
+            .mapInPandas(label_partition, schema=LABELS_OUT_SCHEMA)
         )
 
 
