@@ -181,3 +181,89 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
         (start % F.lit(512)).cast("long").alias("pack_offset"),
     )
+
+
+@register(
+    "q127_name_header_chain",
+    # §3.3's deepest endpoint chains THREE models; with deterministic
+    # relabeling each stage is a filter + window over the previous one:
+    # segmentation (doc-fraction regions) → header (first-8 relabel, keep
+    # <author>) → name (parity relabel) → BIO islands.
+    oracle="WITH " + _TOKENS_CTE + """,
+    seg AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN (token_seq - 1.0)
+                         / count(*) OVER (PARTITION BY doc_id) < 0.3
+                    THEN '<header>' ELSE '<other>' END AS region
+        FROM tokens
+    ),
+    hdr AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 8
+                    THEN '<author>' ELSE '<abstract>' END AS hdr_tag
+        FROM seg WHERE region = '<header>'
+    ),
+    name_in AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<marker>'
+                    WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) % 2 = 1
+                    THEN '<forename>' ELSE '<surname>' END AS tag
+        FROM hdr WHERE hdr_tag = '<author>'
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS b
+        FROM name_in
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    )
+    SELECT doc_id, entity_group, min(tag) AS tag,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(token, ' ' ORDER BY token_seq) AS text
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§3.3 name-header endpoint (service/api/routers/models.py "
+               "chains segmentation → header → name); §2A A14/A15/A16",
+    doc="Three-model chain with deterministic relabeling at each stage — "
+        "every hop is a filter + window over the previous model's "
+        "label-gated view, the cascade's region-gating pattern twice "
+        "nested.",
+)
+def q127_name_header_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.bio import group_bio_entities
+
+    toks = _tokens(spark, sf_dir)
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    header = toks.withColumn(
+        "region",
+        F.when((F.col("token_seq") - 1.0) / n < 0.3, "<header>").otherwise(
+            "<other>"
+        ),
+    ).filter(F.col("region") == "<header>")
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    authors = header.withColumn(
+        "hdr_tag",
+        F.when(F.row_number().over(w) <= 8, "<author>").otherwise(
+            "<abstract>"
+        ),
+    ).filter(F.col("hdr_tag") == "<author>")
+    name_tag = (
+        F.when(F.col("token").rlike("^[0-9]+$"), "<marker>")
+        .when(F.row_number().over(w) % 2 == 1, "<forename>")
+        .otherwise("<surname>")
+    )
+    labeled = authors.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.concat(F.lit("I-"), name_tag).alias("label"),
+    )
+    runs = group_bio_entities(labeled, text_col="text")
+    return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
