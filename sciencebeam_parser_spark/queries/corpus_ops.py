@@ -267,3 +267,69 @@ def q127_name_header_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = group_bio_entities(labeled, text_col="text")
     return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
+
+
+@register(
+    "q128_pii_scrub",
+    # Synthetic PII is injected deterministically (email + URL built from
+    # the doc key) so the redaction path actually fires on every row; the
+    # patterns are RE2-safe (no backrefs/lookahead) so both engines agree.
+    # Spark regexp_replace is global by default; DuckDB needs the 'g' flag.
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id, source,
+               text || ' contact author' || CAST(doc_id AS VARCHAR)
+                    || '@example.org or https://example.org/paper/'
+                    || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    )
+    SELECT doc_id, source,
+           regexp_replace(
+               regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                   '[EMAIL]', 'g'),
+               'https?://[^ ]+', '[URL]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+               AS BIGINT) AS n_urls
+    FROM injected
+    """,
+    survey_ref="north-star training-data pipeline: PII redaction pass "
+               "(engine-general; regexp_replace family per §2B strings)",
+    doc="PII scrub over the corpus: email and URL patterns redacted with "
+        "global regexp_replace, occurrence counts kept for audit — a "
+        "single codegen'd projection, no shuffle, embarrassingly parallel "
+        "at any scale.",
+)
+def q128_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    url_re = "https?://[^ ]+"
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact author"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or https://example.org/paper/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "[EMAIL]"), url_re, "[URL]"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(url_re), 0)).cast("long").alias(
+            "n_urls"
+        ),
+    )
