@@ -169,3 +169,57 @@ def sample_frames(
     return media.select("media_id", "content").mapInPandas(
         sample, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    target: tuple = (224, 224),
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Aspect-fit resize stage: binary → resized binary + dimensions.
+
+    The aspect-fit arithmetic (scale = min(tw/w, th/h), floor, min 1px) is
+    real and cross-engine-checkable; the pixel work is the stubbed kernel
+    (PIL is not in this container). Fake path derives source dimensions and
+    the resized payload from the content hash, exactly like decode_images.
+    """
+    import math
+
+    tw, th = target
+
+    def resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError("PIL not available in this environment")
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(content or b"").digest()
+                w, ht = 64 + h[0], 64 + h[1]
+                scale = min(tw / w, th / ht)
+                ow = max(1, math.floor(w * scale))
+                oh = max(1, math.floor(ht * scale))
+                rows.append((media_id, w, ht, ow, oh, h[4:16]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "out_width", "out_height", "resized",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )

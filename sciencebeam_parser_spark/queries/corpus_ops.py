@@ -333,3 +333,54 @@ def q128_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urls"
         ),
     )
+
+
+@register(
+    "q129_multimodal_resize",
+    # fake source dims from the content hash (as q111); the aspect-fit
+    # arithmetic (min-ratio scale, floor, 1px clamp) is the real semantics
+    # under test and is restated exactly in SQL.
+    oracle="""
+    WITH media AS (
+        SELECT 'm' || doc_id AS media_id, sha256(text) AS h
+        FROM documents
+    ),
+    dims AS (
+        SELECT media_id, h,
+               64 + CAST('0x' || substr(h, 1, 2) AS INT) AS w,
+               64 + CAST('0x' || substr(h, 3, 2) AS INT) AS ht
+        FROM media
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS src_width,
+           CAST(ht AS INT) AS src_height,
+           CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / ht)))
+                AS INT) AS out_width,
+           CAST(greatest(1, floor(ht * least(224.0 / w, 224.0 / ht)))
+                AS INT) AS out_height,
+           substr(h, 9, 24) AS resized_hex
+    FROM dims
+    """,
+    survey_ref="north-star multimodal columns — aspect-fit resize kernel "
+               "(decode/feature-extract/resize/frame-sample family)",
+    doc="The resize mapInPandas stage end-to-end with the deterministic "
+        "fake decoder: hash-derived source dims, real aspect-fit math "
+        "(min-ratio scale, floor, 1px clamp), sha256-slice payload.",
+)
+def q129_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import resize_images
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    resized = resize_images(media, target=(224, 224), use_fake_decoder=True)
+    return resized.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    )

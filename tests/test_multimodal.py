@@ -76,3 +76,33 @@ class TestFrameSampling:
         assert len(out) == 3
         assert [r["frame_index"] for r in sorted(out, key=lambda r: r["frame_index"])] == [0, 1, 2]
         assert out[0]["frame_ts_ms"] == 0 and len(out[0]["frame"]) == 8
+
+
+class TestResize:
+    def test_aspect_fit_and_clamp(self, spark):
+        from sciencebeam_parser_spark.operators.multimodal import resize_images
+
+        media = spark.createDataFrame(
+            [("m1", b"payload")], "media_id string, content binary"
+        )
+        row = resize_images(media, target=(100, 100), use_fake_decoder=True).collect()[0]
+        import hashlib, math
+        h = hashlib.sha256(b"payload").digest()
+        w, ht = 64 + h[0], 64 + h[1]
+        scale = min(100 / w, 100 / ht)
+        assert (row.src_width, row.src_height) == (w, ht)
+        assert row.out_width == max(1, math.floor(w * scale))
+        assert row.out_height == max(1, math.floor(ht * scale))
+        assert max(row.out_width, row.out_height) == 100
+        assert bytes(row.resized) == h[4:16]
+
+    def test_real_path_is_stubbed(self, spark):
+        from sciencebeam_parser_spark.operators.multimodal import resize_images
+
+        media = spark.createDataFrame(
+            [("m1", b"x")], "media_id string, content binary"
+        )
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        with _pytest.raises(Exception):
+            resize_images(media).collect()
