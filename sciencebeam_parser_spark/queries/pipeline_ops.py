@@ -95,11 +95,13 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
     )
     # Deliberately NOT cached: since the single-projection stack unpivot,
     # ReuseExchange dedups the repeated fixture subtrees across the
-    # cascade's branches, and forcing an InMemoryRelation here blocks that
-    # reuse — measured 2× slower at sf0.1 (cascade 19.9 s vs 10.2 s, TEI
-    # sink 28.2 s vs 13.7 s). The cascade's own entities cache
+    # cascade's branches, so an InMemoryRelation here is redundant —
+    # interleaved warm A/B at sf0.1 measures cached vs uncached within
+    # noise (±10%), and skipping materialization is strictly better for
+    # memory at scale. The cascade's own entities cache
     # (CascadeConfig.cache_entities) stays: pandas-UDF consumers get no
-    # exchange reuse.
+    # exchange reuse. (The XML-building consumers q88/q90 swing ~2× run
+    # to run from Python-worker GC state — time them twice.)
     return toks.drop("_seg"), labels
 
 
