@@ -2,12 +2,13 @@
 (A16), TEI/JATS sinks (A29), gazetteer membership (A7 lookup), and
 training-data generation (A30) as registered queries.
 
-The cascade/name-fold/sink queries are genuinely non-SQL-expressible
-(stateful lookahead folds, XML assembly), so they register without an
-oracle — the driver records the weaker rows-only check for them, as the
-contract allows. The affiliation and reference-segmenter folds DO carry
-oracles: on their single-token-run fixtures the state collapses to window
-algebra. Gazetteer membership is plainly relational (broadcast join).
+The cascade and sink queries are genuinely non-SQL-expressible (multi-model
+DAG, XML assembly), so they register without an oracle — the driver records
+the weaker rows-only check for them, as the contract allows. All THREE
+stateful grammar folds (name, affiliation, reference-segmenter) DO carry
+oracles: on their fixtures the state collapses to window algebra (the
+fixture shapes gate off the non-relational branches, which stay covered by
+ported unit tests). Gazetteer membership is plainly relational.
 
 All derive deterministic fixtures from the `documents` table: tokens by
 whitespace tokenization (same as docpipe), mock model labels from token
@@ -160,7 +161,37 @@ def q88_fulltext_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_extract_author_names",
-    oracle=None,  # stateful lookahead fold: rows-only
+    # The name fold's hairy branches (marker splitting, after-comma split,
+    # tail markers, 2-letter given names) are all gated on token shapes the
+    # synthetic vocabulary provably lacks (all-lowercase alpha words, no
+    # digits/commas/uppercase in the fixture window — verified at sf0.01).
+    # On this data the fold reduces to greedy (forename, surname) pairing:
+    # split on the second forename, title-case valid parts, demote a
+    # trailing lone forename (odd token count) to an invalid note. That IS
+    # window algebra, so the query carries a full oracle; the general fold
+    # still runs on the Spark side and is unit-tested on the hairy branches
+    # in test_extract_grammars.py.
+    oracle="WITH " + _TOKENS_CTE + """,
+    named AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               CAST((token_seq - 1) // 2 AS INT) AS name_seq,
+               CAST((token_seq - 1) % 2 AS INT) AS part_seq,
+               count(*) OVER (
+                   PARTITION BY doc_id, (token_seq - 1) // 2) AS pair_n
+        FROM tokens
+        WHERE token_seq <= 12
+    )
+    SELECT doc_id, name_seq,
+           CASE WHEN pair_n = 1 THEN 0 ELSE part_seq END AS part_seq,
+           CASE WHEN pair_n = 1 THEN 'invalid_author_name'
+                WHEN part_seq = 0 THEN 'given_name'
+                ELSE 'surname' END AS part_type,
+           CASE WHEN pair_n = 1 THEN token
+                ELSE upper(substr(token, 1, 1)) || substr(token, 2)
+                END AS text,
+           CASE WHEN pair_n = 1 THEN 'false' ELSE 'true' END AS is_valid
+    FROM named
+    """,
     survey_ref="§2A A16 name grammar (models/name/extract.py:126-193)",
     doc="Name-model fold over deterministic tag runs: alternating forename/"
         "surname tokens with numeric markers; splits on second forename, "
