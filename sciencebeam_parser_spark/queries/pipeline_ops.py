@@ -143,7 +143,110 @@ def q87_gazetteer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_fulltext_cascade",
-    oracle=None,  # config-gated multi-model DAG + stateful folds: rows-only
+    # The cascade became fully relational once the stateful folds moved to
+    # their own queries, so the flagship gets a full oracle: mock labels
+    # (doc-fraction regions + shape rules), per-(doc,model) BIO islands,
+    # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
+    # left join (provably empty on this vocabulary — no marker tags arise,
+    # so target_content_id is NULL everywhere, exactly as Spark computes),
+    # and the per-doc validity gate.
+    oracle="WITH " + _TOKENS_CTE + """,
+    base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens
+    ),
+    seg AS (
+        SELECT *, CASE WHEN (token_seq - 1.0) / n < 0.3 THEN 'front'
+                       WHEN (token_seq - 1.0) / n >= 0.7 THEN 'back'
+                       ELSE 'body' END AS region
+        FROM base
+    ),
+    labeled AS (
+        SELECT doc_id, token_seq, 'header' AS model_name,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 3
+                    THEN '<title>' ELSE '<abstract>' END AS tag
+        FROM seg WHERE region = 'front'
+        UNION ALL
+        SELECT doc_id, token_seq, 'fulltext',
+               CASE WHEN len(token) >= 8 THEN '<section>'
+                    ELSE '<paragraph>' END
+        FROM seg WHERE region = 'body'
+        UNION ALL
+        SELECT doc_id, token_seq, 'reference_segmenter',
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<label>'
+                    ELSE '<reference>' END
+        FROM seg WHERE region = 'back'
+        UNION ALL
+        SELECT doc_id, token_seq, 'citation',
+               CASE WHEN regexp_matches(token, '^[A-Z]') THEN '<author>'
+                    WHEN regexp_matches(token, '^[0-9]{4}$') THEN '<date>'
+                    ELSE '<title>' END
+        FROM seg WHERE region = 'back'
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS b
+        FROM labeled
+        WINDOW w AS (PARTITION BY doc_id, model_name ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id, model_name ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    ),
+    ents AS (
+        SELECT doc_id, model_name, entity_group, min(tag) AS tag,
+               min(token_seq) AS token_start,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM grouped GROUP BY doc_id, model_name, entity_group
+    ),
+    typed AS (
+        SELECT doc_id, model_name, entity_group,
+               CASE model_name
+                 WHEN 'header' THEN
+                   CASE tag WHEN '<title>' THEN 'title' ELSE 'abstract' END
+                 WHEN 'fulltext' THEN
+                   CASE tag WHEN '<section>' THEN 'heading'
+                            ELSE 'paragraph' END
+                 WHEN 'reference_segmenter' THEN
+                   CASE tag WHEN '<label>' THEN 'reference_label'
+                            ELSE 'raw_reference_text' END
+                 ELSE
+                   CASE tag WHEN '<author>' THEN 'raw_authors'
+                            WHEN '<date>' THEN 'date'
+                            ELSE 'title' END
+               END AS entity_type,
+               CASE model_name WHEN 'header' THEN 'front'
+                               WHEN 'fulltext' THEN 'body'
+                               ELSE 'back' END AS region,
+               token_start, n_tokens
+        FROM ents
+    ),
+    with_ids AS (
+        SELECT *, CASE WHEN entity_type = 'raw_reference_text'
+                 THEN 'b' || CAST(row_number() OVER (
+                          PARTITION BY doc_id,
+                              (entity_type = 'raw_reference_text')
+                          ORDER BY token_start) - 1 AS VARCHAR)
+                 END AS content_id
+        FROM typed
+    ),
+    valid_docs AS (
+        SELECT DISTINCT doc_id FROM typed
+        WHERE entity_type IN ('title', 'journal', 'raw_authors',
+                              'raw_editors', 'external_identifier',
+                              'external_url')
+    )
+    SELECT e.doc_id, e.model_name, e.entity_group, e.entity_type, e.region,
+           e.n_tokens, e.content_id,
+           CAST(NULL AS VARCHAR) AS target_content_id,
+           CASE WHEN e.entity_type = 'raw_reference_text'
+                THEN (v.doc_id IS NOT NULL) END AS is_valid_reference
+    FROM with_ids e LEFT JOIN valid_docs v ON e.doc_id = v.doc_id
+    """,
     survey_ref="§2A A28 cascade + A14/A15/A16/A17/A18/A19/A20",
     doc="The full mock-label fulltext cascade: segmentation filter → "
         "header/fulltext/citation models → BIO entities → scalar enrichment "
