@@ -2,13 +2,12 @@
 (A16), TEI/JATS sinks (A29), gazetteer membership (A7 lookup), and
 training-data generation (A30) as registered queries.
 
-The cascade and sink queries are genuinely non-SQL-expressible (multi-model
-DAG, XML assembly), so they register without an oracle — the driver records
-the weaker rows-only check for them, as the contract allows. All THREE
-stateful grammar folds (name, affiliation, reference-segmenter) DO carry
-oracles: on their fixtures the state collapses to window algebra (the
-fixture shapes gate off the non-relational branches, which stay covered by
-ported unit tests). Gazetteer membership is plainly relational.
+Every query here carries a full DuckDB oracle except the TEI/JATS sink
+(q90) — byte-exact XML assembly is genuinely non-SQL-expressible, so it
+registers rows-only as the contract allows. The three stateful grammar
+folds and the full cascade collapse to window algebra on their fixtures
+(the fixture shapes gate off the non-relational branches, which stay
+covered by ported unit tests).
 
 All derive deterministic fixtures from the `documents` table: tokens by
 whitespace tokenization (same as docpipe), mock model labels from token
@@ -347,7 +346,96 @@ def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q91_training_data_lines",
-    oracle=None,  # 19-feature projection exercised; data-line join format rows-only
+    # the full generic data_line restated: 19 feature columns over the
+    # synthesized layout (line = seq//8, block = seq//40, font size cycles
+    # 10+seq%3) + the segmentation label join, space-joined in the exact
+    # DEFAULT_FEATURE_COLUMNS order.
+    oracle="WITH " + _TOKENS_CTE + """,
+    base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n,
+               token_seq // 8 AS line_id,
+               token_seq // 40 AS block_id,
+               10 + token_seq % 3 AS fsz
+        FROM tokens
+    ),
+    fx AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY doc_id, line_id
+                                  ORDER BY token_seq) AS rn_line,
+               row_number() OVER (PARTITION BY doc_id, line_id
+                                  ORDER BY token_seq DESC) AS rn_line_d,
+               dense_rank() OVER (PARTITION BY doc_id, block_id
+                                  ORDER BY line_id) AS lib,
+               lag(fsz) OVER (PARTITION BY doc_id
+                              ORDER BY token_seq) AS prev_sz,
+               lag(token_seq) OVER (PARTITION BY doc_id
+                                    ORDER BY token_seq) AS prev_seq,
+               max(fsz) OVER (PARTITION BY doc_id) AS max_sz,
+               min(fsz) OVER (PARTITION BY doc_id) AS min_sz,
+               avg(fsz) OVER (PARTITION BY doc_id) AS avg_sz
+        FROM base
+    ),
+    fx2 AS (
+        SELECT *,
+               CASE WHEN rn_line = 1 THEN 'LINESTART'
+                    WHEN rn_line_d = 1 THEN 'LINEEND'
+                    ELSE 'LINEIN' END AS line_status,
+               max(lib) OVER (PARTITION BY doc_id, block_id) AS n_lib
+        FROM fx
+    )
+    SELECT doc_id, token_seq,
+           concat_ws(' ', token,
+               substr(token, 1, 1), substr(token, 1, 2),
+               substr(token, 1, 3), substr(token, 1, 4),
+               CASE WHEN len(token) <= 1 THEN token
+                    ELSE substr(token, len(token), 1) END,
+               CASE WHEN len(token) <= 2 THEN token
+                    ELSE substr(token, len(token) - 1, 2) END,
+               CASE WHEN len(token) <= 3 THEN token
+                    ELSE substr(token, len(token) - 2, 3) END,
+               CASE WHEN len(token) <= 4 THEN token
+                    ELSE substr(token, len(token) - 3, 4) END,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN 'ALLDIGIT'
+                    WHEN regexp_matches(token, '[0-9]') THEN 'CONTAINSDIGITS'
+                    ELSE 'NODIGIT' END,
+               CASE WHEN len(token) > 0
+                         AND NOT regexp_matches(token, '[a-z]') THEN 'ALLCAP'
+                    WHEN regexp_matches(token, '^[A-Z]') THEN 'INITCAP'
+                    ELSE 'NOCAPS' END,
+               CASE WHEN token IN ('(', '[') THEN 'OPENBRACKET'
+                    WHEN token IN (')', ']') THEN 'ENDBRACKET'
+                    WHEN token = '.' THEN 'DOT'
+                    WHEN token = ',' THEN 'COMMA'
+                    WHEN token IN ('-', '–') THEN 'HYPHEN'
+                    WHEN token IN ('"', '''', '`', '’') THEN 'QUOTE'
+                    WHEN regexp_matches(token, '^[,:;?.]+$') THEN 'PUNCT'
+                    ELSE 'NOPUNCT' END,
+               line_status,
+               CASE WHEN lib = 1 AND line_status = 'LINESTART'
+                    THEN 'BLOCKSTART'
+                    WHEN lib = n_lib AND line_status = 'LINEEND'
+                    THEN 'BLOCKEND'
+                    ELSE 'BLOCKIN' END,
+               CASE WHEN prev_seq IS NULL THEN 'NEWFONT'
+                    ELSE 'SAMEFONT' END,
+               CASE WHEN prev_seq IS NULL OR prev_sz < fsz
+                    THEN 'HIGHERFONT'
+                    WHEN prev_sz > fsz THEN 'LOWERFONT'
+                    ELSE 'SAMEFONTSIZE' END,
+               CAST(fsz = max_sz AS VARCHAR),
+               CAST(fsz = min_sz AS VARCHAR),
+               CAST(fsz > avg_sz AS VARCHAR),
+               CAST(CASE WHEN token_seq - 1 <= 0 THEN 0
+                         ELSE CAST(floor((token_seq - 1) * 1.0 / n * 10)
+                                   AS INT) END AS VARCHAR),
+               'I-' || CASE WHEN (token_seq - 1.0) / n < 0.3 THEN '<header>'
+                            WHEN (token_seq - 1.0) / n >= 0.7
+                            THEN '<references>'
+                            ELSE '<body>' END
+           ) AS data_line
+    FROM fx2
+    """,
     survey_ref="§2A A30 training-data generation; A7 feature columns",
     doc="Per-token CRF data lines (text + 19 features + label) over "
         "synthesized layout columns — the generate_data.py ETL re-expressed "
