@@ -140,16 +140,9 @@ def q87_gazetteer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "token_seq", "token", "is_nation")
 
 
-@register(
-    "q88_fulltext_cascade",
-    # The cascade became fully relational once the stateful folds moved to
-    # their own queries, so the flagship gets a full oracle: mock labels
-    # (doc-fraction regions + shape rules), per-(doc,model) BIO islands,
-    # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
-    # left join (provably empty on this vocabulary — no marker tags arise,
-    # so target_content_id is NULL everywhere, exactly as Spark computes),
-    # and the per-doc validity gate.
-    oracle="WITH " + _TOKENS_CTE + """,
+# shared cascade-oracle CTEs (through the `typed` entity relation) — used
+# by the q88 flagship oracle AND the q130 TEI structural round-trip
+_CASCADE_TYPED_SQL = _TOKENS_CTE + """,
     base AS (
         SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
                count(*) OVER (PARTITION BY doc_id) AS n
@@ -224,6 +217,19 @@ def q87_gazetteer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                token_start, n_tokens
         FROM ents
     ),
+"""
+
+
+@register(
+    "q88_fulltext_cascade",
+    # The cascade became fully relational once the stateful folds moved to
+    # their own queries, so the flagship gets a full oracle: mock labels
+    # (doc-fraction regions + shape rules), per-(doc,model) BIO islands,
+    # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
+    # left join (provably empty on this vocabulary — no marker tags arise,
+    # so target_content_id is NULL everywhere, exactly as Spark computes),
+    # and the per-doc validity gate.
+    oracle="WITH " + _CASCADE_TYPED_SQL + """
     with_ids AS (
         SELECT *, CASE WHEN entity_type = 'raw_reference_text'
                  THEN 'b' || CAST(row_number() OVER (
@@ -969,3 +975,101 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n</p>\n</xml>"),
         ).alias("xml")
     )
+
+
+@register(
+    "q130_tei_structure_roundtrip",
+    # A29 gets a REAL oracle via structure: build the TEI per doc, parse it
+    # back, count elements by local name — the counts are predicted
+    # relationally from the cascade's typed-entity relation (skeleton
+    # elements once; title per title entity; div = headings + the
+    # references div; p = abstracts + paragraphs; biblStruct + note per
+    # raw reference; no figure/ref/citation elements arise on this
+    # vocabulary).
+    oracle="WITH " + _CASCADE_TYPED_SQL + """
+    agg AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE entity_type = 'title') AS n_title,
+               count(*) FILTER (WHERE entity_type = 'abstract')
+                   AS n_abstract,
+               count(*) FILTER (WHERE entity_type = 'heading') AS n_heading,
+               count(*) FILTER (WHERE entity_type = 'paragraph') AS n_par,
+               count(*) FILTER (WHERE entity_type = 'raw_reference_text')
+                   AS n_ref,
+               count(*) FILTER (WHERE entity_type NOT IN
+                   ('title', 'abstract', 'heading', 'paragraph',
+                    'raw_reference_text')) AS n_other
+        FROM typed GROUP BY doc_id
+    )
+    SELECT doc_id, element, CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id, unnest(['TEI', 'teiHeader', 'fileDesc', 'titleStmt',
+                               'profileDesc', 'text', 'body', 'back'])
+                   AS element,
+               1 AS n_elements
+        FROM agg
+        UNION ALL
+        SELECT doc_id, 'title', n_title FROM agg WHERE n_title > 0
+        UNION ALL
+        SELECT doc_id, 'abstract', n_abstract FROM agg WHERE n_abstract > 0
+        UNION ALL
+        SELECT doc_id, 'p', n_abstract + n_par FROM agg
+        WHERE n_abstract + n_par > 0
+        UNION ALL
+        SELECT doc_id, 'div',
+               n_heading + CASE WHEN n_ref > 0 THEN 1 ELSE 0 END
+        FROM agg WHERE n_heading + CASE WHEN n_ref > 0 THEN 1 ELSE 0 END > 0
+        UNION ALL
+        SELECT doc_id, 'head', n_heading FROM agg WHERE n_heading > 0
+        UNION ALL
+        SELECT doc_id, 'listBibl', 1 FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'biblStruct', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'note', n_ref + n_other FROM agg
+        WHERE n_ref + n_other > 0
+    )
+    """,
+    survey_ref="§2A A29 TEI serialization — structural round-trip (build "
+               "per-doc TEI, parse back, count elements; tei_document.py:"
+               "47-165 structure)",
+    doc="TEI sink verified structurally: the XML is built by the real "
+        "mapInPandas sink, re-parsed, and its element histogram matches "
+        "the relational prediction from the cascade's entity relation.",
+)
+def q130_tei_structure_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import xml.etree.ElementTree as ET
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    ents = run_fulltext_cascade(toks, labels)
+    tei = entities_to_tei(ents)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("element", T.StringType()),
+            T.StructField("n_elements", T.LongType()),
+        ]
+    )
+
+    def count_elements(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
+                counts = Counter(
+                    el.tag.rsplit("}", 1)[-1]
+                    for el in ET.fromstring(xml).iter()
+                )
+                rows.extend((doc_id, tag, n) for tag, n in counts.items())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "element", "n_elements"]
+                )
+
+    return tei.mapInPandas(count_elements, schema=schema)
