@@ -1073,3 +1073,93 @@ def q130_tei_structure_roundtrip(
                 )
 
     return tei.mapInPandas(count_elements, schema=schema)
+
+
+@register(
+    "q131_jats_structure_roundtrip",
+    # the JATS half of A29 verified the same way as q130: skeleton once per
+    # doc; article-title per title entity; abstract + its p; every TEI
+    # paragraph becomes a JATS p whether sec-wrapped or not; sec/title per
+    # heading; ref-list once + ref/mixed-citation per raw reference.
+    oracle="WITH " + _CASCADE_TYPED_SQL + """
+    agg AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE entity_type = 'title') AS n_title,
+               count(*) FILTER (WHERE entity_type = 'abstract')
+                   AS n_abstract,
+               count(*) FILTER (WHERE entity_type = 'heading') AS n_heading,
+               count(*) FILTER (WHERE entity_type = 'paragraph') AS n_par,
+               count(*) FILTER (WHERE entity_type = 'raw_reference_text')
+                   AS n_ref
+        FROM typed GROUP BY doc_id
+    )
+    SELECT doc_id, element, CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id,
+               unnest(['article', 'front', 'article-meta', 'title-group',
+                       'body', 'back']) AS element,
+               1 AS n_elements
+        FROM agg
+        UNION ALL
+        SELECT doc_id, 'article-title', n_title FROM agg WHERE n_title > 0
+        UNION ALL
+        SELECT doc_id, 'abstract', n_abstract FROM agg WHERE n_abstract > 0
+        UNION ALL
+        SELECT doc_id, 'p', n_abstract + n_par FROM agg
+        WHERE n_abstract + n_par > 0
+        UNION ALL
+        SELECT doc_id, 'sec', n_heading FROM agg WHERE n_heading > 0
+        UNION ALL
+        SELECT doc_id, 'title', n_heading FROM agg WHERE n_heading > 0
+        UNION ALL
+        SELECT doc_id, 'ref-list', 1 FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'ref', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'mixed-citation', n_ref FROM agg WHERE n_ref > 0
+    )
+    """,
+    survey_ref="§2A A29 TEI→JATS transform — structural round-trip "
+               "(tei-to-jats.xsl mappings re-implemented in sinks/jats.py)",
+    doc="JATS sink verified structurally: TEI → JATS via the real "
+        "mapInPandas transform, re-parsed, element histogram matched "
+        "against the relational prediction.",
+)
+def q131_jats_structure_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import xml.etree.ElementTree as ET
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    ents = run_fulltext_cascade(toks, labels)
+    both = tei_with_jats(entities_to_tei(ents))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("element", T.StringType()),
+            T.StructField("n_elements", T.LongType()),
+        ]
+    )
+
+    def count_elements(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["jats_xml"]):
+                counts = Counter(
+                    el.tag.rsplit("}", 1)[-1]
+                    for el in ET.fromstring(xml).iter()
+                )
+                rows.extend((doc_id, tag, n) for tag, n in counts.items())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "element", "n_elements"]
+                )
+
+    return both.select("doc_id", "jats_xml").mapInPandas(
+        count_elements, schema=schema
+    )
