@@ -376,3 +376,31 @@ def merged_bbox_agg(df: DataFrame, *group_cols: str) -> DataFrame:
         (F.max(F.col("y") + F.col("height")) - F.min("y")).alias("height"),
         F.count("*").cast("long").alias("n_boxes"),
     )
+
+
+def chain_graphic_matchers(graphics: DataFrame, stages) -> DataFrame:
+    """A21's matcher chain (graphic_matching.py:54-94
+    ``ChainedGraphicMatcher``): each stage sees only the graphics every
+    earlier stage failed to match, and its matches are tagged with the
+    stage name.
+
+    ``stages``: sequence of (name, fn) where fn(remaining_graphics) returns
+    (doc_id, graphic_id, content_id). The remainder is an anti-join on the
+    accumulated matches — at scale each round is one equi-anti-join keyed
+    on (doc_id, graphic_id), and the chain length is a small constant (the
+    reference chains 3 matchers).
+    """
+    matched = None
+    remaining = graphics
+    for name, fn in stages:
+        m = fn(remaining).select(
+            "doc_id", "graphic_id", "content_id",
+            F.lit(name).alias("match_stage"),
+        )
+        matched = m if matched is None else matched.unionByName(m)
+        remaining = remaining.join(
+            m.select("doc_id", "graphic_id"),
+            ["doc_id", "graphic_id"],
+            "left_anti",
+        )
+    return matched

@@ -9,7 +9,7 @@ ranking.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.operators.graphic_matching import (
@@ -267,4 +267,128 @@ def q96_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mask_tokens_by_boxes(tokens, boxes).select(
         "doc_id", "page_number", "token_seq"
+    )
+
+
+@register(
+    "q132_graphic_match_chain",
+    # stage 1 = q94's spatial nearest assignment; stage 2 runs ONLY on the
+    # anti-join remainder (svg graphics and out-of-threshold boxes) and
+    # matches on the figure-label number extracted by regex from the
+    # synthesized block text, first candidate (min content_id) winning.
+    oracle="WITH " + _BOX_FIXTURE_SQL + """,
+    pairs AS (
+        SELECT g.doc_id, g.graphic_id, c.content_id,
+               sqrt(
+                   pow(greatest(0.0, c.nx - (g.nx + g.nw), g.nx - (c.nx + c.nw)), 2)
+                 + pow(greatest(0.0, c.ny - (g.ny + g.nh), g.ny - (c.ny + c.nh)), 2)
+               ) AS distance
+        FROM graphics g JOIN candidates c ON g.doc_id = c.doc_id
+        WHERE g.graphic_type <> 'svg'
+    ),
+    best_g AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, graphic_id
+            ORDER BY distance ASC, content_id ASC) AS rn
+        FROM pairs WHERE distance < 0.3
+    ),
+    best_c AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, content_id
+            ORDER BY distance ASC, graphic_id ASC) AS rc
+        FROM best_g WHERE rn = 1
+    ),
+    spatial AS (
+        SELECT doc_id, graphic_id, content_id FROM best_c WHERE rc = 1
+    ),
+    rem AS (
+        SELECT g.doc_id, g.graphic_id,
+               'Figure ' || CAST(g.graphic_id % 50 AS VARCHAR) AS block_text
+        FROM graphics g LEFT JOIN spatial s
+          ON g.doc_id = s.doc_id AND g.graphic_id = s.graphic_id
+        WHERE s.content_id IS NULL
+    ),
+    label_pairs AS (
+        SELECT r.doc_id, r.graphic_id, c.content_id,
+               row_number() OVER (
+                   PARTITION BY r.doc_id, r.graphic_id
+                   ORDER BY c.content_id) AS rn
+        FROM rem r JOIN (
+            SELECT doc_id, content_id,
+                   'Figure ' || CAST(CAST(substr(content_id, 5) AS INT) % 50
+                                     AS VARCHAR) AS fig_label
+            FROM candidates
+        ) c ON r.doc_id = c.doc_id
+           AND CAST(regexp_extract(r.block_text, 'Figure ([0-9]+)', 1)
+                    AS INT)
+             = CAST(regexp_extract(c.fig_label, 'Figure ([0-9]+)', 1)
+                    AS INT)
+    )
+    SELECT doc_id, graphic_id, content_id, 'spatial' AS match_stage
+    FROM spatial
+    UNION ALL
+    SELECT doc_id, graphic_id, content_id, 'label'
+    FROM label_pairs WHERE rn = 1
+    """,
+    survey_ref="§2A A21 matcher chain (graphic_matching.py:54-94 chained "
+               "over unmatched remainder; label regex matcher ~:250-400); "
+               "§2B left-anti join",
+    doc="Two-stage matcher chain: spatial nearest assignment, then a "
+        "figure-label regex match over the anti-join remainder — each "
+        "round one equi-anti-join on (doc_id, graphic_id).",
+)
+def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.graphic_matching import (
+        chain_graphic_matchers,
+    )
+
+    graphics = _graphics(spark, sf_dir)
+    candidates = _candidates(spark, sf_dir)
+
+    def spatial(remaining):
+        return nearest_candidate_match(remaining, candidates).select(
+            "doc_id", "graphic_id", "content_id"
+        )
+
+    labeled_cands = candidates.select(
+        "doc_id",
+        "content_id",
+        F.concat(
+            F.lit("Figure "),
+            (F.substring("content_id", 5, 1000).cast("int") % 50).cast(
+                "string"
+            ),
+        ).alias("fig_label"),
+    ).withColumn(
+        "fig_num",
+        F.regexp_extract("fig_label", r"Figure ([0-9]+)", 1).cast("int"),
+    )
+
+    def label_match(remaining):
+        rem = remaining.select(
+            "doc_id",
+            "graphic_id",
+            F.concat(
+                F.lit("Figure "), (F.col("graphic_id") % 50).cast("string")
+            ).alias("block_text"),
+        ).withColumn(
+            "blk_num",
+            F.regexp_extract("block_text", r"Figure ([0-9]+)", 1).cast("int"),
+        )
+        pairs = rem.join(
+            labeled_cands,
+            (rem["doc_id"] == labeled_cands["doc_id"])
+            & (rem["blk_num"] == labeled_cands["fig_num"]),
+        ).select(
+            rem["doc_id"], "graphic_id", "content_id"
+        )
+        w = W.partitionBy("doc_id", "graphic_id").orderBy("content_id")
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    return chain_graphic_matchers(
+        graphics, [("spatial", spatial), ("label", label_match)]
     )

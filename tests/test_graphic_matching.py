@@ -150,3 +150,41 @@ class TestMaskTokens:
         )
         out = [r["text"] for r in mask_tokens_by_boxes(tokens, boxes).collect()]
         assert out == ["out"]
+
+
+class TestMatcherChain:
+    def test_later_stage_sees_only_remainder(self, spark):
+        from sciencebeam_parser_spark.operators.graphic_matching import (
+            chain_graphic_matchers,
+        )
+
+        graphics = spark.createDataFrame(
+            [("d1", 1), ("d1", 2), ("d1", 3)],
+            "doc_id string, graphic_id int",
+        )
+
+        def stage1(remaining):
+            return remaining.filter(F.col("graphic_id") == 1).select(
+                "doc_id", "graphic_id", F.lit("c1").alias("content_id")
+            )
+
+        seen = {}
+
+        def stage2(remaining):
+            seen["ids"] = sorted(
+                r.graphic_id for r in remaining.select("graphic_id").collect()
+            )
+            return remaining.filter(F.col("graphic_id") == 2).select(
+                "doc_id", "graphic_id", F.lit("c2").alias("content_id")
+            )
+
+        out = chain_graphic_matchers(
+            graphics, [("s1", stage1), ("s2", stage2)]
+        ).collect()
+        # ChainedGraphicMatcher semantics (graphic_matching.py:74-94):
+        # stage 2 only sees what stage 1 left unmatched; unmatched graphics
+        # appear in no stage's output
+        assert seen["ids"] == [2, 3]
+        assert {(r.graphic_id, r.match_stage) for r in out} == {
+            (1, "s1"), (2, "s2")
+        }
