@@ -392,3 +392,80 @@ def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain_graphic_matchers(
         graphics, [("spatial", spatial), ("label", label_match)]
     )
+
+
+@register(
+    "q133_cv_box_dedup",
+    # CV boxes and existing graphics synthesized from part keys on a
+    # 4-page grid; a CV box is dropped iff some existing graphic on the
+    # same (doc, page) overlaps with intersection/larger-area >= 0.80 —
+    # exact rational arithmetic (2-dp grid) so both engines agree.
+    oracle="""
+    WITH cv AS (
+        SELECT CAST(p_partkey % 25 AS BIGINT) AS doc_id,
+               CAST(p_partkey % 4 AS INT) AS page_number,
+               (p_partkey % 50) / 100.0 AS x,
+               (p_partkey % 40) / 100.0 AS y,
+               0.20 AS width, 0.20 AS height
+        FROM part WHERE p_partkey % 2 = 0
+    ),
+    ex AS (
+        SELECT CAST(p_partkey % 25 AS BIGINT) AS doc_id,
+               CAST(p_partkey % 4 AS INT) AS page_number,
+               (p_partkey % 48) / 100.0 AS x,
+               (p_partkey % 44) / 100.0 AS y,
+               0.20 AS width, 0.20 AS height
+        FROM part WHERE p_partkey % 2 = 1
+    ),
+    dup_keys AS (
+        SELECT DISTINCT c.doc_id, c.page_number, c.x, c.y, c.width, c.height
+        FROM cv c JOIN ex e
+          ON c.doc_id = e.doc_id AND c.page_number = e.page_number
+        WHERE CASE WHEN greatest(c.width * c.height, e.width * e.height) = 0.0
+                   THEN 0.0
+                   ELSE greatest(0.0, least(c.x + c.width, e.x + e.width)
+                                      - greatest(c.x, e.x))
+                      * greatest(0.0, least(c.y + c.height, e.y + e.height)
+                                      - greatest(c.y, e.y))
+                      / greatest(c.width * c.height, e.width * e.height)
+              END >= 0.80
+    )
+    SELECT c.doc_id, c.page_number, c.x, c.y
+    FROM cv c LEFT JOIN dup_keys d
+      ON c.doc_id = d.doc_id AND c.page_number = d.page_number
+         AND c.x = d.x AND c.y = d.y AND c.width = d.width
+         AND c.height = d.height
+    WHERE d.doc_id IS NULL
+    """,
+    survey_ref="§2A A24 CV box IoU dedup (processors/cv_graphic_provider"
+               ".py:38-66, threshold 0.80); §2B theta + left-anti join",
+    doc="CV-box dedup against existing graphics: per-(doc,page) overlap "
+        "join with intersection/larger-area ratio, anti-join survivors — "
+        "the page key bounds the join, per-page box counts stay tiny at "
+        "any corpus size.",
+)
+def q133_cv_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.graphic_matching import (
+        dedup_cv_boxes,
+    )
+
+    p = table(spark, sf_dir, "part")
+    cv = p.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") % 25).cast("long").alias("doc_id"),
+        (F.col("p_partkey") % 4).cast("int").alias("page_number"),
+        ((F.col("p_partkey") % 50) / F.lit(100.0)).alias("x"),
+        ((F.col("p_partkey") % 40) / F.lit(100.0)).alias("y"),
+        F.lit(0.20).alias("width"),
+        F.lit(0.20).alias("height"),
+    )
+    ex = p.filter(F.col("p_partkey") % 2 == 1).select(
+        (F.col("p_partkey") % 25).cast("long").alias("doc_id"),
+        (F.col("p_partkey") % 4).cast("int").alias("page_number"),
+        ((F.col("p_partkey") % 48) / F.lit(100.0)).alias("x"),
+        ((F.col("p_partkey") % 44) / F.lit(100.0)).alias("y"),
+        F.lit(0.20).alias("width"),
+        F.lit(0.20).alias("height"),
+    )
+    return dedup_cv_boxes(cv, ex, threshold=0.80).select(
+        "doc_id", "page_number", "x", "y"
+    )
