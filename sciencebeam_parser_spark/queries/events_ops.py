@@ -186,3 +186,85 @@ def q55_event_rate_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_Q134_RUNS = 0
+
+
+@register(
+    "q134_streaming_tumbling_window",
+    # REAL Structured Streaming on the driver surface: readStream over the
+    # events parquet, tumbling-window aggregation, availableNow trigger
+    # into a memory sink — and the result hash-matches the SAME DuckDB
+    # oracle as the batch q50, demonstrating Spark's stream/batch
+    # unification (identical logical semantics, incremental execution).
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2B streaming (tumbling window agg over readStream, "
+               "availableNow trigger, memory sink) — the engine-general "
+               "streaming surface the north star requires",
+    doc="The q50 aggregation executed as an actual streaming query: file "
+        "stream source → window agg (stateful) → complete-mode memory "
+        "sink; availableNow processes all available data then stops, so "
+        "the driver can collect a finished result.",
+)
+def q134_streaming_tumbling_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    # events.parquet stores TIMESTAMP(NANOS): with the nanosAsLong legacy
+    # conf the streaming source reads ts as long; rebuild micros exactly
+    # like registry.table so the oracle agrees
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file-stream source lists a DIRECTORY; point it at sf_dir with a
+    # glob filter so only the events file streams in
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    # unique sink name per invocation — a finished memory query can be
+    # re-registered, but an active one with the same name cannot
+    global _Q134_RUNS
+    _Q134_RUNS += 1
+    name = f"q134_mem_{_Q134_RUNS}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
