@@ -268,3 +268,60 @@ def q134_streaming_tumbling_window(
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+_Q135_RUNS = 0
+
+
+@register(
+    "q135_streaming_dedup",
+    # keys-only output makes the streaming dedup deterministic: whichever
+    # duplicate arrives first, the emitted key set equals SELECT DISTINCT.
+    # The whole file lands in batch 1 (watermark still at epoch), so every
+    # duplicate pair is within the watermark and state holds for the batch.
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey_ref="§2B streaming stateful dedup "
+               "(dropDuplicatesWithinWatermark — idempotent re-submission "
+               "of the same PDF, SURVEY streaming table)",
+    doc="Real streaming dedup: readStream → withWatermark → "
+        "dropDuplicatesWithinWatermark on the event key → availableNow "
+        "append memory sink; emitted key set hash-matches the batch "
+        "DISTINCT.",
+)
+def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    global _Q135_RUNS
+    _Q135_RUNS += 1
+    name = f"q135_mem_{_Q135_RUNS}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
