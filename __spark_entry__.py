@@ -16,8 +16,16 @@ from sciencebeam_parser_spark.queries import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["q01_pricing_summary"].build(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the full mock-label fulltext cascade (SURVEY §2A A28):
+    segmentation regions → header/fulltext/ref-segmenter/citation models →
+    BIO islands → type dispatch → id assignment → citation matching →
+    validity, one config-gated DataFrame DAG, fully oracle-checked.
+    """
+    return REGISTRY["q88_fulltext_cascade"].build(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
