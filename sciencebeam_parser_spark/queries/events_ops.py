@@ -325,3 +325,215 @@ def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "q136_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 1 AS is_view
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS is_view
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT user_id, ts, event_id, is_view,
+               last_value(CASE WHEN is_view = 1 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, is_view DESC, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS view_event_id,
+               last_value(CASE WHEN is_view = 1 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, is_view DESC, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS view_ts
+        FROM u
+    )
+    SELECT user_id,
+           event_id AS click_event_id,
+           ts AS click_ts,
+           view_event_id,
+           view_ts,
+           CAST(round(epoch(ts - view_ts)) AS BIGINT) AS lag_sec
+    FROM j WHERE is_view = 0
+    """,
+    survey_ref="§2B interval/as-of-style nearest join (A21 analog on the time "
+               "axis); north-star custom operator list ('as-of join')",
+    doc="As-of join: each click matched to the most recent view by the same "
+        "user at or before the click. Implemented as the SCALABLE plan — "
+        "union-tag + last(ignorenulls) over one user_id window (a single "
+        "shuffle, linear state) — never a per-row range join, whose "
+        "candidate explosion is quadratic in events-per-user. Equal "
+        "timestamps: the view sorts first (inclusive as-of); among tied "
+        "views the highest event_id wins.",
+)
+def q136_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_view")
+    )
+    u = views.unionByName(clicks)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_view").desc(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_view = F.col("is_view") == 1
+    j = u.withColumn(
+        "view_event_id",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "view_ts",
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return j.filter(~is_view).select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        "view_event_id",
+        "view_ts",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("view_ts")) / 1e6
+        ).cast("long").alias("lag_sec"),
+    )
+
+
+@register(
+    "q137_time_bucket_rollup",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS b15,
+               event_type, count(*) AS n, sum(value) AS tv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT '15min' AS grain, b15 AS bucket_start, event_type,
+           CAST(n AS BIGINT) AS n, round(tv, 2) AS total_value
+    FROM b
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', b15), event_type,
+           CAST(sum(n) AS BIGINT), round(sum(tv), 2)
+    FROM b GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', b15), event_type,
+           CAST(sum(n) AS BIGINT), round(sum(tv), 2)
+    FROM b GROUP BY 2, 3
+    """,
+    survey_ref="§2B tumbling window agg + north-star custom operator list "
+               "('hypertable rollup'): continuous-aggregate re-aggregation",
+    doc="Hypertable-style rollup: the 15-minute leaf aggregate is computed "
+        "once from the raw scan; the hour and day grains RE-AGGREGATE those "
+        "partials (sum of counts / sums) instead of rescanning events — the "
+        "TimescaleDB continuous-aggregate pattern. At 100 TB the raw table "
+        "is read once and coarser grains cost only the tiny partial table.",
+)
+def q137_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b15 = (
+        ev.groupBy(
+            F.window("ts", "15 minutes")["start"].alias("b15"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    ).cache()
+    leaf = b15.select(
+        F.lit("15min").alias("grain"),
+        F.col("b15").alias("bucket_start"),
+        "event_type",
+        "n",
+        F.round("tv", 2).alias("total_value"),
+    )
+
+    def regrain(grain: str) -> DataFrame:
+        return (
+            b15.groupBy(
+                F.date_trunc(grain, "b15").alias("bucket_start"), "event_type"
+            )
+            .agg(F.sum("n").alias("n"), F.round(F.sum("tv"), 2).alias("total_value"))
+            .select(
+                F.lit(grain).alias("grain"),
+                "bucket_start",
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    return leaf.unionByName(regrain("hour")).unionByName(regrain("day"))
+
+
+@register(
+    "q138_user_funnel",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS first_view
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts >= first_view
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS first_click
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= first_click
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS first_purchase
+        FROM w2
+    )
+    SELECT DISTINCT user_id, first_view, first_click, first_purchase,
+           CAST(1 + CASE WHEN first_click IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN first_purchase IS NULL THEN 0 ELSE 1 END
+                AS INT) AS stage
+    FROM w3 WHERE first_view IS NOT NULL
+    """,
+    survey_ref="§2B window partition-wide agg + conditional expr; "
+               "engine-general event analytics (ordered conversion funnel)",
+    doc="Ordered conversion funnel view -> click -> purchase: each stage's "
+        "first timestamp must be at-or-after the previous stage's. Three "
+        "partition-wide windows over the SAME user_id key — Catalyst plans "
+        "one Exchange and reuses it for all three Window nodes and the "
+        "final dedup, so the whole funnel is a single shuffle.",
+)
+def q138_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    t = F.col("event_type")
+    staged = (
+        ev.withColumn(
+            "first_view", F.min(F.when(t == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (t == "click") & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("first_view").isNotNull())
+        .select("user_id", "first_view", "first_click", "first_purchase")
+        .distinct()
+        .withColumn(
+            "stage",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            ).cast("int"),
+        )
+    )
