@@ -40,23 +40,45 @@ def register(name: str, oracle: Optional[str], survey_ref: str, doc: str = ""):
     return deco
 
 
+def events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts in the parquet footer ('ns'/'us'/'ms').
+
+    Driver-side footer sniff (pyarrow) — the generated data has switched
+    units between rounds, so the readers below adapt instead of assuming.
+    """
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(path).field("ts").type)
+    # e.g. "timestamp[us]" / "timestamp[ns]" / "timestamp[us, tz=UTC]"
+    return t.split("[", 1)[1].split(",", 1)[0].rstrip("]")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one synthetic table (filters/projections push down).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long (legacy conf, runtime-settable) and
-    rebuild the timestamp at microsecond precision — the same truncation
-    DuckDB applies, so oracles agree.
+    ``events.ts`` is normalized to a plain TIMESTAMP at microsecond
+    precision regardless of how the file stores it:
+
+    * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; read nanos
+      as long (legacy conf) and rebuild via ``timestamp_micros`` — the same
+      truncation DuckDB applies, so oracles agree;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — reads as TIMESTAMP_NTZ;
+      cast to TIMESTAMP (session tz is pinned UTC, so the wall clock is
+      preserved and epoch functions like unix_micros become available).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     df_path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(df_path)
-        ts_field = df.schema["ts"]
-        if ts_field.dataType.typeName() == "long":
+        if events_ts_unit(df_path) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(df_path)
             # integer division — double division loses precision at ~1.7e18 ns
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        df = spark.read.parquet(df_path)
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(df_path)
