@@ -11,7 +11,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.queries.registry import events_ts_unit, register, table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with ``ts`` normalized to TIMESTAMP
+    at microsecond precision — the streaming twin of ``registry.table``.
+
+    The file-stream source needs a user-supplied schema, so the physical
+    unit in the parquet footer dictates it: NANOS must be read as long
+    (legacy conf) and rebuilt via ``timestamp_micros(ns div 1000)`` —
+    integer division, matching DuckDB's truncation; MICROS reads as
+    TIMESTAMP_NTZ and casts (session tz is pinned UTC).
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    unit = events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+    ts_type = T.LongType() if unit == "ns" else T.TimestampNTZType()
+    spark.conf.set(
+        "spark.sql.legacy.parquet.nanosAsLong", "true" if unit == "ns" else "false"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if unit == "ns":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @register(
@@ -217,30 +256,7 @@ _Q134_RUNS = 0
 def q134_streaming_tumbling_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import types as T
-
-    # events.parquet stores TIMESTAMP(NANOS): with the nanosAsLong legacy
-    # conf the streaming source reads ts as long; rebuild micros exactly
-    # like registry.table so the oracle agrees
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # the file-stream source lists a DIRECTORY; point it at sf_dir with a
-    # glob filter so only the events file streams in
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
@@ -291,24 +307,8 @@ _Q135_RUNS = 0
         "DISTINCT.",
 )
 def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
