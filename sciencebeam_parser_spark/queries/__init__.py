@@ -13,4 +13,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     spatial_ops,
     matching_ops,
     corpus_ops,
+    training_ops,
 )

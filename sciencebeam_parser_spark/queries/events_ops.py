@@ -327,6 +327,137 @@ def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_Q140_RUNS = 0
+
+
+@register(
+    "q140_streaming_session_window",
+    # Same sessionization as batch q52, restricted to the sessions the
+    # stream FINALIZES: session windows only support append mode, which
+    # emits a session once the watermark (max event time - 10 min after
+    # the single data batch) passes the session's window end (last event
+    # + 30 min gap). The oracle applies exactly that emission rule, so
+    # the streaming result is deterministic and hash-checkable.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id, min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_sec,
+               max(ts) + INTERVAL '30 minutes' AS window_end
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, duration_sec
+    FROM agg
+    WHERE window_end < (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+    survey_ref="§2B streaming session window (session_window + watermark "
+               "under readStream — per-session temp-dir scoping analog, "
+               "app/parser.py:239-247)",
+    doc="REAL streaming sessionization: readStream → withWatermark → "
+        "session_window(30 min gap) aggregation → update-mode memory sink "
+        "under availableNow. The same session_window expression as batch "
+        "q52 — stream/batch unification for the stateful merging window "
+        "operator (state scales O(open sessions), bounded by the "
+        "watermark).",
+)
+def q140_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6
+            ).cast("long").alias("duration_sec"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
+    global _Q140_RUNS
+    _Q140_RUNS += 1
+    name = f"q140_mem_{_Q140_RUNS}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_Q141_RUNS = 0
+
+
+@register(
+    "q141_streaming_stateful_totals",
+    # One micro-batch => applyInPandasWithState emits exactly one updated
+    # row per key, equal to the batch per-user aggregate. total_value is
+    # rounded AFTER the sink: pandas sums float64 in a different order
+    # than DuckDB, so only the rounded value is comparable.
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="§2B custom stateful streaming operator "
+               "(applyInPandasWithState) — SURVEY streaming table; the "
+               "reference's request-scoped incremental session state "
+               "(app/parser.py:212-252) as per-key cross-batch state",
+    doc="REAL custom stateful streaming: readStream → groupBy(user) → "
+        "applyInPandasWithState maintaining per-key running (count, sum) "
+        "with processing-time state expiry → update-mode memory sink. "
+        "The driver-surface proof of the engine's arbitrary-stateful-"
+        "operator capability (streaming/stateful.py).",
+)
+def q141_streaming_stateful_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.streaming.stateful import (
+        running_totals_with_state,
+    )
+
+    # expire_idle=False: pending processing-time timers would keep the
+    # availableNow run alive long after the data batch; a finite run
+    # needs no idle-state expiry (state dies with the query).
+    out = running_totals_with_state(
+        _events_stream(spark, sf_dir), expire_idle=False
+    )
+    global _Q141_RUNS
+    _Q141_RUNS += 1
+    name = f"q141_mem_{_Q141_RUNS}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    return spark.table(name).select(
+        "key", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 @register(
     "q136_asof_join",
     oracle="""

@@ -40,24 +40,28 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_running(
-    key: Tuple[str],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, float(total)))
-    # idle keys expire after 30 min of processing time → bounded state
-    state.setTimeoutDuration(30 * 60 * 1000)
-    yield pd.DataFrame(
-        {"key": [key[0]], "n_events": [n], "total_value": [total]}
-    )
+def _make_update_running(expire_idle: bool):
+    def _update_running(
+        key: Tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        if expire_idle:
+            # idle keys expire after 30 min of processing time → bounded state
+            state.setTimeoutDuration(30 * 60 * 1000)
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return _update_running
 
 
 def running_totals_with_state(
@@ -65,10 +69,16 @@ def running_totals_with_state(
     *,
     key_col: str = "user_id",
     value_col: str = "value",
+    expire_idle: bool = True,
 ) -> DataFrame:
     """Per-key running (count, sum) maintained across micro-batches with
     processing-time state expiry. Input needs `key_col` and a numeric
-    `value_col`; emits one updated row per key per batch (Update mode)."""
+    `value_col`; emits one updated row per key per batch (Update mode).
+
+    ``expire_idle=False`` disables the processing-time timeout: pending
+    timers keep an availableNow query alive past its data, so bounded
+    finite runs (bench/correctness harnesses) opt out, while long-running
+    deployments keep the expiry for bounded state."""
     from pyspark.sql import functions as F
 
     keyed = events.select(
@@ -76,11 +86,15 @@ def running_totals_with_state(
         F.col(value_col).cast("double").alias("value"),
     )
     return keyed.groupBy("key").applyInPandasWithState(
-        _update_running,
+        _make_update_running(expire_idle),
         outputStructType=RUNNING_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if expire_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
