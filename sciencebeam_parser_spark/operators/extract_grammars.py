@@ -37,6 +37,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.utils import repartition_for_python
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -193,7 +195,7 @@ def extract_names(
     def fold_partition(batches):
         # one Python roundtrip per PARTITION, grouping in pandas — groups
         # are tiny (one name-model invocation), so per-group applyInPandas
-        # overhead would dominate; repartition(doc_id) guarantees group
+        # overhead would dominate; repartition_for_python guarantees group
         # completeness within the partition, concat is partition-bounded
         pdfs = list(batches)
         if not pdfs:
@@ -214,7 +216,7 @@ def extract_names(
 
     return (
         entity_runs.select("doc_id", group_col, "entity_group", "tag", "text")
-        .repartition("doc_id")
+        .transform(repartition_for_python, "doc_id")
         .mapInPandas(fold_partition, NAME_PARTS_SCHEMA)
     )
 
@@ -317,7 +319,7 @@ def extract_affiliations(entity_runs: DataFrame) -> DataFrame:
     def fold_partition(batches):
         # groups are tiny (one affiliation block per doc): one Python
         # roundtrip per PARTITION with pandas groupby beats per-group
-        # applyInPandas overhead; repartition(doc_id) keeps groups whole
+        # applyInPandas overhead; repartition_for_python keeps groups whole
         pdfs = list(batches)
         if not pdfs:
             return
@@ -330,7 +332,7 @@ def extract_affiliations(entity_runs: DataFrame) -> DataFrame:
 
     return (
         entity_runs.select("doc_id", "entity_group", "tag", "text")
-        .repartition("doc_id")
+        .transform(repartition_for_python, "doc_id")
         .mapInPandas(fold_partition, AFF_PARTS_SCHEMA)
     )
 
@@ -421,7 +423,7 @@ def extract_reference_segments(entity_runs: DataFrame) -> DataFrame:
 
     return (
         entity_runs.select("doc_id", "entity_group", "tag", "text")
-        .repartition("doc_id")
+        .transform(repartition_for_python, "doc_id")
         .mapInPandas(fold_partition, REF_SEGMENTS_SCHEMA)
     )
 

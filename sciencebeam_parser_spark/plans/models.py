@@ -29,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.utils import repartition_for_python
 from pyspark.sql import types as T
 
 LABELS_OUT_SCHEMA = T.StructType(
@@ -59,7 +61,7 @@ class FunctionLabelModel:
             # the reference's batch assembly (models/model.py:207-214) packs
             # N documents into ONE prediction call; the Spark analog is one
             # Python roundtrip per PARTITION with a pandas groupby, not one
-            # applyInPandas call per doc. repartition(doc_id) keeps each
+            # applyInPandas call per doc. repartition_for_python keeps each
             # document whole within its partition.
             pdfs = list(batches)
             if not pdfs:
@@ -89,7 +91,7 @@ class FunctionLabelModel:
 
         return (
             tokens.select("doc_id", "token_seq", "text")
-            .repartition("doc_id")
+            .transform(repartition_for_python, "doc_id")
             .mapInPandas(label_partition, schema=LABELS_OUT_SCHEMA)
         )
 

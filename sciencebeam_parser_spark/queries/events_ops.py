@@ -167,12 +167,19 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # project k ONCE before aggregating — three aggregates over the raw
+    # get_json_object expression would re-parse the JSON string per
+    # aggregate input (no CSE across agg children), tripling the parse cost
     k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 

@@ -112,9 +112,13 @@ def entities_to_tei(entities: DataFrame) -> DataFrame:
 
     Batched per PARTITION, not per group: documents average a handful of
     entities, so groupBy().applyInPandas would pay one Python/Arrow
-    roundtrip per document. repartition(doc_id) co-locates each document,
-    the partition's batches are concatenated once, and a pandas groupby
-    drives _build_tei — same per-doc semantics, O(partitions) roundtrips."""
+    roundtrip per document. repartition_for_python co-locates each document
+    across exactly defaultParallelism partitions (exempt from AQE's
+    byte-based coalescing, which would serialize this CPU-bound build onto
+    one worker), the partition's batches are concatenated once, and a
+    pandas groupby drives _build_tei — same per-doc semantics,
+    O(partitions) roundtrips."""
+    from sciencebeam_parser_spark.utils import repartition_for_python
 
     def build_partition(batches):
         pdfs = list(batches)
@@ -127,6 +131,6 @@ def entities_to_tei(entities: DataFrame) -> DataFrame:
         ]
         yield pd.DataFrame(out, columns=["doc_id", "tei_xml"])
 
-    return entities.repartition("doc_id").mapInPandas(
+    return repartition_for_python(entities, "doc_id").mapInPandas(
         build_partition, schema=TEI_OUT_SCHEMA
     )

@@ -38,4 +38,25 @@ def reset_singletons() -> None:
         _SINGLETONS.clear()
 
 
-__all__ = ["executor_singleton", "reset_singletons"]
+def repartition_for_python(df, *cols):
+    """Co-locate rows by `cols` across EXACTLY defaultParallelism partitions
+    for a CPU-bound pandas stage.
+
+    A bare ``repartition(col)`` participates in AQE partition coalescing,
+    which sizes partitions by BYTES — a few MB of entity rows collapse into
+    one partition, serializing the downstream Python work (measured: the
+    TEI sink ran single-threaded, ~10s instead of ~1s at sf0.1). An
+    explicit partition count is exempt from coalescing, keeping every core
+    busy regardless of how small the shuffled bytes are. On a cluster,
+    defaultParallelism scales with total executor cores, so the same call
+    stays right at any size.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
+__all__ = [
+    "executor_singleton",
+    "repartition_for_python",
+    "reset_singletons",
+]
