@@ -14,4 +14,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     matching_ops,
     corpus_ops,
     training_ops,
+    udf_ops,
 )

@@ -14,6 +14,22 @@ from pyspark.sql import functions as F
 from sciencebeam_parser_spark.queries.registry import events_ts_unit, register, table
 
 
+def _finish_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Detach a finished memory-sink result from the streaming machinery.
+
+    Collects the sink table eagerly, drops the temp view, and returns the
+    rows as a local DataFrame. A terminated streaming run otherwise keeps
+    its sink rows registered and its state-store bookkeeping alive in the
+    shared JVM — residue that measurably slows later batch queries in a
+    long suite.
+    """
+    tbl = spark.table(name)
+    schema = tbl.schema
+    rows = tbl.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with ``ts`` normalized to TIMESTAMP
     at microsecond precision — the streaming twin of ``registry.table``.
@@ -290,7 +306,7 @@ def q134_streaming_tumbling_window(
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return _finish_memory_sink(spark, name)
 
 
 _Q135_RUNS = 0
@@ -331,7 +347,7 @@ def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return _finish_memory_sink(spark, name)
 
 
 _Q140_RUNS = 0
@@ -407,7 +423,7 @@ def q140_streaming_session_window(
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return _finish_memory_sink(spark, name)
 
 
 _Q141_RUNS = 0
@@ -460,7 +476,7 @@ def q141_streaming_stateful_totals(
     )
     if not q.awaitTermination(300):
         q.stop()
-    return spark.table(name).select(
+    return _finish_memory_sink(spark, name).select(
         "key", "n_events", F.round("total_value", 2).alias("total_value")
     )
 

@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # long query suites compile thousands of whole-stage-codegen
+        # classes; the JVM default code cache (~240 MB) fills after ~100
+        # queries and the JIT silently degrades to interpreter for every
+        # later plan (measured: the same query 6.6s standalone vs 22s late
+        # in the bench suite). More cache + flushing keeps the JIT alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

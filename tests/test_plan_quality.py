@@ -12,6 +12,7 @@ Spark-version formatting changes don't break them.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries import REGISTRY
 
@@ -127,3 +128,34 @@ class TestCorpusOps:
         plan = plan_of(spark, "q37_grouping_sets")
         assert plan.count("Expand") == 1
         assert plan.count("FileScan") == 1
+
+
+class TestPythonStageParallelism:
+    def test_pandas_stages_keep_every_core(self, spark):
+        """CPU-bound pandas stages must run at defaultParallelism, not at
+        whatever partition count AQE's byte-based coalescing leaves (a few
+        MB of entities collapse to ONE partition, serializing the XML
+        build — measured ~10s single-threaded vs ~1s parallel at sf0.1)."""
+        from sciencebeam_parser_spark.queries.pipeline_ops import (
+            _mock_labeled_tokens,
+            run_fulltext_cascade,
+        )
+        from sciencebeam_parser_spark.sinks.tei import entities_to_tei
+
+        toks, labels = _mock_labeled_tokens(spark, SF_DIR)
+        tei = entities_to_tei(run_fulltext_cascade(toks, labels))
+        n = tei.rdd.getNumPartitions()
+        assert n == spark.sparkContext.defaultParallelism, (
+            f"TEI build runs on {n} partitions; AQE coalescing would "
+            "serialize the Python work"
+        )
+
+    def test_repartition_for_python_is_exempt_from_aqe(self, spark):
+        from sciencebeam_parser_spark.utils import repartition_for_python
+
+        df = spark.range(10).withColumn("doc_id", (F.col("id") % 3))
+        out = repartition_for_python(df, "doc_id")
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
