@@ -15,4 +15,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     corpus_ops,
     training_ops,
     udf_ops,
+    layout_ops,
 )

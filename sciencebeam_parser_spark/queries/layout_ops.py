@@ -1,0 +1,105 @@
+"""Data-layout queries (SURVEY §2B scans; BASELINE scale posture): the
+write-side layout decisions that make 100 TB reads cheap, exercised as
+driver-surface queries.
+
+* q149 — hive-style partitioned parquet write + partition-PRUNED read:
+  the filter never touches non-matching partition directories (the
+  `PartitionFilters` line in the scan, pinned in test_plan_quality.py).
+  This is the corpus layout a training pipeline actually uses (partition
+  by language/source shard; each run reads only its slice).
+* q150 — foreachBatch streaming sink: the micro-batch escape hatch that
+  lets a stream reuse ANY batch writer (upserts, multi-sink fanout).
+
+Both verify against DuckDB oracles over the same source table.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+
+
+@register(
+    "q149_partition_pruned_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+    survey_ref="§2B parquet scan + partition pruning (A22's page-pruning "
+               "analog at the storage layer); 100 TB corpus layout",
+    doc="Writes the corpus hive-partitioned by lang, then reads it back "
+        "with a partition filter: the lang predicate prunes whole "
+        "directories at planning time (PartitionFilters in the scan, "
+        "never evaluated per row). At 100 TB this is the difference "
+        "between scanning two language shards and scanning the corpus. "
+        "The write itself exercises the partitioned sink (§2B sinks).",
+)
+def q149_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sbp_part_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # partitionBy writes one directory per lang value; at corpus scale the
+    # writer would also bucket by doc_id within each partition (bucketed.py)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    pruned = spark.read.parquet(out_dir).filter(F.col("lang").isin("en", "de"))
+    return pruned.select("doc_id", "lang", "n_chars")
+
+
+_Q150_RUNS = 0
+
+
+@register(
+    "q150_streaming_foreach_batch",
+    # single-file source + availableNow => exactly one micro-batch; the
+    # foreachBatch writer projects/filters it like any batch DataFrame and
+    # appends to a driver-side accumulator, so the collected union equals
+    # the plain batch query.
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+    survey_ref="§2B foreachBatch sink (incremental TEI output analog, "
+               "SURVEY streaming table)",
+    doc="REAL streaming foreachBatch: readStream → writeStream."
+        "foreachBatch(fn) under availableNow, where fn applies a batch "
+        "filter/projection and lands rows in an arbitrary sink (here a "
+        "driver-side collector; in production a JDBC upsert or multi-sink "
+        "fanout). Result hash-matches the batch oracle.",
+)
+def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.events_ops import _events_stream
+
+    collected: list = []
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 50)
+            )
+            .select(
+                "event_id", "user_id", F.round("value", 2).alias("value")
+            )
+            .collect()
+        )
+        collected.extend(rows)
+
+    global _Q150_RUNS
+    _Q150_RUNS += 1
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink_batch)
+        .queryName(f"q150_feb_{_Q150_RUNS}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        collected, "event_id long, user_id long, value double"
+    )

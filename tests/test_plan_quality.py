@@ -159,3 +159,13 @@ class TestPythonStageParallelism:
             out.rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism
         )
+
+
+class TestPartitionedLayout:
+    def test_partitioned_scan_prunes_directories(self, spark):
+        """q149's lang filter must become PartitionFilters on the scan
+        (directory pruning at planning time), not a per-row Filter."""
+        plan = plan_of(spark, "q149_partition_pruned_scan")
+        seg = plan.split("PartitionFilters:", 1)
+        assert len(seg) == 2, "scan lost its partition filters"
+        assert "lang" in seg[1].splitlines()[0]
