@@ -4,13 +4,19 @@ Reference: sciencebeam_parser/processors/ref_matching.py —
 ``ChainedContentIdMatcher([SimpleContentIdMatcher, PartialContentIdMatcher])``
 applied per document (processors/fulltext/processor.py:242-267).
 
-Stages (first hit wins, chained over the unmatched remainder by anti-join):
+Stages (first hit wins):
   1. exact normalized-key equi-join (get_normalized_key_text, :19-24)
   2. token-prefix key equi-join (get_token_prefix_normalized_key_text,
      :27-33 — tokens containing digits are kept whole, others truncated to
      prefix_length BEFORE normalization)
   3. bag-of-tokens plurality vote (PartialContentIdMatcher, :66-95) with
      tie → no match.
+
+Stages 1-2 are FUSED into one prioritized (priority, key) join with a
+min-priority pick — semantically identical to the reference's
+run-then-anti-join chaining (both keys are cheap expressions), at one
+join + one window instead of two joins + an anti-join. Stage 3 runs only
+on the fused remainder.
 
 Key-collision semantics: the reference builds ``{key: content_id}`` dicts, so
 when two targets normalize to the same key the LAST one (target order) wins —
@@ -77,18 +83,6 @@ def token_prefix_key(col: Column, prefix_length: int = 1) -> Column:
     )
 
 
-def _last_wins(targets: DataFrame, key_col: Column, order_col: str) -> DataFrame:
-    """{key: id} dict semantics — the last target with a key owns it."""
-    w = W.partitionBy("doc_id", "_key").orderBy(F.desc(order_col))
-    return (
-        targets.withColumn("_key", key_col)
-        .filter(F.length("_key") > 0)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "_key", "content_id")
-    )
-
-
 def match_content_ids(
     citations: DataFrame,
     targets: DataFrame,
@@ -109,25 +103,56 @@ def match_content_ids(
     cit = citations.select("doc_id", "citation_id", "text")
     tgt = targets.select("doc_id", "content_id", "text", "target_seq")
 
-    # ---- stage 1: exact normalized key ----
-    t1 = _last_wins(tgt, normalized_key(F.col("text")), "target_seq")
-    c1 = cit.withColumn("_key", normalized_key(F.col("text")))
-    m1 = (
-        c1.join(t1, ["doc_id", "_key"], "inner")
-        .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
+    # ---- stages 1+2 fused: prioritized key join ----
+    # The reference runs exact-key then prefix-key sequentially over the
+    # remainder; "first chain stage with a hit wins" is equivalently ONE
+    # join on a stacked (priority, key) relation with a min-priority pick —
+    # both key builds are cheap expressions, and the fusion replaces two
+    # equi-joins plus an anti-join (three shuffles of the citation set)
+    # with one join plus one window. Within a stage, {key: id} dict
+    # semantics still apply (last target wins per key, per priority).
+    def stacked_keys(df: DataFrame) -> DataFrame:
+        keys = F.array(
+            F.struct(
+                F.lit(1).alias("_prio"),
+                normalized_key(F.col("text")).alias("_key"),
+            ),
+            F.struct(
+                F.lit(2).alias("_prio"),
+                token_prefix_key(F.col("text"), prefix_length).alias("_key"),
+            ),
+        )
+        return (
+            df.select("*", F.explode(keys).alias("_pk"))
+            .select("*", "_pk._prio", "_pk._key")
+            .drop("_pk")
+            .filter(F.length("_key") > 0)
+        )
+
+    w_last = W.partitionBy("doc_id", "_prio", "_key").orderBy(
+        F.desc("target_seq")
+    )
+    t12 = (
+        stacked_keys(tgt)
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "_prio", "_key", "content_id")
+    )
+    w_best = W.partitionBy("doc_id", "citation_id").orderBy("_prio")
+    m12 = (
+        stacked_keys(cit)
+        .join(t12, ["doc_id", "_prio", "_key"], "inner")
+        .withColumn("_best", F.row_number().over(w_best))
+        .filter(F.col("_best") == 1)
+        .select(
+            "doc_id",
+            "citation_id",
+            F.col("content_id").alias("target_content_id"),
+        )
     )
 
-    # ---- stage 2: token-prefix key, over stage-1 remainder ----
-    rem1 = cit.join(m1, ["doc_id", "citation_id"], "left_anti")
-    t2 = _last_wins(tgt, token_prefix_key(F.col("text"), prefix_length), "target_seq")
-    c2 = rem1.withColumn("_key", token_prefix_key(F.col("text"), prefix_length))
-    m2 = (
-        c2.join(t2, ["doc_id", "_key"], "inner")
-        .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
-    )
-
-    # ---- stage 3: plurality vote over stage-2 remainder ----
-    rem2 = rem1.join(m2, ["doc_id", "citation_id"], "left_anti")
+    # ---- stage 3: plurality vote over the unmatched remainder ----
+    rem2 = cit.join(m12, ["doc_id", "citation_id"], "left_anti")
     # inverted token index over targets: one row per (doc, token, content_id)
     # occurrence — multiplicity matters (defaultdict(list) appends)
     tgt_tokens = tgt.select(
@@ -163,7 +188,7 @@ def match_content_ids(
         .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
     )
 
-    matched = m1.unionByName(m2).unionByName(m3)
+    matched = m12.unionByName(m3)
     return (
         cit.select("doc_id", "citation_id")
         .join(matched, ["doc_id", "citation_id"], "left")
