@@ -45,6 +45,11 @@ def connected_components(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+        # materialize ONCE: sym joins into every round, and without the
+        # checkpoint each iteration re-executes the edge lineage from
+        # scratch (for LSH pairs that's the whole minhash pipeline per
+        # round — the loop cost was dominated by recomputing its input)
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "comp", F.col("doc_id")
