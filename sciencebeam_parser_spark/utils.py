@@ -38,6 +38,23 @@ def reset_singletons() -> None:
         _SINGLETONS.clear()
 
 
+def preload(spark, name: str, factory: Callable[[], Any]) -> None:
+    """Eagerly initialize an executor singleton on every worker —
+    ``preload_on_startup`` (models/model.py:251-269, config.yml) in Spark
+    form: one dummy task per core forces ``executor_singleton(name,
+    factory)`` before the first real query needs it, so model/sidecar
+    startup cost is paid at job start, not inside the first batch."""
+    n = spark.sparkContext.defaultParallelism
+
+    def init_partition(it):
+        executor_singleton(name, factory)
+        return iter(())
+
+    spark.sparkContext.parallelize(range(n), n).mapPartitions(
+        init_partition
+    ).count()
+
+
 def repartition_for_python(df, *cols):
     """Co-locate rows by `cols` across EXACTLY defaultParallelism partitions
     for a CPU-bound pandas stage.
@@ -57,6 +74,7 @@ def repartition_for_python(df, *cols):
 
 __all__ = [
     "executor_singleton",
+    "preload",
     "repartition_for_python",
     "reset_singletons",
 ]

