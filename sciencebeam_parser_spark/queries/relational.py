@@ -1037,3 +1037,66 @@ def q48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("total_qty"),
         F.max("n_orders").alias("n_orders"),
     )
+
+
+@register(
+    "q49_pivot",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase
+    FROM events GROUP BY 1
+    """,
+    survey_ref="§2A A15 label-keyed multi-way split as a columnar pivot "
+               "(one pass, all buckets as columns); engine-general "
+               "relational surface",
+    doc="Pivot event counts per hour into one column per event type — the "
+        "columnar form of A15's one-pass bucketing. The value list is "
+        "EXPLICIT, so Spark skips the extra distinct-values job and the "
+        "plan is a single groupBy with conditional aggregates (map-side "
+        "combinable; identical shape to the oracle's FILTER clauses).",
+)
+def q49_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .count()
+        .na.fill(0, ["view", "click", "purchase"])
+    )
+
+
+@register(
+    "q56_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey, 'totalprice' AS metric,
+               round(o_totalprice, 2) AS value
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey',
+               CAST(o_custkey AS DOUBLE)
+        FROM orders
+    )
+    WHERE value IS NOT NULL
+    """,
+    survey_ref="§2A A16's stack/unpivot shape (the mock-label fixture uses "
+               "the same stack operator); engine-general melt surface",
+    doc="Unpivot (melt) two order measures into (metric, value) rows via "
+        "the native unpivot operator — a pure one-pass Expand, no shuffle; "
+        "the inverse of q49's pivot.",
+)
+def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ["o_orderkey"],
+        ["totalprice", "custkey"],
+        "metric",
+        "value",
+    )
