@@ -9,8 +9,11 @@ driver-surface queries.
   by language/source shard; each run reads only its slice).
 * q150 — foreachBatch streaming sink: the micro-batch escape hatch that
   lets a stream reuse ANY batch writer (upserts, multi-sink fanout).
+* q151 — bucketed co-located join: both sides written bucketed on the
+  join key, so the sort-merge join needs NO exchange (the pay-once
+  layout for the engine's recurring big-big joins).
 
-Both verify against DuckDB oracles over the same source table.
+All verify against DuckDB oracles over the same source tables.
 """
 from __future__ import annotations
 
@@ -102,4 +105,58 @@ def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     return spark.createDataFrame(
         collected, "event_id long, user_id long, value double"
+    )
+
+
+@register(
+    "q151_bucketed_colocated_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           round(list_sum([CAST(x AS DOUBLE) FOR x IN e.embedding]), 4)
+               AS emb_sum
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    survey_ref="§2B big-big equi-join on a pre-bucketed layout (the 100 TB "
+               "co-located-join strategy, BASELINE scale posture; A12/A14/"
+               "A27's tokens ⋈ labels / entities ⋈ rewrites joins)",
+    doc="Writes documents and embeddings bucketed on the shared key, then "
+        "joins the bucketed tables: the catalog's bucket spec makes the "
+        "sort-merge join ZERO-Exchange — pay the partitioning once at "
+        "write time, reuse it in every downstream join/agg "
+        "(tests/test_bucketing.py pins the no-Exchange plan). The oracle "
+        "is the plain join: layout changes the plan, never the result.",
+)
+def q151_bucketed_colocated_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"sbp_bucketed_{tag}")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("emb_sum"),
+    )
+    write_bucketed(
+        docs, f"q151_docs_{tag}", os.path.join(base, "docs"),
+        bucket_col="doc_id", n_buckets=8,
+    )
+    write_bucketed(
+        emb, f"q151_emb_{tag}", os.path.join(base, "emb"),
+        bucket_col="doc_id", n_buckets=8,
+    )
+    return read_bucketed(spark, f"q151_docs_{tag}").join(
+        read_bucketed(spark, f"q151_emb_{tag}"), "doc_id"
     )
