@@ -100,3 +100,111 @@ class TestBioGroupingProperty:
         assert runs[-1][1] == len(labels) - 1
         for (s1, e1), (s2, e2) in zip(runs, runs[1:]):
             assert s2 == e1 + 1, f"gap or overlap between runs at {e1}->{s2}"
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python model of the chained citation matcher (processors/
+# ref_matching.py:44-105): exact-key dict, prefix-key dict, plurality vote
+# (with the documented evident-intent tie rule: tie at the top -> None).
+# ---------------------------------------------------------------------------
+
+import re
+from collections import Counter
+
+from sciencebeam_parser_spark.operators.ref_matching import (
+    _DELIMITERS,
+    match_content_ids,
+)
+
+_DELIM_RE = re.compile("(" + "|".join(re.escape(c) for c in _DELIMITERS) + r"|\s)")
+
+
+def _norm(s: str) -> str:
+    return re.sub("[^a-z0-9]", "", s.lower())
+
+
+def _tok(s: str) -> list[str]:
+    fenced = _DELIM_RE.sub("\x00\\1\x00", s)
+    return [t for t in fenced.split("\x00") if t.strip() != ""]
+
+
+def _prefix_key(s: str, n: int = 1) -> str:
+    parts = re.split(r"\s", s)
+    return "".join(
+        _norm(t if re.search(r"\d", t) else t[:n]) for t in parts
+    )
+
+
+def reference_match(citations, targets):
+    """citations: [(cid, text)]; targets: [(content_id, text, seq)] →
+    {cid: content_id | None} per the chained matcher model."""
+    d1, d2 = {}, {}
+    for content_id, text, _seq in sorted(targets, key=lambda t: t[2]):
+        k1, k2 = _norm(text), _prefix_key(text)
+        if k1:
+            d1[k1] = content_id  # last target wins
+        if k2:
+            d2[k2] = content_id
+    index: dict[str, list[str]] = {}
+    for content_id, text, _seq in targets:
+        for t in _tok(text):
+            index.setdefault(_norm(t), []).append(content_id)
+    out = {}
+    for cid, text in citations:
+        k1, k2 = _norm(text), _prefix_key(text)
+        if k1 and k1 in d1:
+            out[cid] = d1[k1]
+            continue
+        if k2 and k2 in d2:
+            out[cid] = d2[k2]
+            continue
+        votes = Counter()
+        for t in _tok(text):
+            for content_id in index.get(_norm(t), []):
+                votes[content_id] += 1
+        if not votes:
+            out[cid] = None
+            continue
+        top = votes.most_common()
+        if len(top) > 1 and top[0][1] == top[1][1]:
+            out[cid] = None  # ambiguous -> no match (documented intent)
+        else:
+            out[cid] = top[0][0]
+    return out
+
+
+_WORDS = ["Smith", "smith", "2020", "Fig", "7b", "a", "B", "et", "al"]
+_PUNCT = [".", ",", ""]
+_TEXT = st.lists(
+    st.tuples(st.sampled_from(_WORDS), st.sampled_from(_PUNCT)),
+    min_size=1,
+    max_size=4,
+).map(lambda ps: " ".join(w + p for w, p in ps))
+
+
+class TestCitationMatcherProperty:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(_TEXT, min_size=1, max_size=3),
+        st.lists(_TEXT, min_size=1, max_size=3),
+    )
+    def test_matches_chained_matcher_model(self, spark, cit_texts, tgt_texts):
+        citations = [(f"c{i}", t) for i, t in enumerate(cit_texts)]
+        targets = [(f"b{i}", t, i) for i, t in enumerate(tgt_texts)]
+        cdf = spark.createDataFrame(
+            [("d", cid, t) for cid, t in citations],
+            "doc_id string, citation_id string, text string",
+        )
+        tdf = spark.createDataFrame(
+            [("d", cid, t, s) for cid, t, s in targets],
+            "doc_id string, content_id string, text string, target_seq long",
+        )
+        got = {
+            r["citation_id"]: r["target_content_id"]
+            for r in match_content_ids(cdf, tdf).collect()
+        }
+        assert got == reference_match(citations, targets)
