@@ -364,3 +364,164 @@ def q146_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 4).alias("l2_norm"),
         qvec.alias("qvec"),
     )
+
+
+@register(
+    "q152_training_corpus_pipeline",
+    # the full corpus-build DAG as ONE oracle: canonical fuzzy dedup
+    # (recursive CTE) ∩ quality gate ∩ stratified hash sample, then
+    # per-source sequence packing over the survivors.
+    oracle="WITH RECURSIVE " + _LSH_PAIRS_SQL + f""",
+    sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM lsh_pairs
+        UNION
+        SELECT doc2 AS a, doc1 AS b FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(lab) AS component_id
+        FROM reach GROUP BY node
+    ),
+    m AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+               round(list_sum(list_transform({_WORDS_SQL}, x -> len(x))) * 1.0
+                     / greatest(len({_WORDS_SQL}), 1), 4) AS mean_word_len,
+               round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     * 1.0 / greatest(len(text), 1), 4) AS symbol_ratio,
+               CAST(len(list_filter({_WORDS_SQL},
+                                    x -> x IN {_STOPWORDS_SQL})) AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ),
+    kept AS (
+        SELECT m.doc_id, m.lang, m.source,
+               CAST(len(string_split_regex(trim(m.text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM m
+        LEFT JOIN comp ON m.doc_id = comp.doc_id
+        WHERE (comp.doc_id IS NULL OR comp.component_id = m.doc_id)
+          AND m.n_words >= 50 AND m.n_words <= 100000
+          AND m.mean_word_len >= 3 AND m.mean_word_len <= 10
+          AND m.symbol_ratio <= 0.1 AND m.stop_hits >= 2
+          AND (CAST('0x' || substr(md5('strat:' || CAST(m.doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 1000000) / 1000000.0
+              < CASE m.lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                            ELSE 0.1 END
+    ),
+    packed AS (
+        SELECT *,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS token_start
+        FROM kept
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_start // 512 AS BIGINT) AS pack_id,
+           CAST(token_start % 512 AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+    survey_ref="north-star training-data pipeline END-TO-END: fuzzy dedup "
+               "(q62/q110/q145) → quality gate (q139) → stratified sample "
+               "(q144) → sequence packing (q126) composed as one DAG — "
+               "the A28-style cascade orchestration applied to corpus ETL "
+               "(A30)",
+    doc="The whole corpus build as one DataFrame DAG: LSH canonical dedup "
+        "anti-join, quality keep-rules, per-language hash sampling, then "
+        "per-source context-window packing of the survivors. Each stage "
+        "is the already-verified operator; composition adds ONE broadcast "
+        "anti-join and reuses one corpus scan — the shape a 100 TB "
+        "pretraining ETL actually runs nightly. One oracle checks the "
+        "fused result end-to-end.",
+)
+def q152_training_corpus_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+
+    # stage 1: canonical fuzzy dedup (losers are cluster-members != keeper)
+    comp = connected_components(q62_dedup_minhash_lsh_pairs(spark, sf_dir))
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+
+    # stage 2: quality rules on ROUNDED metrics (same exprs as q139)
+    words = _words()
+    n_words = F.size(words).cast("long")
+    mean_word_len = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    stop_hits = F.size(
+        F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    ).cast("long")
+
+    # stage 3: stratified hash sample (same hash/rates as q144)
+    rate = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "de", 0.25)
+        .otherwise(0.1)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+
+    kept = (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .filter(
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (mean_word_len >= 3)
+            & (mean_word_len <= 10)
+            & (symbol_ratio <= 0.1)
+            & (stop_hits >= 2)
+            & (u < rate)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+    # stage 4: per-source sequence packing (same window as q126)
+    w = W.partitionBy("source").orderBy("doc_id")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        start.alias("token_start"),
+        F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
+        (start % F.lit(512)).cast("long").alias("pack_offset"),
+    )
