@@ -169,3 +169,12 @@ class TestPartitionedLayout:
         seg = plan.split("PartitionFilters:", 1)
         assert len(seg) == 2, "scan lost its partition filters"
         assert "lang" in seg[1].splitlines()[0]
+
+
+class TestContainmentJoin:
+    def test_interval_containment_broadcasts_the_dim(self, spark):
+        """q19's bucket dim is 4 rows: the containment (theta) join must be
+        a broadcast nested-loop over the fact scan, never a shuffle."""
+        plan = plan_of(spark, "q19_interval_containment_join")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[-1]

@@ -208,3 +208,60 @@ class TestCitationMatcherProperty:
             for r in match_content_ids(cdf, tdf).collect()
         }
         assert got == reference_match(citations, targets)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing invariants (q126/q152 packing stage): offsets tile the
+# per-source token stream exactly, regardless of document sizes.
+# ---------------------------------------------------------------------------
+
+
+class TestSequencePackingProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.integers(min_value=1, max_value=40),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_packing_tiles_the_stream(self, spark, docs):
+        from sciencebeam_parser_spark.queries.corpus_ops import (
+            q126_sequence_packing,
+        )
+        import sciencebeam_parser_spark.queries.corpus_ops as mod
+
+        rows = [
+            (i, " ".join(["w"] * n), "en", src, n)
+            for i, (src, n) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: df  # noqa: ARG005
+            out = sorted(
+                q126_sequence_packing(spark, "u").collect(),
+                key=lambda r: (r.source, r.doc_id),
+            )
+        finally:
+            mod.table = orig
+        by_source: dict = {}
+        for r in out:
+            assert 0 <= r.pack_offset < 512
+            assert r.token_start == r.pack_id * 512 + r.pack_offset
+            by_source.setdefault(r.source, []).append(r)
+        for src, rs in by_source.items():
+            # exclusive running sum: each doc starts where the previous ended
+            expected_start = 0
+            for r in rs:  # already ordered by doc_id within source
+                assert r.token_start == expected_start
+                expected_start += r.n_tokens
