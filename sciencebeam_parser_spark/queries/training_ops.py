@@ -525,3 +525,61 @@ def q152_training_corpus_pipeline(
         F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
         (start % F.lit(512)).cast("long").alias("pack_offset"),
     )
+
+
+@register(
+    "q153_decontaminate",
+    # eval set = every 50th doc (deterministic holdout); a corpus doc is
+    # contaminated if it shares >= 1 word-trigram shingle with ANY eval
+    # doc. Shingle sets reuse the dedup kernel's zip-of-slices projection.
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+              WHERE doc_id % 50 <> 0)
+        WHERE len(ws) >= 3
+    ),
+    eval_set AS (
+        SELECT DISTINCT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        FOR i IN range(1, len(ws) - 1)]) AS shingle
+        FROM (SELECT {_WORDS_SQL} AS ws FROM documents
+              WHERE doc_id % 50 = 0)
+        WHERE len(ws) >= 3
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared_grams
+    FROM corpus c, unnest(c.shingles) AS t(shingle)
+    JOIN eval_set s ON t.shingle = s.shingle
+    GROUP BY c.doc_id
+    """,
+    survey_ref="north-star training-data pipeline: benchmark "
+               "DECONTAMINATION (eval-overlap removal by shared n-grams) — "
+               "the same inverted-index join shape as q63's Jaccard "
+               "verification",
+    doc="Flag corpus documents sharing any word-trigram with the held-out "
+        "eval slice (doc_id % 50 == 0). The eval shingle set is tiny "
+        "relative to the corpus, so it BROADCASTS and the corpus side "
+        "never shuffles — at 100 TB decontamination is a map-side "
+        "broadcast semi-join per shingle, not a corpus shuffle. Emits "
+        "(doc_id, n_shared_grams) for the contaminated docs; the drop is "
+        "an anti-join on this relation.",
+)
+def q153_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    from sciencebeam_parser_spark.queries.text_ops import _shingle_array
+
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array())).alias("shingle"),
+    )
+    eval_set = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(F.array_distinct(_shingle_array())).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(eval_set), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_grams"))
+    )
