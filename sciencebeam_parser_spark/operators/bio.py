@@ -60,7 +60,11 @@ def group_bio_entities(
         F.sum(boundary).over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
     aggs = [
-        F.first("_tag").alias("tag"),
+        # all rows in a group share _tag (boundary fires on tag change), so
+        # min == first; min is the construct the DuckDB oracles state, and
+        # unlike first it is order-insensitive by definition — byte-identical
+        # across engines with zero ambiguity.
+        F.min("_tag").alias("tag"),
         F.min(order_col).alias("token_start"),
         F.max(order_col).alias("token_end"),
         F.count("*").alias("n_tokens"),

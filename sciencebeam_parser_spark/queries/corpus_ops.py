@@ -38,8 +38,8 @@ from sciencebeam_parser_spark.queries.registry import register, table
     oracle="WITH " + _TOKENS_CTE + """,
     seg AS (
         SELECT doc_id, token_seq, token,
-               CASE WHEN (token_seq - 1.0)
-                         / count(*) OVER (PARTITION BY doc_id) < 0.3
+               CASE WHEN (token_seq - 1) * 10
+                         < count(*) OVER (PARTITION BY doc_id) * 3
                     THEN '<header>' ELSE '<other>' END AS region
         FROM tokens
     ),
@@ -79,8 +79,11 @@ def q124_segmented_model_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
+    # integer-exact 30% gate: (seq-1)/n < 0.3 restated as (seq-1)*10 < n*3
+    # so exact-boundary tokens (ratio == 0.3) resolve identically on every
+    # engine/version — no float/decimal division knife-edge.
     region = F.when(
-        (F.col("token_seq") - 1.0) / n < 0.3, "<header>"
+        (F.col("token_seq") - 1) * 10 < n * 3, "<header>"
     ).otherwise("<other>")
     header = toks.withColumn("region", region).filter(
         F.col("region") == "<header>"
@@ -192,8 +195,8 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH " + _TOKENS_CTE + """,
     seg AS (
         SELECT doc_id, token_seq, token,
-               CASE WHEN (token_seq - 1.0)
-                         / count(*) OVER (PARTITION BY doc_id) < 0.3
+               CASE WHEN (token_seq - 1) * 10
+                         < count(*) OVER (PARTITION BY doc_id) * 3
                     THEN '<header>' ELSE '<other>' END AS region
         FROM tokens
     ),
@@ -241,9 +244,10 @@ def q127_name_header_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
+    # integer-exact 30% gate (see q124): no float division at the boundary
     header = toks.withColumn(
         "region",
-        F.when((F.col("token_seq") - 1.0) / n < 0.3, "<header>").otherwise(
+        F.when((F.col("token_seq") - 1) * 10 < n * 3, "<header>").otherwise(
             "<other>"
         ),
     ).filter(F.col("region") == "<header>")
@@ -267,6 +271,111 @@ def q127_name_header_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = group_bio_entities(labeled, text_col="text")
     return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
+
+
+# --- q124 bisection probes -------------------------------------------------
+# q124/q127 hash-mismatched under the driver's harness (rounds 1+3) while
+# passing the local DuckDB mimic. Root cause analysis points at the
+# `(token_seq-1.0)/n < 0.3` float gate: 48 tokens at sf0.01 sit EXACTLY on
+# ratio 0.3 (docs of 10/20 tokens put them inside the header window), so an
+# engine-version difference in decimal-vs-double division flips them. The
+# gate is now integer-exact; these two sliced probes remain so that if the
+# driver still disagrees, the next CORRECTNESS file says which column.
+
+_SEG_GATE_CTE = _TOKENS_CTE + """,
+    seg AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN (token_seq - 1) * 10
+                         < count(*) OVER (PARTITION BY doc_id) * 3
+                    THEN '<header>' ELSE '<other>' END AS region
+        FROM tokens
+    ),
+    hdr AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 3
+                    THEN '<title>' ELSE '<abstract>' END AS tag
+        FROM seg WHERE region = '<header>'
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(tag) OVER w IS NULL
+                         OR tag <> lag(tag) OVER w THEN 1 ELSE 0 END AS b
+        FROM hdr
+        WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
+        FROM flagged
+    )
+"""
+
+
+def _q124_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.bio import group_bio_entities
+
+    toks = _tokens(spark, sf_dir)
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    header = toks.withColumn(
+        "region",
+        F.when((F.col("token_seq") - 1) * 10 < n * 3, "<header>").otherwise(
+            "<other>"
+        ),
+    ).filter(F.col("region") == "<header>")
+    w = W.partitionBy("doc_id").orderBy("token_seq")
+    tag = F.when(F.row_number().over(w) <= 3, "<title>").otherwise(
+        "<abstract>"
+    )
+    labeled = header.select(
+        "doc_id",
+        "token_seq",
+        F.col("token").alias("text"),
+        F.concat(F.lit("I-"), tag).alias("label"),
+    )
+    return group_bio_entities(labeled, text_col="text")
+
+
+@register(
+    "q154_seg_chain_gate_probe",
+    # q124 minus the text column: isolates the region-gate/window numbering
+    # path from the ordered-string-assembly path.
+    oracle="WITH " + _SEG_GATE_CTE + """
+    SELECT doc_id, entity_group, min(tag) AS tag,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§3.3 segmented endpoints — q124 bisection probe (gate + "
+               "island numbering, no text assembly)",
+    doc="q124 with the text column dropped: if this is green while q124 is "
+        "red, the divergence is in ordered text assembly; if red, in the "
+        "region gate or island numbering.",
+)
+def q154_seg_chain_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q124_runs(spark, sf_dir).select(
+        "doc_id", "entity_group", "tag", "n_tokens"
+    )
+
+
+@register(
+    "q155_seg_chain_text_probe",
+    # q124 with text replaced by md5(text): same bytes compared, but through
+    # a fixed-width hex channel — removes any canonicalization-of-long-string
+    # effects in the harness from the equation.
+    oracle="WITH " + _SEG_GATE_CTE + """
+    SELECT doc_id, entity_group,
+           md5(string_agg(token, ' ' ORDER BY token_seq)) AS text_md5
+    FROM grouped GROUP BY doc_id, entity_group
+    """,
+    survey_ref="§3.3 segmented endpoints — q124 bisection probe (md5 of "
+               "assembled text)",
+    doc="q124 with md5(text) instead of text: red here + green q154 pins "
+        "the divergence to the assembled token string bytes.",
+)
+def q155_seg_chain_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q124_runs(spark, sf_dir).select(
+        "doc_id", "entity_group", F.md5(F.col("text")).alias("text_md5")
+    )
 
 
 @register(
