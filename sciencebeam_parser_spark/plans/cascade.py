@@ -254,11 +254,13 @@ def run_fulltext_cascade(
     entities = _enrich_citation_fields(entities)
 
     # A19 — content ids per entity family in document order
-    # (processor.py:241-264: b<n> refs, fig_<n>, tab_<n>)
+    # (processor.py:241-264: b<n> refs, fig_<n> figures, tab_<n> tables,
+    # aff<n> affiliation addresses)
     id_prefix = (
         F.when(F.col("entity_type") == "raw_reference_text", "b")
         .when(F.col("entity_type") == "raw_figure", "fig_")
         .when(F.col("entity_type") == "raw_table", "tab_")
+        .when(F.col("entity_type") == "raw_affiliation", "aff")
         .otherwise(F.lit(None))
     )
     entities = entities.withColumn("_id_prefix", id_prefix)

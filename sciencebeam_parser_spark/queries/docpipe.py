@@ -154,7 +154,7 @@ def q81_bio_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN (token_seq - 1) >= count(*) OVER (PARTITION BY doc_id)
                 THEN 10
                 WHEN (token_seq - 1) <= 0 THEN 0
-                ELSE CAST(floor(((token_seq - 1) * 1.0
+                ELSE CAST(floor((CAST(token_seq - 1 AS DOUBLE)
                           / count(*) OVER (PARTITION BY doc_id)) * 10) AS INT)
            END AS doc_position_bin
     FROM tokens
@@ -762,6 +762,9 @@ def q103_header_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, token_seq, token,
            substr(shape, 1, 1)
+           -- two-arg indexed lambda: kept deliberately — comprehensions
+           -- have no index form and RE2 has no backrefs to collapse runs;
+           -- driver-green since r1, so the syntax is proven accepted
            || array_to_string(list_filter(string_split(mid, ''),
                   (c, i) -> i = 1 OR string_split(mid, '')[i - 1] <> c), '')
            || CASE WHEN len(shape) >= 3

@@ -44,8 +44,12 @@ from sciencebeam_parser_spark.queries.registry import register, table
 )
 def q149_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # applicationId in the path: two concurrent sessions on the same
+    # dataset must not race on one directory
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"sbp_part_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"sbp_part_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     # partitionBy writes one directory per lang value; at corpus scale the
@@ -79,10 +83,12 @@ _Q150_RUNS = 0
 def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.queries.events_ops import _events_stream
 
-    collected: list = []
+    # keyed by batch_id: foreachBatch is at-least-once, so a retried
+    # micro-batch must overwrite its previous rows, not append duplicates
+    collected: dict = {}
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (
+        collected[batch_id] = (
             batch_df.filter(
                 (F.col("event_type") == "purchase") & (F.col("value") > 50)
             )
@@ -91,7 +97,6 @@ def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        collected.extend(rows)
 
     global _Q150_RUNS
     _Q150_RUNS += 1
@@ -103,8 +108,9 @@ def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    rows = [r for _, batch in sorted(collected.items()) for r in batch]
     return spark.createDataFrame(
-        collected, "event_id long, user_id long, value double"
+        rows, "event_id long, user_id long, value double"
     )
 
 
@@ -134,7 +140,10 @@ def q151_bucketed_colocated_join(
         write_bucketed,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # per-session tag (applicationId): concurrent sessions on the same
+    # dataset must not race on the temp dirs or catalog table names
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_" + app
     base = os.path.join(tempfile.gettempdir(), f"sbp_bucketed_{tag}")
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = table(spark, sf_dir, "embeddings").select(

@@ -38,11 +38,13 @@ _PK = (
     "CASE WHEN regexp_matches(t, '[0-9]') THEN t ELSE t[1:1] END"
     "), '[^a-z0-9]', '', 'g') FOR t IN string_split_regex({x}, '\\s')], '')"
 )
+# comprehension-IF instead of a list_filter arrow lambda (deprecated in
+# newer DuckDB) — identical semantics
 _TOKS = (
     "[regexp_replace(lower(t), '[^a-z0-9]', '', 'g') FOR t IN "
-    "list_filter(string_split(regexp_replace({x}, "
+    "string_split(regexp_replace({x}, "
     "'" + _RE2_DELIM_ALTERNATION.replace("'", "''") + "', "
-    "chr(1) || '\\1' || chr(1), 'g'), chr(1)), s -> trim(s) <> '')]"
+    "chr(1) || '\\1' || chr(1), 'g'), chr(1)) IF trim(t) <> '']"
 )
 
 _FIXTURE_SQL = (
@@ -257,9 +259,9 @@ _RETOK_ALT_SQL = _RE2_DELIM_ALTERNATION.replace("'", "''")
     src AS (
         SELECT doc_id, token_seq AS src_seq, token,
                (token_seq * 10.0) AS x, 8.0 AS width,
-               list_filter(string_split(regexp_replace(token,
+               [p FOR p IN string_split(regexp_replace(token,
                    '{_RETOK_ALT_SQL}', chr(1) || '\\1' || chr(1), 'g'),
-                   chr(1)), p -> len(p) > 0) AS pieces
+                   chr(1)) IF len(p) > 0] AS pieces
         FROM tokens WHERE trim(token) <> ''
     ),
     exploded AS (

@@ -47,10 +47,14 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     n = F.count("*").over(W.partitionBy("doc_id"))
-    frac = (F.col("token_seq") - 1) / n
+    # integer-exact region gates: (seq-1)/n < 0.3 and >= 0.7 restated as
+    # (seq-1)*10 vs n*3 / n*7 — exact-boundary tokens (docs of 10/20 tokens
+    # have them) resolve identically on every engine/version, no float or
+    # decimal division at the knife-edge (see q124's round-4 fix).
+    scaled = (F.col("token_seq") - 1) * 10
     seg = (
-        F.when(frac < 0.3, "<header>")
-        .when(frac >= 0.7, "<references>")
+        F.when(scaled < n * 3, "<header>")
+        .when(scaled >= n * 7, "<references>")
         .otherwise("<body>")
     )
     toks = toks.withColumn("_seg", seg)
@@ -64,7 +68,14 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
         F.concat(F.lit("I-"), F.col("_seg")).alias("_l_seg"),
         F.concat(
             F.lit("I-"),
-            F.when(hdr_pos <= 3, "<title>").otherwise("<abstract>"),
+            # mock header vocabulary now covers the author/affiliation tags
+            # so the TEI/JATS front matter exercises persName + affiliation
+            # building (tei/author.py): 3 title, 3 author, 2 affiliation,
+            # rest abstract — all positions within the front region
+            F.when(hdr_pos <= 3, "<title>")
+            .when(hdr_pos <= 6, "<author>")
+            .when(hdr_pos <= 8, "<affiliation>")
+            .otherwise("<abstract>"),
         ).alias("_l_hdr"),
         F.concat(
             F.lit("I-"),
@@ -149,8 +160,8 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
         FROM tokens
     ),
     seg AS (
-        SELECT *, CASE WHEN (token_seq - 1.0) / n < 0.3 THEN 'front'
-                       WHEN (token_seq - 1.0) / n >= 0.7 THEN 'back'
+        SELECT *, CASE WHEN (token_seq - 1) * 10 < n * 3 THEN 'front'
+                       WHEN (token_seq - 1) * 10 >= n * 7 THEN 'back'
                        ELSE 'body' END AS region
         FROM base
     ),
@@ -158,7 +169,14 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
         SELECT doc_id, token_seq, 'header' AS model_name,
                CASE WHEN row_number() OVER (
                         PARTITION BY doc_id ORDER BY token_seq) <= 3
-                    THEN '<title>' ELSE '<abstract>' END AS tag
+                    THEN '<title>'
+                    WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 6
+                    THEN '<author>'
+                    WHEN row_number() OVER (
+                        PARTITION BY doc_id ORDER BY token_seq) <= 8
+                    THEN '<affiliation>'
+                    ELSE '<abstract>' END AS tag
         FROM seg WHERE region = 'front'
         UNION ALL
         SELECT doc_id, token_seq, 'fulltext',
@@ -199,7 +217,10 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
         SELECT doc_id, model_name, entity_group,
                CASE model_name
                  WHEN 'header' THEN
-                   CASE tag WHEN '<title>' THEN 'title' ELSE 'abstract' END
+                   CASE tag WHEN '<title>' THEN 'title'
+                            WHEN '<author>' THEN 'raw_authors'
+                            WHEN '<affiliation>' THEN 'raw_affiliation'
+                            ELSE 'abstract' END
                  WHEN 'fulltext' THEN
                    CASE tag WHEN '<section>' THEN 'heading'
                             ELSE 'paragraph' END
@@ -234,7 +255,18 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
         SELECT *, CASE WHEN entity_type = 'raw_reference_text'
                  THEN 'b' || CAST(row_number() OVER (
                           PARTITION BY doc_id,
-                              (entity_type = 'raw_reference_text')
+                              CASE WHEN entity_type = 'raw_reference_text'
+                                   THEN 'b'
+                                   WHEN entity_type = 'raw_affiliation'
+                                   THEN 'aff' END
+                          ORDER BY token_start) - 1 AS VARCHAR)
+                 WHEN entity_type = 'raw_affiliation'
+                 THEN 'aff' || CAST(row_number() OVER (
+                          PARTITION BY doc_id,
+                              CASE WHEN entity_type = 'raw_reference_text'
+                                   THEN 'b'
+                                   WHEN entity_type = 'raw_affiliation'
+                                   THEN 'aff' END
                           ORDER BY token_start) - 1 AS VARCHAR)
                  END AS content_id
         FROM typed
@@ -433,10 +465,11 @@ def q90_tei_jats_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(fsz = min_sz AS VARCHAR),
                CAST(fsz > avg_sz AS VARCHAR),
                CAST(CASE WHEN token_seq - 1 <= 0 THEN 0
-                         ELSE CAST(floor((token_seq - 1) * 1.0 / n * 10)
+                         ELSE CAST(floor(CAST(token_seq - 1 AS DOUBLE)
+                                         / n * 10)
                                    AS INT) END AS VARCHAR),
-               'I-' || CASE WHEN (token_seq - 1.0) / n < 0.3 THEN '<header>'
-                            WHEN (token_seq - 1.0) / n >= 0.7
+               'I-' || CASE WHEN (token_seq - 1) * 10 < n * 3 THEN '<header>'
+                            WHEN (token_seq - 1) * 10 >= n * 7
                             THEN '<references>'
                             ELSE '<body>' END
            ) AS data_line
@@ -996,9 +1029,18 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) FILTER (WHERE entity_type = 'paragraph') AS n_par,
                count(*) FILTER (WHERE entity_type = 'raw_reference_text')
                    AS n_ref,
+               count(*) FILTER (WHERE entity_type = 'raw_authors'
+                                  AND region = 'front') AS n_fauth,
+               count(*) FILTER (WHERE entity_type = 'raw_authors'
+                                  AND region = 'front'
+                                  AND n_tokens >= 2) AS n_fauth2,
+               count(*) FILTER (WHERE entity_type = 'raw_affiliation')
+                   AS n_aff,
                count(*) FILTER (WHERE entity_type NOT IN
                    ('title', 'abstract', 'heading', 'paragraph',
-                    'raw_reference_text')) AS n_other
+                    'raw_reference_text')
+                   AND NOT (region = 'front' AND entity_type IN
+                            ('raw_authors', 'raw_affiliation'))) AS n_other
         FROM typed GROUP BY doc_id
     )
     SELECT doc_id, element, CAST(n_elements AS BIGINT) AS n_elements
@@ -1024,10 +1066,34 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id, 'listBibl', 1 FROM agg WHERE n_ref > 0
         UNION ALL
-        SELECT doc_id, 'biblStruct', n_ref FROM agg WHERE n_ref > 0
+        SELECT doc_id, 'sourceDesc', 1 FROM agg WHERE n_fauth + n_aff > 0
         UNION ALL
-        SELECT doc_id, 'note', n_ref + n_other FROM agg
-        WHERE n_ref + n_other > 0
+        SELECT doc_id, 'analytic', 1 FROM agg WHERE n_fauth + n_aff > 0
+        UNION ALL
+        SELECT doc_id, 'biblStruct',
+               n_ref + CASE WHEN n_fauth + n_aff > 0 THEN 1 ELSE 0 END
+        FROM agg
+        WHERE n_ref + CASE WHEN n_fauth + n_aff > 0 THEN 1 ELSE 0 END > 0
+        UNION ALL
+        SELECT doc_id, 'author',
+               n_fauth + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END
+        FROM agg
+        WHERE n_fauth + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END > 0
+        UNION ALL
+        SELECT doc_id, 'persName', n_fauth FROM agg WHERE n_fauth > 0
+        UNION ALL
+        SELECT doc_id, 'forename', n_fauth FROM agg WHERE n_fauth > 0
+        UNION ALL
+        SELECT doc_id, 'surname', n_fauth2 FROM agg WHERE n_fauth2 > 0
+        UNION ALL
+        SELECT doc_id, 'affiliation', n_aff FROM agg WHERE n_aff > 0
+        UNION ALL
+        SELECT doc_id, 'note',
+               n_ref + n_other + n_aff
+               + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END
+        FROM agg
+        WHERE n_ref + n_other + n_aff
+              + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END > 0
     )
     """,
     survey_ref="§2A A29 TEI serialization — structural round-trip (build "
@@ -1090,7 +1156,11 @@ def q130_tei_structure_roundtrip(
                count(*) FILTER (WHERE entity_type = 'heading') AS n_heading,
                count(*) FILTER (WHERE entity_type = 'paragraph') AS n_par,
                count(*) FILTER (WHERE entity_type = 'raw_reference_text')
-                   AS n_ref
+                   AS n_ref,
+               count(*) FILTER (WHERE entity_type = 'raw_authors'
+                                  AND region = 'front') AS n_fauth,
+               count(*) FILTER (WHERE entity_type = 'raw_affiliation')
+                   AS n_aff
         FROM typed GROUP BY doc_id
     )
     SELECT doc_id, element, CAST(n_elements AS BIGINT) AS n_elements
@@ -1111,6 +1181,23 @@ def q130_tei_structure_roundtrip(
         SELECT doc_id, 'sec', n_heading FROM agg WHERE n_heading > 0
         UNION ALL
         SELECT doc_id, 'title', n_heading FROM agg WHERE n_heading > 0
+        UNION ALL
+        SELECT doc_id, 'contrib-group', 1 FROM agg WHERE n_fauth + n_aff > 0
+        UNION ALL
+        SELECT doc_id, 'contrib',
+               n_fauth + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END
+        FROM agg
+        WHERE n_fauth + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END > 0
+        UNION ALL
+        SELECT doc_id, 'name', n_fauth FROM agg WHERE n_fauth > 0
+        UNION ALL
+        SELECT doc_id, 'surname', n_fauth FROM agg WHERE n_fauth > 0
+        UNION ALL
+        SELECT doc_id, 'given-names', n_fauth FROM agg WHERE n_fauth > 0
+        UNION ALL
+        SELECT doc_id, 'xref', 1 FROM agg WHERE n_aff > 0
+        UNION ALL
+        SELECT doc_id, 'aff', n_aff FROM agg WHERE n_aff > 0
         UNION ALL
         SELECT doc_id, 'ref-list', 1 FROM agg WHERE n_ref > 0
         UNION ALL

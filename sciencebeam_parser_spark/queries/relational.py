@@ -861,7 +861,7 @@ def q43_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                            FOR x IN embedding]), 4) AS sq_norm,
            round(list_sum([CAST(x AS DOUBLE) FOR x IN embedding[1:8]]), 4)
                AS head_sum,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+           CAST(len([x FOR x IN embedding IF x > 0]) AS INT) AS n_positive
     FROM embeddings
     """,
     survey_ref="§2B array family; token lists, A18 entity-type sets",

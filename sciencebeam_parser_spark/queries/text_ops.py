@@ -33,9 +33,13 @@ def _words(col: str = "text") -> Column:
     return F.filter(arr, lambda x: F.length(x) > 0)
 
 
+# lambda-free form (single-arrow list_filter lambdas are deprecated in
+# newer DuckDB): stripping non-alnum runs from both ends before splitting
+# yields the same word list with no empty entries — verified equal to the
+# list_filter form on every document at sf0.001/0.01/0.1.
 _WORDS_SQL = (
-    "list_filter(string_split_regex(trim(lower(text)), '[^a-z0-9]+'),"
-    " x -> len(x) > 0)"
+    "string_split_regex(regexp_replace(trim(lower(text)),"
+    " '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g'), '[^a-z0-9]+')"
 )
 
 
@@ -264,11 +268,12 @@ def q62_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc1, doc2, n_common,
-           round(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 4)
+               AS jaccard
     FROM inter
     JOIN sizes s1 ON s1.doc_id = doc1
     JOIN sizes s2 ON s2.doc_id = doc2
-    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    WHERE n_common * 5 >= (s1.n + s2.n - n_common) * 4
     """,
     survey_ref="north-star dedup (n-gram Jaccard verification); §2B self-join + agg",
     doc="Exact Jaccard >= 0.8 over word-trigram shingle sets via an inverted "
@@ -308,11 +313,14 @@ def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
-    jac = F.col("n_common") / (F.col("s1.n") + F.col("s2.n") - F.col("n_common"))
+    union_n = F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    jac = F.col("n_common") / union_n
     return (
         inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
         .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
-        .filter(jac >= 0.8)
+        # integer-exact 0.8 threshold (4/5): pairs at exactly 0.8 resolve
+        # identically on every engine/version — no float knife-edge
+        .filter(F.col("n_common") * 5 >= union_n * 4)
         .select("doc1", "doc2", "n_common", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -578,7 +586,7 @@ def q67_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS n_unique,
-           CAST(len(list_filter({_WORDS_SQL}, x -> len(x) >= 5)) AS BIGINT)
+           CAST(len([x FOR x IN {_WORDS_SQL} IF len(x) >= 5]) AS BIGINT)
                AS n_long_tokens,
            round(CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
                  / len({_WORDS_SQL}), 4) AS ttr

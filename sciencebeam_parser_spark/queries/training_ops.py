@@ -39,12 +39,12 @@ _STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     WITH m AS (
         SELECT doc_id, lang,
                CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
-               round(list_sum(list_transform({_WORDS_SQL}, x -> len(x))) * 1.0
+               round(list_sum([len(x) FOR x IN {_WORDS_SQL}]) * 1.0
                      / greatest(len({_WORDS_SQL}), 1), 4) AS mean_word_len,
                round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                      * 1.0 / greatest(len(text), 1), 4) AS symbol_ratio,
-               CAST(len(list_filter({_WORDS_SQL},
-                                    x -> x IN {_STOPWORDS_SQL})) AS BIGINT)
+               CAST(len([x FOR x IN {_WORDS_SQL}
+                         IF x IN {_STOPWORDS_SQL}]) AS BIGINT)
                    AS stop_hits
         FROM documents
     )
@@ -306,7 +306,10 @@ def q145_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
         "doc_id"
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    # no forced broadcast: losers is data-dependent (all non-canonical
+    # near-dups) and unbounded at scale — let AQE/autoBroadcastJoinThreshold
+    # pick the strategy (it broadcasts the tiny side at bench scale anyway)
+    return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
 
@@ -389,12 +392,12 @@ def q146_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id, lang, source, text,
                CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
-               round(list_sum(list_transform({_WORDS_SQL}, x -> len(x))) * 1.0
+               round(list_sum([len(x) FOR x IN {_WORDS_SQL}]) * 1.0
                      / greatest(len({_WORDS_SQL}), 1), 4) AS mean_word_len,
                round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                      * 1.0 / greatest(len(text), 1), 4) AS symbol_ratio,
-               CAST(len(list_filter({_WORDS_SQL},
-                                    x -> x IN {_STOPWORDS_SQL})) AS BIGINT)
+               CAST(len([x FOR x IN {_WORDS_SQL}
+                         IF x IN {_STOPWORDS_SQL}]) AS BIGINT)
                    AS stop_hits
         FROM documents
     ),
@@ -490,7 +493,8 @@ def q152_training_corpus_pipeline(
     ) / 1000000.0
 
     kept = (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        # unbounded relation — strategy left to AQE (see q145)
+        docs.join(losers, "doc_id", "left_anti")
         .filter(
             (n_words >= 50)
             & (n_words <= 100000)
@@ -579,7 +583,10 @@ def q153_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        corpus.join(F.broadcast(eval_set), "shingle")
+        # eval shingle set is data-dependent (2% of corpus exploded to
+        # trigrams) — unbounded at 100 TB, so no forced broadcast; AQE
+        # still broadcasts it while it fits autoBroadcastJoinThreshold
+        corpus.join(eval_set, "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared_grams"))
     )

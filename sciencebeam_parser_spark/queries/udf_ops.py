@@ -85,7 +85,10 @@ def q147_merged_bbox_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the UDF path
     @F.pandas_udf("long")
     def count_agg(s: pd.Series) -> int:
-        return len(s)
+        # s.count() skips nulls — matching SQL count(col) semantics (len(s)
+        # would count nulls; this query's boxes are non-null, but the UDAF
+        # is documented as the custom-aggregate template, so it must match)
+        return int(s.count())
 
     boxes = _boxes(spark, sf_dir).select(
         "doc_id", "page", "x", "y",

@@ -51,7 +51,12 @@ def get_spark(
         # in the bench suite). More cache + flushing keeps the JIT alive.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g",
+            # append to (not clobber) any user/env-supplied options; note
+            # this is a no-op when getOrCreate reuses a running JVM
+            (
+                os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "")
+                + " -XX:ReservedCodeCacheSize=1g"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -60,6 +60,45 @@ def tei_to_jats_xml(tei_xml: str) -> str:
     title_group = ET.SubElement(meta, "title-group")
     for title in tei.findall(f"{_t('teiHeader')}/{_t('fileDesc')}/{_t('titleStmt')}/{_t('title')}"):
         ET.SubElement(title_group, "article-title").text = _all_text(title)
+
+    # analytic/author → contrib-group/contrib (tei-to-jats.xsl:64-86):
+    # persName → name{surname, given-names} (:339-353); author/affiliation
+    # → xref[@ref-type=aff][@rid=key] on the contrib and a top-level
+    # aff[@id=key] per affiliation (:88-121)
+    authors = tei.findall(
+        f"{_t('teiHeader')}/{_t('fileDesc')}/{_t('sourceDesc')}"
+        f"/{_t('biblStruct')}/{_t('analytic')}/{_t('author')}"
+    )
+    if authors:
+        group = ET.SubElement(meta, "contrib-group")
+        group.set("content-type", "author")
+        for author in authors:
+            contrib = ET.SubElement(group, "contrib")
+            contrib.set("contrib-type", "person")
+            pers = author.find(_t("persName"))
+            if pers is not None:
+                name = ET.SubElement(contrib, "name")
+                surname = pers.find(_t("surname"))
+                ET.SubElement(name, "surname").text = (
+                    _all_text(surname) if surname is not None else ""
+                )
+                ET.SubElement(name, "given-names").text = " ".join(
+                    _all_text(f) for f in pers.findall(_t("forename"))
+                )
+            affs = author.findall(_t("affiliation"))
+            if affs:
+                # xsl:value-of over a node-set takes the first node's @key
+                xref = ET.SubElement(contrib, "xref")
+                xref.set("ref-type", "aff")
+                xref.set("rid", affs[0].get("key", ""))
+        for aff in tei.findall(
+            f"{_t('teiHeader')}/{_t('fileDesc')}/{_t('sourceDesc')}"
+            f"/{_t('biblStruct')}/{_t('analytic')}/{_t('author')}"
+            f"/{_t('affiliation')}"
+        ):
+            aff_out = ET.SubElement(meta, "aff")
+            aff_out.set("id", aff.get("key", ""))
+
     for abstract in tei.findall(f"{_t('teiHeader')}/{_t('profileDesc')}/{_t('abstract')}"):
         ab = ET.SubElement(meta, "abstract")
         for p in abstract.findall(_t("p")):

@@ -32,6 +32,23 @@ TEI_OUT_SCHEMA = T.StructType(
 )
 
 
+def _build_persname_author(analytic: ET.Element, text: str) -> None:
+    """author/persName with forename+surname (tei/author.py:99-130
+    get_tei_author_for_semantic_author_element; part mapping
+    tei/factories.py:109-111: given name → forename[@type=first],
+    surname → surname). The mock name fold is the q89 greedy split:
+    first token = given name, remaining tokens = surname."""
+    author = ET.SubElement(analytic, f"{{{TEI_NS}}}author")
+    pers = ET.SubElement(author, f"{{{TEI_NS}}}persName")
+    parts = (text or "").split()
+    if parts:
+        fn = ET.SubElement(pers, f"{{{TEI_NS}}}forename")
+        fn.set("type", "first")
+        fn.text = parts[0]
+    if len(parts) > 1:
+        ET.SubElement(pers, f"{{{TEI_NS}}}surname").text = " ".join(parts[1:])
+
+
 def _build_tei(entities: pd.DataFrame) -> str:
     ents = entities.sort_values("token_start")
     ET.register_namespace("", TEI_NS)
@@ -45,9 +62,31 @@ def _build_tei(entities: pd.DataFrame) -> str:
     back = ET.SubElement(text_el, f"{{{TEI_NS}}}back")
     ref_div = None
     current_div = None
+    analytic = None  # sourceDesc/biblStruct/analytic, created on demand
+    # (marker_text → affiliations) per tei_document.py:68-75; the mock
+    # vocabulary yields no markers, so every affiliation keys to '' and
+    # flows down the orphan path (get_orphan_affiliations → dummy author)
+    orphan_affiliations: list = []
+
+    def get_analytic() -> ET.Element:
+        nonlocal analytic
+        if analytic is None:
+            source_desc = ET.SubElement(file_desc, f"{{{TEI_NS}}}sourceDesc")
+            bibl = ET.SubElement(source_desc, f"{{{TEI_NS}}}biblStruct")
+            analytic = ET.SubElement(bibl, f"{{{TEI_NS}}}analytic")
+        return analytic
 
     for r in ents.itertuples():
         etype = r.entity_type
+        region = getattr(r, "region", None)
+        if etype == "raw_authors" and region == "front":
+            # header-model author → SemanticAuthor → analytic/author
+            # (tei_document.py:77-89)
+            _build_persname_author(get_analytic(), r.text)
+            continue
+        if etype == "raw_affiliation" and region == "front":
+            orphan_affiliations.append(r)
+            continue
         if etype == "title":
             el = ET.SubElement(title_stmt, f"{{{TEI_NS}}}title")
             el.set("level", "a")
@@ -104,6 +143,23 @@ def _build_tei(entities: pd.DataFrame) -> str:
             note = ET.SubElement(body, f"{{{TEI_NS}}}note")
             note.set("type", etype)
             note.text = r.text
+
+    if orphan_affiliations:
+        # affiliations with no author marker → one dummy author
+        # (tei/author.py:135-151 get_dummy_tei_author_for_semantic_
+        # affiliations_element + tei_document.py:100-112)
+        dummy = ET.SubElement(get_analytic(), f"{{{TEI_NS}}}author")
+        d_note = ET.SubElement(dummy, f"{{{TEI_NS}}}note")
+        d_note.set("type", "dummy_author")
+        d_note.text = "Dummy author for orphan affiliations"
+        for r in orphan_affiliations:
+            aff = ET.SubElement(dummy, f"{{{TEI_NS}}}affiliation")
+            if getattr(r, "content_id", None):
+                # content id → @key (tei/author.py:68-73)
+                aff.set("key", r.content_id)
+            raw = ET.SubElement(aff, f"{{{TEI_NS}}}note")
+            raw.set("type", "raw_affiliation")
+            raw.text = r.text
     return ET.tostring(tei, encoding="unicode")
 
 

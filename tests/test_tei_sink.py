@@ -93,3 +93,82 @@ class TestCascadeToTei:
         tei = entities_to_tei(ents).collect()[0]["tei_xml"]
         root = ET.fromstring(tei)
         assert root.find(".//tei:titleStmt/tei:title", NS).text == "Title Here"
+
+
+@pytest.fixture(scope="module")
+def tei_authors_root(spark):
+    """Front matter with two authors and two orphan affiliations —
+    reference behaviors from tests/document/tei_document_test.py:63-258
+    (persName parts, affiliation key, dummy author for orphans)."""
+    entities = spark.createDataFrame(
+        [
+            ("d2", 1, "title", "front", 0, 1, "A Title", None),
+            ("d2", 2, "raw_authors", "front", 2, 4, "maria garcia lopez", None),
+            ("d2", 3, "raw_authors", "front", 5, 5, "prince", None),
+            ("d2", 4, "raw_affiliation", "front", 6, 7, "univ one", "aff0"),
+            ("d2", 5, "raw_affiliation", "front", 8, 9, "univ two", "aff1"),
+            ("d2", 6, "raw_authors", "back", 10, 11, "smith j", None),
+        ],
+        "doc_id string, entity_group long, entity_type string, region string, "
+        "token_start long, token_end long, text string, content_id string",
+    )
+    out = entities_to_tei(entities).collect()
+    assert len(out) == 1
+    return ET.fromstring(out[0]["tei_xml"])
+
+
+class TestTeiAuthors:
+    def test_authors_under_analytic(self, tei_authors_root):
+        authors = tei_authors_root.findall(
+            ".//tei:fileDesc/tei:sourceDesc/tei:biblStruct/tei:analytic"
+            "/tei:author",
+            NS,
+        )
+        # 2 real + 1 dummy (orphan affiliations)
+        assert len(authors) == 3
+
+    def test_persname_forename_surname_split(self, tei_authors_root):
+        pers = tei_authors_root.findall(".//tei:author/tei:persName", NS)
+        assert len(pers) == 2
+        fn = pers[0].find("tei:forename", NS)
+        assert fn.text == "maria" and fn.get("type") == "first"
+        assert pers[0].find("tei:surname", NS).text == "garcia lopez"
+        # single-token author: forename only, no surname element
+        assert pers[1].find("tei:forename", NS).text == "prince"
+        assert pers[1].find("tei:surname", NS) is None
+
+    def test_orphan_affiliations_under_dummy_author(self, tei_authors_root):
+        dummy_notes = tei_authors_root.findall(
+            ".//tei:author/tei:note[@type='dummy_author']", NS
+        )
+        assert len(dummy_notes) == 1
+        affs = tei_authors_root.findall(".//tei:author/tei:affiliation", NS)
+        assert [a.get("key") for a in affs] == ["aff0", "aff1"]
+        raw = affs[0].find("tei:note", NS)
+        assert raw.get("type") == "raw_affiliation"
+        assert raw.text == "univ one"
+
+    def test_back_region_authors_stay_notes(self, tei_authors_root):
+        # citation-model raw_authors (back region) are NOT front authors
+        notes = tei_authors_root.findall(
+            ".//tei:body/tei:note[@type='raw_authors']", NS
+        )
+        assert len(notes) == 1 and notes[0].text == "smith j"
+
+    def test_jats_contrib_group(self, tei_authors_root):
+        from sciencebeam_parser_spark.sinks.jats import tei_to_jats_xml
+
+        jats = ET.fromstring(
+            tei_to_jats_xml(ET.tostring(tei_authors_root, encoding="unicode"))
+        )
+        contribs = jats.findall(".//contrib-group/contrib")
+        assert len(contribs) == 3
+        name = contribs[0].find("name")
+        assert name.find("surname").text == "garcia lopez"
+        assert name.find("given-names").text == "maria"
+        # dummy author contributes the aff xref, not a name
+        assert contribs[2].find("name") is None
+        xref = contribs[2].find("xref")
+        assert xref.get("ref-type") == "aff" and xref.get("rid") == "aff0"
+        affs = jats.findall(".//article-meta/aff")
+        assert [a.get("id") for a in affs] == ["aff0", "aff1"]
