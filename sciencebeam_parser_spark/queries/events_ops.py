@@ -586,12 +586,17 @@ def q136_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q137_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # deliberately NOT cached: the three grains reference the same leaf
+    # aggregate subtree and ReuseExchange dedups it at runtime; an
+    # InMemoryRelation here measured 2x SLOWER in a warm interleaved A/B
+    # (0.57s vs 1.22s @ sf0.1, round 4) because the cache materialization
+    # is a barrier AQE can't plan through.
     b15 = (
         ev.groupBy(
             F.window("ts", "15 minutes")["start"].alias("b15"), "event_type"
         )
         .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
-    ).cache()
+    )
     leaf = b15.select(
         F.lit("15min").alias("grain"),
         F.col("b15").alias("bucket_start"),

@@ -181,6 +181,14 @@ def _oracle_sql() -> str:
         "an inverted token index — no cross joins at any scale.",
 )
 def q97_citation_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    citations, targets = _q97_fixture(spark, sf_dir)
+    return match_content_ids(
+        citations, targets.select("doc_id", "content_id", "text", "target_seq")
+    )
+
+
+def _q97_fixture(spark: SparkSession, sf_dir: str):
+    """The q97 citations/targets fixture (also used by perf probes)."""
     toks = _tokens(spark, sf_dir).filter(F.col("token_seq") <= 18)
     chunked = toks.withColumn(
         "chunk", ((F.col("token_seq") - 1) / 6).cast("int")
@@ -243,9 +251,7 @@ def q97_citation_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return match_content_ids(
-        citations, targets.select("doc_id", "content_id", "text", "target_seq")
-    )
+    return citations, targets
 
 
 _RETOK_ALT_SQL = _RE2_DELIM_ALTERNATION.replace("'", "''")
