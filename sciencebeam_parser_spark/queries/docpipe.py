@@ -1656,6 +1656,65 @@ def q116_model_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q156_weight_model_labels",
+    # The weight table makes the argmax decode collapse to this CASE:
+    # alldigit => <pubnum> wins (10 > title's max 6 > body's max 3.5);
+    # else first3 => <title> (>= 6 beats body's <= 3.5);
+    # else => <body> (>= 2 beats title's 1). BIO prefix = B- on tag
+    # change (lag window), I- inside a run.
+    oracle="WITH " + _TOKENS_CTE + """,
+    decoded AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<pubnum>'
+                    WHEN token_seq <= 3 THEN '<title>'
+                    ELSE '<body>' END AS tag
+        FROM tokens
+    )
+    SELECT doc_id, token_seq, 'weight_header' AS model_name,
+           CASE WHEN lag(tag) OVER w IS NULL OR tag <> lag(tag) OVER w
+                THEN 'B-' ELSE 'I-' END || tag AS label
+    FROM decoded
+    WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    """,
+    survey_ref="§2A A11 sequence labeling with a REAL (non-injected) model: "
+               "weight-table artifact distributed via addFile, lazy "
+               "executor-singleton load, linear scoring + BIO decode "
+               "(models/wapiti_model_impl.py:25-164 protocol; "
+               "utils/lazy.py LazyLoaded)",
+    doc="A genuine model-artifact path: the JSON weight table is written "
+        "by the driver, shipped to executors with SparkContext.addFile, "
+        "loaded once per Python worker through the executor-singleton "
+        "registry, and scored per token (feature-weight sums, argmax, "
+        "BIO prefixes). Deterministic weights make the decode "
+        "SQL-restatable, so unlike q116 (injected function) this "
+        "exercises distribution + lazy load + real scoring under a full "
+        "oracle. The Viterbi decode mode of the same model class is "
+        "unit-tested against brute-force enumeration.",
+)
+def q156_weight_model_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.plans.models import (
+        WeightTableLabelModel,
+        apply_model,
+    )
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .withColumnRenamed("token", "text")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    model = WeightTableLabelModel.distribute(
+        spark,
+        "weight_header",
+        weights={
+            "<title>": {"bias": 1.0, "first3": 5.0},
+            "<pubnum>": {"alldigit": 10.0},
+            "<body>": {"bias": 2.0, "len5": 1.5},
+        },
+    )
+    return apply_model(toks, model)
+
+
+@register(
     "q117_model_json_output",
     oracle="WITH " + _TOKENS_CTE + """,
     labeled AS (

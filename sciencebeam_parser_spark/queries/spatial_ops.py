@@ -301,12 +301,17 @@ def q96_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial AS (
         SELECT doc_id, graphic_id, content_id FROM best_c WHERE rc = 1
     ),
-    rem AS (
-        SELECT g.doc_id, g.graphic_id,
-               'Figure ' || CAST(g.graphic_id % 50 AS VARCHAR) AS block_text
+    unmatched1 AS (
+        SELECT g.doc_id, g.graphic_id
         FROM graphics g LEFT JOIN spatial s
           ON g.doc_id = s.doc_id AND g.graphic_id = s.graphic_id
         WHERE s.content_id IS NULL
+    ),
+    rem AS (
+        SELECT doc_id, graphic_id,
+               'Figure ' || CAST(graphic_id % 50 AS VARCHAR) AS block_text
+        FROM unmatched1
+        WHERE graphic_id % 4 = 0
     ),
     label_pairs AS (
         SELECT r.doc_id, r.graphic_id, c.content_id,
@@ -323,12 +328,35 @@ def q96_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS INT)
              = CAST(regexp_extract(c.fig_label, 'Figure ([0-9]+)', 1)
                     AS INT)
+    ),
+    label_matched AS (
+        SELECT doc_id, graphic_id, content_id
+        FROM label_pairs WHERE rn = 1
+    ),
+    rem3 AS (
+        SELECT u.doc_id, u.graphic_id,
+               'FIG ' || CAST(u.graphic_id + 40 AS VARCHAR) AS ocr_text
+        FROM unmatched1 u LEFT JOIN label_matched lm
+          ON u.doc_id = lm.doc_id AND u.graphic_id = lm.graphic_id
+        WHERE lm.content_id IS NULL
+    ),
+    ocr_pairs AS (
+        SELECT r.doc_id, r.graphic_id, c.content_id,
+               row_number() OVER (
+                   PARTITION BY r.doc_id, r.graphic_id
+                   ORDER BY c.content_id) AS rn
+        FROM rem3 r JOIN candidates c
+          ON r.doc_id = c.doc_id
+         AND regexp_replace(lower(c.content_id), '[^a-z0-9]', '', 'g')
+           = regexp_replace(lower(r.ocr_text), '[^a-z0-9]', '', 'g')
     )
     SELECT doc_id, graphic_id, content_id, 'spatial' AS match_stage
     FROM spatial
     UNION ALL
-    SELECT doc_id, graphic_id, content_id, 'label'
-    FROM label_pairs WHERE rn = 1
+    SELECT doc_id, graphic_id, content_id, 'label' FROM label_matched
+    UNION ALL
+    SELECT doc_id, graphic_id, content_id, 'ocr'
+    FROM ocr_pairs WHERE rn = 1
     """,
     survey_ref="§2A A21 matcher chain (graphic_matching.py:54-94 chained "
                "over unmatched remainder; label regex matcher ~:250-400); "
@@ -365,7 +393,10 @@ def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def label_match(remaining):
-        rem = remaining.select(
+        # related_block is Optional in the reference (graphic_matching.py:
+        # 556-563 returns '' without one): the fixture gives every 4th
+        # graphic a related text block; the rest fall through to OCR
+        rem = remaining.filter(F.col("graphic_id") % 4 == 0).select(
             "doc_id",
             "graphic_id",
             F.concat(
@@ -389,8 +420,59 @@ def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_rn")
         )
 
+    def ocr_match(remaining):
+        # A25 completes the A21 chain (graphic_matching.py:568-593
+        # OpticalCharacterRecognitionGraphicMatcher): OCR the remaining
+        # graphics' images through the REAL ocr_images plumbing (executor-
+        # singleton handle, mapInPandas) with a deterministic fake kernel
+        # (bytes→text; tesseract absent in this sandbox), then match the
+        # OCR text to candidates on the normalized key
+        # (SimpleContentIdMatcher, ref_matching.py:19-24 semantics).
+        from sciencebeam_parser_spark.operators.ref_matching import (
+            normalized_key,
+        )
+        from sciencebeam_parser_spark.sources.pdf import ocr_images
+
+        # synthesized graphic "image": bytes embedding the label text the
+        # fake OCR reads back (doc-consistent: candidate partkeys are
+        # graphic_id + 40 — same doc mod 40, candidate residue mod 3)
+        imgs = remaining.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("graphic_id").cast("int").alias("page_number"),
+            F.encode(
+                F.concat(
+                    F.lit("FIG "), (F.col("graphic_id") + 40).cast("string")
+                ),
+                "utf-8",
+            ).alias("image"),
+        )
+        texts = ocr_images(
+            imgs, ocr_fn=lambda b: bytes(b).decode("utf-8")
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("page_number").cast("int").alias("graphic_id"),
+            "ocr_text",
+        )
+        cand_keys = candidates.select(
+            "doc_id",
+            "content_id",
+            normalized_key(F.col("content_id")).alias("_key"),
+        )
+        pairs = texts.withColumn(
+            "_key", normalized_key(F.col("ocr_text"))
+        ).join(cand_keys, ["doc_id", "_key"]).select(
+            "doc_id", "graphic_id", "content_id"
+        )
+        w = W.partitionBy("doc_id", "graphic_id").orderBy("content_id")
+        return (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     return chain_graphic_matchers(
-        graphics, [("spatial", spatial), ("label", label_match)]
+        graphics,
+        [("spatial", spatial), ("label", label_match), ("ocr", ocr_match)],
     )
 
 

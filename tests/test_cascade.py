@@ -140,3 +140,101 @@ class TestModelProtocol:
         out = DataFrameLabelModel("header", labels).apply(tokens).collect()
         assert len(out) == 1
         assert out[0]["label"] == "B-<title>"
+
+
+class TestWeightTableModel:
+    """WeightTableLabelModel — the real (non-injected) A11 path: artifact
+    distribution, executor-singleton load, linear scoring, BIO decode."""
+
+    WEIGHTS = {
+        "<title>": {"bias": 1.0, "first3": 5.0},
+        "<pubnum>": {"alldigit": 10.0},
+        "<body>": {"bias": 2.0, "len5": 1.5},
+    }
+
+    def test_argmax_decode_via_spark(self, spark):
+        from sciencebeam_parser_spark.plans.models import (
+            WeightTableLabelModel,
+            apply_model,
+        )
+
+        toks = spark.createDataFrame(
+            [
+                ("d1", 1, "alpha"), ("d1", 2, "b"), ("d1", 3, "c"),
+                ("d1", 4, "12"), ("d1", 5, "word"), ("d1", 6, "longer"),
+            ],
+            "doc_id string, token_seq long, text string",
+        )
+        model = WeightTableLabelModel.distribute(
+            spark, "wt_test", weights=self.WEIGHTS
+        )
+        rows = {
+            r["token_seq"]: r["label"]
+            for r in apply_model(toks, model).collect()
+        }
+        assert rows == {
+            1: "B-<title>", 2: "I-<title>", 3: "I-<title>",
+            4: "B-<pubnum>", 5: "B-<body>", 6: "I-<body>",
+        }
+
+    def test_viterbi_matches_brute_force(self):
+        import itertools
+
+        from sciencebeam_parser_spark.plans.models import (
+            WeightTableLabelModel as M,
+        )
+
+        transitions = {
+            "<title>": {"<title>": 2.0, "<body>": -1.0, "<pubnum>": 0.5},
+            "<body>": {"<body>": 1.0, "<title>": -2.0, "<pubnum>": 0.0},
+            "<pubnum>": {"<pubnum>": 3.0, "<body>": 0.5, "<title>": 0.0},
+        }
+        texts = ["alpha", "12", "x", "large", "7", "9"]
+        seqs = [1, 2, 3, 4, 5, 6]
+        labels = sorted(self.WEIGHTS)
+        emit = [
+            [
+                sum(
+                    self.WEIGHTS[lb].get(f, 0.0)
+                    for f in M._features(t, s)
+                )
+                for lb in labels
+            ]
+            for t, s in zip(texts, seqs)
+        ]
+
+        def path_score(path):
+            s = sum(emit[i][path[i]] for i in range(len(path)))
+            for i in range(1, len(path)):
+                s += transitions[labels[path[i - 1]]][labels[path[i]]]
+            return s
+
+        # brute force with the same tie-break (higher score, then smaller
+        # label indices lexicographically over the whole path)
+        best = max(
+            itertools.product(range(len(labels)), repeat=len(texts)),
+            key=lambda p: (path_score(p), tuple(-i for i in p)),
+        )
+        expected_tags = [labels[i] for i in best]
+        got = M._decode_doc(texts, seqs, self.WEIGHTS, transitions, "viterbi")
+        got_tags = [lb[2:] for lb in got]
+        assert got_tags == expected_tags
+        # BIO prefixes follow tag runs
+        for i, lb in enumerate(got):
+            if i == 0 or got_tags[i] != got_tags[i - 1]:
+                assert lb.startswith("B-")
+            else:
+                assert lb.startswith("I-")
+
+    def test_singleton_loads_once_per_process(self):
+        from sciencebeam_parser_spark.utils import (
+            executor_singleton,
+            reset_singletons,
+        )
+
+        reset_singletons()
+        calls = []
+        factory = lambda: calls.append(1) or {"weights": {}}  # noqa: E731
+        executor_singleton("wt_once", factory)
+        executor_singleton("wt_once", factory)
+        assert len(calls) == 1
