@@ -169,3 +169,52 @@ def q151_bucketed_colocated_join(
     return read_bucketed(spark, f"q151_docs_{tag}").join(
         read_bucketed(spark, f"q151_emb_{tag}"), "doc_id"
     )
+
+
+@register(
+    "q157_asset_zip_sink",
+    # rows-only: zip bytes are not SQL-expressible; determinism comes from
+    # hash-partitioning on doc_id into a fixed partition count, so each
+    # archive's membership is stable across runs.
+    oracle=None,
+    survey_ref="§2A A29 asset ZIP sink (app/parser.py:102-127 "
+               "create_asset_zip_for_semantic_document; one archive per "
+               "task instead of per request at corpus scale)",
+    doc="The asset-ZIP sink end-to-end: a (doc_id, tei_xml) relation is "
+        "hash-partitioned on doc_id into 8 fixed partitions and written "
+        "as one zip archive per partition via foreachPartition (executor-"
+        "side I/O, nothing through the driver); the query returns one row "
+        "per archive with its entry count and an order-insensitive digest "
+        "of the entry names.",
+)
+def q157_asset_zip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import zipfile
+
+    from sciencebeam_parser_spark.sinks.jats import write_xml_zip
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<TEI><text><body><p>"),
+            F.substring("text", 1, 64),
+            F.lit("</p></body></text></TEI>"),
+        ).alias("tei_xml"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_zip_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # fixed partition count => stable archive membership run to run
+    write_xml_zip(docs.repartition(8, "doc_id"), out_dir)
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        with zipfile.ZipFile(os.path.join(out_dir, name)) as zf:
+            names = sorted(zf.namelist())
+            digest = hashlib.md5("\n".join(names).encode()).hexdigest()
+            rows.append((name, len(names), digest))
+    return spark.createDataFrame(
+        rows, "zip_name string, n_entries long, entry_names_md5 string"
+    )

@@ -1088,6 +1088,9 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id, 'affiliation', n_aff FROM agg WHERE n_aff > 0
         UNION ALL
+        SELECT doc_id, '@coords', n_title + n_ref FROM agg
+        WHERE n_title + n_ref > 0
+        UNION ALL
         SELECT doc_id, 'note',
                n_ref + n_other + n_aff
                + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END
@@ -1114,6 +1117,17 @@ def q130_tei_structure_roundtrip(
 
     toks, labels = _mock_labeled_tokens(spark, sf_dir)
     ents = run_fulltext_cascade(toks, labels)
+    # synthesized layout bbox per entity (the q91/q101 layout: token n sits
+    # at x = n*10 with width 8), pre-formatted as the reference's
+    # 'page,x,y,w,h' coords string (tei/common.py:87-100)
+    ents = ents.withColumn(
+        "coords",
+        F.format_string(
+            "1,%.2f,0.00,%.2f,10.00",
+            F.col("token_start") * 10.0,
+            (F.col("token_end") - F.col("token_start")) * 10.0 + 8.0,
+        ),
+    )
     tei = entities_to_tei(ents)
 
     schema = T.StructType(
@@ -1128,10 +1142,13 @@ def q130_tei_structure_roundtrip(
         for pdf in batches:
             rows = []
             for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
-                counts = Counter(
-                    el.tag.rsplit("}", 1)[-1]
-                    for el in ET.fromstring(xml).iter()
-                )
+                counts = Counter()
+                for el in ET.fromstring(xml).iter():
+                    counts[el.tag.rsplit("}", 1)[-1]] += 1
+                    if el.get("coords"):
+                        # coords-bearing elements tracked as a pseudo-
+                        # element so the oracle pins where @coords lands
+                        counts["@coords"] += 1
                 rows.extend((doc_id, tag, n) for tag, n in counts.items())
             if rows:
                 yield pd.DataFrame(

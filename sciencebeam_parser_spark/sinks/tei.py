@@ -76,6 +76,16 @@ def _build_tei(entities: pd.DataFrame) -> str:
             analytic = ET.SubElement(bibl, f"{{{TEI_NS}}}analytic")
         return analytic
 
+    def set_coords(el, r) -> None:
+        # layout coordinates → @coords (tei/common.py:87-113
+        # format_coordinates_list via get_default_attributes_for_layout_
+        # block); attached where the reference does: title, figure,
+        # biblStruct. The entities relation carries the pre-formatted
+        # 'page,x,y,w,h[;...]' string in an optional `coords` column.
+        coords = getattr(r, "coords", None)
+        if coords is not None and not pd.isna(coords):
+            el.set("coords", coords)
+
     for r in ents.itertuples():
         etype = r.entity_type
         region = getattr(r, "region", None)
@@ -91,6 +101,7 @@ def _build_tei(entities: pd.DataFrame) -> str:
             el = ET.SubElement(title_stmt, f"{{{TEI_NS}}}title")
             el.set("level", "a")
             el.set("type", "main")
+            set_coords(el, r)
             el.text = r.text
         elif etype == "abstract":
             ab = ET.SubElement(profile_desc, f"{{{TEI_NS}}}abstract")
@@ -114,6 +125,7 @@ def _build_tei(entities: pd.DataFrame) -> str:
             fig = ET.SubElement(body, f"{{{TEI_NS}}}figure")
             if etype == "raw_table":
                 fig.set("type", "table")
+            set_coords(fig, r)
             if r.content_id:
                 fig.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
             ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = r.text
@@ -123,6 +135,7 @@ def _build_tei(entities: pd.DataFrame) -> str:
                 ref_div.set("type", "references")
                 ref_div = ET.SubElement(ref_div, f"{{{TEI_NS}}}listBibl")
             bibl = ET.SubElement(ref_div, f"{{{TEI_NS}}}biblStruct")
+            set_coords(bibl, r)
             if r.content_id:
                 bibl.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
             ET.SubElement(bibl, f"{{{TEI_NS}}}note").text = r.text
