@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 from typing import Iterable, Iterator
+from uuid import uuid4
 
 import pandas as pd
 
@@ -222,4 +223,86 @@ def resize_images(
 
     return media.select("media_id", "content").mapInPandas(
         resize, schema=RESIZE_SCHEMA
+    )
+
+
+CV_BOXES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page_number", T.IntegerType()),
+        T.StructField("box_index", T.IntegerType()),
+        T.StructField("box_type", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _fake_detect(content: bytes):
+    """Deterministic fake layout detector: two typed boxes per page derived
+    from the image-content md5 (stable across runs/engines) on the
+    normalized [0,1] page grid — one 'figure', one 'table'."""
+    h = hashlib.md5(content or b"").hexdigest()
+
+    def frac(i: int) -> float:
+        return int(h[i: i + 2], 16) / 512.0  # [0, 0.498]
+
+    return [
+        (0, "figure", frac(0), frac(2), 0.25, 0.20,
+         round(0.5 + int(h[4], 16) / 32.0, 6)),
+        (1, "table", frac(6), frac(8), 0.30, 0.15,
+         round(0.5 + int(h[10], 16) / 32.0, 6)),
+    ]
+
+
+def detect_layout_boxes(
+    images: DataFrame,
+    *,
+    detector_fn=None,
+    use_fake_detector: bool = False,
+) -> DataFrame:
+    """A24 CV layout detection: page images → typed bounding boxes.
+
+    The real deployment loads the detection model once per Python worker
+    (executor singleton — cv_models/layout_parser_cv_model.py holds one
+    detectron2-style predictor per process) and runs batched inference.
+    Here the model kernel is injectable (`detector_fn(content) ->
+    [(box_index, type, x, y, w, h, score)]`); `use_fake_detector` selects
+    the deterministic md5-derived fake. Input: (doc_id, page_number,
+    image).
+    """
+    from sciencebeam_parser_spark.utils import executor_singleton
+
+    _key = f"cv_model:{uuid4().hex}"
+
+    def detect(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = executor_singleton(
+            _key,
+            lambda: detector_fn
+            or (_fake_detect if use_fake_detector else None),
+        )
+        if fn is None:
+            raise NotImplementedError(
+                "CV layout model not available in this environment (STUB); "
+                "inject detector_fn or use_fake_detector=True"
+            )
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for box in fn(row["image"]):
+                    rows.append((row["doc_id"], row["page_number"], *box))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "page_number", "box_index", "box_type",
+                        "x", "y", "width", "height", "score",
+                    ],
+                )
+
+    return images.select("doc_id", "page_number", "image").mapInPandas(
+        detect, schema=CV_BOXES_SCHEMA
     )

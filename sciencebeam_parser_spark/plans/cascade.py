@@ -79,6 +79,41 @@ ENTITY_TYPE_BY_TAG = {
         "<label>": "reference_label",
         "<reference>": "raw_reference_text",
     },
+    # sub-model tag tables (the grammars in extract_grammars.py consume
+    # these tags; the dispatch rows give every semantic type a first-class
+    # relational name — semantic_document.py:248-539):
+    # name: models/name/extract.py:36-42
+    "name": {
+        "<title>": "name_title",
+        "<forename>": "given_name",
+        "<middlename>": "middle_name",
+        "<surname>": "surname",
+        "<suffix>": "name_suffix",
+        "<marker>": "marker",
+    },
+    # affiliation_address: models/affiliation_address/extract.py:31-41
+    "affiliation_address": {
+        "<institution>": "institution",
+        "<department>": "department",
+        "<laboratory>": "laboratory",
+        "<addrLine>": "address_line",
+        "<postCode>": "post_code",
+        "<postBox>": "post_box",
+        "<region>": "address_region",
+        "<settlement>": "settlement",
+        "<country>": "country",
+        "<marker>": "marker",
+    },
+    # figure / table: models/figure/extract.py:18-21, models/table/
+    # extract.py:18-21 (identical label/caption tables)
+    "figure": {
+        "<label>": "label",
+        "<figDesc>": "caption",
+    },
+    "table": {
+        "<label>": "label",
+        "<figDesc>": "caption",
+    },
     "citation": {
         "<author>": "raw_authors",
         "<editor>": "raw_editors",
@@ -109,6 +144,25 @@ VALID_REFERENCE_TYPES = (
     "external_identifier",
     "external_url",
 )
+
+
+def dispatch_entity_type(
+    model_col: str = "model_name", tag_col: str = "tag"
+):
+    """Combined (model, tag) → entity_type dispatch expression; unmapped
+    tags default to 'note' (SimpleModelSemanticExtractor,
+    models/extract.py:66-77)."""
+    dispatch = F.create_map(
+        *[
+            F.lit(x)
+            for model, mapping in ENTITY_TYPE_BY_TAG.items()
+            for tag, etype in mapping.items()
+            for x in (f"{model}\x00{tag}", etype)
+        ]
+    )
+    return F.coalesce(
+        dispatch[F.concat_ws("\x00", model_col, tag_col)], F.lit("note")
+    )
 
 
 @dataclass
@@ -171,24 +225,12 @@ def _extract_all_entities(
         text_col="text",
         keep_other=False,
     )
-    # combined (model, tag) → entity_type dispatch; default → note
-    # (SimpleModelSemanticExtractor, models/extract.py:66-77)
-    dispatch = F.create_map(
-        *[
-            F.lit(x)
-            for model, mapping in ENTITY_TYPE_BY_TAG.items()
-            for tag, etype in mapping.items()
-            for x in (f"{model}\x00{tag}", etype)
-        ]
-    )
     return ents.select(
         "doc_id",
         "model_name",
         "entity_group",
         "tag",
-        F.coalesce(
-            dispatch[F.concat_ws("\x00", "model_name", "tag")], F.lit("note")
-        ).alias("entity_type"),
+        dispatch_entity_type().alias("entity_type"),
         model_region_map[F.col("model_name")].alias("region"),
         "token_start",
         "token_end",

@@ -1910,3 +1910,138 @@ def q121_alto_graphics_roundtrip(
         "doc_id", "graphic_id", "page_number", "x", "y", "width", "height",
         "graphic_type", "local_file_path",
     )
+
+
+@register(
+    "q159_pdf_alto_sidecar",
+    # the binaryFile scan mints doc_id from the file stem ('d<id>.pdf');
+    # the fake pdfalto kernel lays the first 20 words on one line at
+    # x = 10*i, width 8; the ALTO parser re-mints ids in traversal order
+    # (token_seq 0-based, page/block/line 1-based).
+    oracle="WITH " + _TOKENS_CTE + """
+    SELECT 'd' || doc_id AS doc_id,
+           1 AS page_number, 1 AS block_id, 1 AS line_id,
+           token_seq - 1 AS token_seq,
+           token AS text,
+           CAST((token_seq - 1) * 10 AS DOUBLE) AS x,
+           CAST(8 AS DOUBLE) AS width
+    FROM tokens WHERE token_seq <= 20
+    """,
+    survey_ref="§2A A1 PDF→ALTO scan end-to-end (external/pdfalto/"
+               "wrapper.py sidecar protocol; app/parser.py:485-493): "
+               "binaryFile scan → executor-singleton sidecar kernel → "
+               "A2 ALTO parse",
+    doc="The full A1 ingest path with a REAL binaryFile scan over fake "
+        "PDF files written by foreachPartition, the pdfalto sidecar "
+        "executed through the executor-singleton mapInPandas protocol "
+        "(deterministic fake kernel; the binary is absent in-sandbox), "
+        "and the ALTO kernel parsing the result back to the tokens "
+        "relation — every stage of the ingest pipeline under one oracle.",
+)
+def q159_pdf_alto_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sources.alto import parse_alto_tokens_df
+    from sciencebeam_parser_spark.sources.pdf import (
+        pdf_to_alto,
+        read_pdf_corpus,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_pdf_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    os.makedirs(corpus_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            path = os.path.join(corpus_dir, f"{row['doc_id']}.pdf")
+            with open(path, "wb") as f:
+                f.write(bytes(row["content"]))
+
+    docs.foreachPartition(write_partition)
+
+    def fake_pdfalto(content: bytes) -> bytes:
+        # deterministic sidecar stand-in: first 20 words on one text line
+        from xml.sax.saxutils import escape
+
+        words = bytes(content).decode("utf-8").split()[:20]
+        strings = "".join(
+            f'<String CONTENT="{escape(w, {chr(34): "&quot;"})}"'
+            f' HPOS="{10.0 * i}" VPOS="0.0" WIDTH="8.0" HEIGHT="10.0"/>'
+            for i, w in enumerate(words)
+        )
+        xml = (
+            '<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">'
+            "<Layout><Page PHYSICAL_IMG_NR=\"1\">"
+            f"<TextBlock><TextLine>{strings}</TextLine></TextBlock>"
+            "</Page></Layout></alto>"
+        )
+        return xml.encode("utf-8")
+
+    pdfs = read_pdf_corpus(spark, corpus_dir)
+    alto = pdf_to_alto(pdfs, pdfalto_fn=fake_pdfalto)
+    parsed = parse_alto_tokens_df(alto, xml_col="alto_xml")
+    return parsed.select(
+        "doc_id", "page_number", "block_id", "line_id", "token_seq",
+        "text", "x", "width",
+    )
+
+
+@register(
+    "q160_doc_convert_pipeline",
+    # media types round-robin by doc key; office docs pass through the
+    # fake LibreOffice kernel (prepends the %PDF marker), PDFs pass
+    # through untouched; both end application/pdf.
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           'application/pdf' AS media_type,
+           CASE WHEN doc_id % 3 = 0 THEN 'passthrough'
+                ELSE 'convert' END AS conversion,
+           md5(CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE '%PDF-fake ' || text END) AS content_md5
+    FROM documents
+    """,
+    survey_ref="§2A A3 DOC/DOCX→PDF conversion end-to-end "
+               "(transformers/doc_converter_wrapper.py:98-287 LibreOffice "
+               "listener; gate app/parser.py:460-483)",
+    doc="The A3 conversion pipeline under oracle: media-type routing "
+        "(passthrough / convert / unsupported), the LibreOffice sidecar "
+        "executed through mapInPandas with a deterministic fake kernel "
+        "(binary absent in-sandbox), and the converted bytes verified by "
+        "digest — the gate, the sidecar protocol, and the byte "
+        "transformation all checked.",
+)
+def q160_doc_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.sources.doc_converter import convert_to_pdf
+
+    docs = table(spark, sf_dir, "documents")
+    sources = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, "application/pdf")
+        .when(
+            F.col("doc_id") % 3 == 1,
+            "application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.document",
+        )
+        .otherwise("application/rtf")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    converted = convert_to_pdf(
+        sources, converter_fn=lambda b: b"%PDF-fake " + bytes(b)
+    )
+    return converted.select(
+        "doc_id",
+        "media_type",
+        "conversion",
+        F.md5("content").alias("content_md5"),
+    )

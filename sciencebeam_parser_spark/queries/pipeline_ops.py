@@ -1011,6 +1011,133 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q158_semantic_type_dispatch",
+    # deterministic per-model tags by token position/shape; the Spark side
+    # routes them through the SAME create_map dispatch the cascade uses
+    # (plans/cascade.py ENTITY_TYPE_BY_TAG), the oracle restates the full
+    # (model, tag) → type tables as CASE — line-by-line parity with
+    # models/name/extract.py:36-42, affiliation_address/extract.py:31-41,
+    # figure//table/extract.py:18-21, incl. the note default.
+    oracle="WITH " + _TOKENS_CTE + """,
+    limited AS (SELECT * FROM tokens WHERE token_seq <= 20),
+    labeled AS (
+        SELECT doc_id, token_seq, 'name' AS model_name,
+               CASE token_seq % 6 WHEN 1 THEN '<forename>'
+                    WHEN 2 THEN '<middlename>' WHEN 3 THEN '<surname>'
+                    WHEN 4 THEN '<suffix>' WHEN 5 THEN '<title>'
+                    ELSE '<marker>' END AS tag
+        FROM limited
+        UNION ALL
+        SELECT doc_id, token_seq, 'affiliation_address',
+               CASE token_seq % 10 WHEN 0 THEN '<marker>'
+                    WHEN 1 THEN '<institution>' WHEN 2 THEN '<department>'
+                    WHEN 3 THEN '<laboratory>' WHEN 4 THEN '<addrLine>'
+                    WHEN 5 THEN '<postCode>' WHEN 6 THEN '<postBox>'
+                    WHEN 7 THEN '<region>' WHEN 8 THEN '<settlement>'
+                    ELSE '<country>' END
+        FROM limited
+        UNION ALL
+        SELECT doc_id, token_seq, 'figure',
+               CASE WHEN token_seq % 5 = 0 THEN '<unknown>'
+                    WHEN token_seq % 2 = 1 THEN '<label>'
+                    ELSE '<figDesc>' END
+        FROM limited
+        UNION ALL
+        SELECT doc_id, token_seq, 'table',
+               CASE WHEN len(token) >= 5 THEN '<figDesc>'
+                    ELSE '<label>' END
+        FROM limited
+    )
+    SELECT doc_id, model_name, tag,
+           CASE model_name
+             WHEN 'name' THEN
+               CASE tag WHEN '<title>' THEN 'name_title'
+                        WHEN '<forename>' THEN 'given_name'
+                        WHEN '<middlename>' THEN 'middle_name'
+                        WHEN '<surname>' THEN 'surname'
+                        WHEN '<suffix>' THEN 'name_suffix'
+                        WHEN '<marker>' THEN 'marker' ELSE 'note' END
+             WHEN 'affiliation_address' THEN
+               CASE tag WHEN '<institution>' THEN 'institution'
+                        WHEN '<department>' THEN 'department'
+                        WHEN '<laboratory>' THEN 'laboratory'
+                        WHEN '<addrLine>' THEN 'address_line'
+                        WHEN '<postCode>' THEN 'post_code'
+                        WHEN '<postBox>' THEN 'post_box'
+                        WHEN '<region>' THEN 'address_region'
+                        WHEN '<settlement>' THEN 'settlement'
+                        WHEN '<country>' THEN 'country'
+                        WHEN '<marker>' THEN 'marker' ELSE 'note' END
+             ELSE
+               CASE tag WHEN '<label>' THEN 'label'
+                        WHEN '<figDesc>' THEN 'caption' ELSE 'note' END
+           END AS entity_type,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM labeled
+    GROUP BY 1, 2, 3, 4
+    """,
+    survey_ref="§2A A16 entity→semantic dispatch, full ~70-type surface "
+               "(name/affiliation_address/figure/table sub-model tables + "
+               "note default)",
+    doc="The complete (model, tag) → semantic-type dispatch: deterministic "
+        "tags for the four sub-models routed through the cascade's "
+        "create_map, counted per (doc, model, tag, type) — pins every "
+        "long-tail type name against the reference tables.",
+)
+def q158_semantic_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.plans.cascade import dispatch_entity_type
+
+    toks = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("token_seq") <= 20)
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    name_tag = (
+        F.when(F.col("token_seq") % 6 == 1, "<forename>")
+        .when(F.col("token_seq") % 6 == 2, "<middlename>")
+        .when(F.col("token_seq") % 6 == 3, "<surname>")
+        .when(F.col("token_seq") % 6 == 4, "<suffix>")
+        .when(F.col("token_seq") % 6 == 5, "<title>")
+        .otherwise("<marker>")
+    )
+    aff_tag = (
+        F.when(F.col("token_seq") % 10 == 0, "<marker>")
+        .when(F.col("token_seq") % 10 == 1, "<institution>")
+        .when(F.col("token_seq") % 10 == 2, "<department>")
+        .when(F.col("token_seq") % 10 == 3, "<laboratory>")
+        .when(F.col("token_seq") % 10 == 4, "<addrLine>")
+        .when(F.col("token_seq") % 10 == 5, "<postCode>")
+        .when(F.col("token_seq") % 10 == 6, "<postBox>")
+        .when(F.col("token_seq") % 10 == 7, "<region>")
+        .when(F.col("token_seq") % 10 == 8, "<settlement>")
+        .otherwise("<country>")
+    )
+    fig_tag = (
+        F.when(F.col("token_seq") % 5 == 0, "<unknown>")
+        .when(F.col("token_seq") % 2 == 1, "<label>")
+        .otherwise("<figDesc>")
+    )
+    tbl_tag = F.when(F.length("token") >= 5, "<figDesc>").otherwise("<label>")
+    wide = toks.select(
+        "doc_id", "token_seq",
+        name_tag.alias("_name"), aff_tag.alias("_aff"),
+        fig_tag.alias("_fig"), tbl_tag.alias("_tbl"),
+    )
+    labeled = wide.select(
+        "doc_id", "token_seq",
+        F.expr(
+            "stack(4, 'name', _name, 'affiliation_address', _aff, "
+            "'figure', _fig, 'table', _tbl) AS (model_name, tag)"
+        ),
+    )
+    return (
+        labeled.withColumn("entity_type", dispatch_entity_type())
+        .groupBy("doc_id", "model_name", "tag", "entity_type")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+
+
+@register(
     "q130_tei_structure_roundtrip",
     # A29 gets a REAL oracle via structure: build the TEI per doc, parse it
     # back, count elements by local name — the counts are predicted

@@ -551,3 +551,105 @@ def q133_cv_box_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cv_boxes(cv, ex, threshold=0.80).select(
         "doc_id", "page_number", "x", "y"
     )
+
+
+@register(
+    "q161_cv_provider_chain",
+    # image bytes = 'img:<doc>:<page>'; the fake detector derives one
+    # figure + one table box per page from the image md5 (k/512 fractions
+    # are exact binary, so cross-engine equality is safe); existing
+    # graphics duplicate the figure box on even pages, so dedup drops
+    # exactly those (ratio 1.0; the only other same-page pair peaks at
+    # ratio 0.75 by construction - no 0.80 knife-edge).
+    oracle="""
+    WITH pages AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, p.page_number,
+               md5('img:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(p.page_number AS VARCHAR)) AS h
+        FROM documents, (SELECT unnest([1, 2]) AS page_number) p
+    ),
+    boxes AS (
+        SELECT doc_id, page_number, 0 AS box_index, 'figure' AS box_type,
+               CAST('0x' || substr(h, 1, 2) AS INT) / 512 AS x,
+               CAST('0x' || substr(h, 3, 2) AS INT) / 512 AS y,
+               0.25 AS width, 0.20 AS height,
+               round(0.5 + CAST('0x' || substr(h, 5, 1) AS INT) / 32, 6)
+                   AS score
+        FROM pages
+        UNION ALL
+        SELECT doc_id, page_number, 1, 'table',
+               CAST('0x' || substr(h, 7, 2) AS INT) / 512,
+               CAST('0x' || substr(h, 9, 2) AS INT) / 512,
+               0.30, 0.15,
+               round(0.5 + CAST('0x' || substr(h, 11, 1) AS INT) / 32, 6)
+        FROM pages
+    )
+    SELECT doc_id, CAST(page_number AS INT) AS page_number,
+           box_index, box_type,
+           round(x, 6) AS x, round(y, 6) AS y, score
+    FROM boxes
+    WHERE NOT (box_type = 'figure' AND page_number % 2 = 0)
+    """,
+    survey_ref="§2A A24 CV layout detection end-to-end (cv_models/"
+               "layout_parser_cv_model.py predictor singleton; provider "
+               "chain processors/cv_graphic_provider.py:~70-200) + A23 "
+               "render + IoU dedup",
+    doc="The CV graphic-provider chain: page rendering through the real "
+        "render_pages sidecar plumbing (fake kernel), layout detection "
+        "through the executor-singleton detect_layout_boxes model stage "
+        "(deterministic md5-derived fake detector), and IoU dedup against "
+        "existing graphics - detection plumbing, batch shape, and dedup "
+        "all under one oracle.",
+)
+def q161_cv_provider_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.graphic_matching import (
+        dedup_cv_boxes,
+    )
+    from sciencebeam_parser_spark.operators.multimodal import (
+        detect_layout_boxes,
+    )
+    from sciencebeam_parser_spark.sources.pdf import render_pages
+
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("page_number"),
+        F.encode(F.concat(F.lit("pdf:"), F.col("doc_id").cast("string")),
+                 "utf-8").alias("content"),
+    )
+
+    def fake_render(content: bytes, page_number: int, dpi: int) -> bytes:
+        doc = bytes(content).decode("utf-8")[4:]
+        return f"img:{doc}:{page_number}".encode("utf-8")
+
+    images = render_pages(pages, render_fn=fake_render)
+    cv = detect_layout_boxes(images, use_fake_detector=True)
+
+    # existing graphics: the figure box duplicated on even pages (same
+    # md5 derivation, JVM-side)
+    h = F.md5(
+        F.concat(
+            F.lit("img:"), F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("page_number").cast("string"),
+        )
+    )
+    ex = pages.select("doc_id", "page_number").filter(
+        F.col("page_number") % 2 == 0
+    ).select(
+        "doc_id",
+        "page_number",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") / 512).alias("x"),
+        (F.conv(F.substring(h, 3, 2), 16, 10).cast("long") / 512).alias("y"),
+        F.lit(0.25).alias("width"),
+        F.lit(0.20).alias("height"),
+    )
+    kept = dedup_cv_boxes(cv, ex, threshold=0.80)
+    return kept.select(
+        "doc_id",
+        "page_number",
+        "box_index",
+        "box_type",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        "score",
+    )

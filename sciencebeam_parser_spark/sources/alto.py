@@ -237,7 +237,10 @@ def parse_alto_tokens_df(
         for pdf in batches:
             data = {c: [] for c in _TOKEN_COLS}
             for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
-                _append_alto_token_cols(str(doc_id), xml.encode("utf-8"), data)
+                # accepts string XML or already-encoded bytes (e.g. the
+                # pdfalto sidecar emits binary payloads)
+                raw = xml if isinstance(xml, (bytes, bytearray)) else xml.encode("utf-8")
+                _append_alto_token_cols(str(doc_id), bytes(raw), data)
             if data["doc_id"]:
                 yield pd.DataFrame(data, columns=_TOKEN_COLS)
 
@@ -256,8 +259,9 @@ def parse_alto_graphics_df(
         for pdf in batches:
             rows: list = []
             for doc_id, xml in zip(pdf[id_col], pdf[xml_col]):
+                raw = xml if isinstance(xml, (bytes, bytearray)) else xml.encode("utf-8")
                 rows.extend(
-                    iter_alto_graphic_rows(str(doc_id), xml.encode("utf-8"))
+                    iter_alto_graphic_rows(str(doc_id), bytes(raw))
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
