@@ -696,3 +696,70 @@ def q138_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+
+
+_Q162_RUNS = 0
+
+
+@register(
+    "q162_streaming_sliding_window",
+    # sliding 10-minute windows every 5 minutes: each event lands in TWO
+    # overlapping windows; the oracle enumerates both via the two 5-minute
+    # phase-shifted bucketings.
+    oracle="""
+    WITH both_phases AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '10 minutes', ts - INTERVAL '5 minutes')
+                   + INTERVAL '5 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM both_phases
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2B streaming sliding-window aggregation (readStream + "
+               "window(slide) stateful agg — completes the tumbling/"
+               "sliding/session window family as REAL streams)",
+    doc="Sliding-window aggregation as an actual streaming query: "
+        "window('10 minutes', '5 minutes') assigns each event to two "
+        "overlapping windows; complete-mode memory sink under "
+        "availableNow; the oracle restates the overlap as two "
+        "phase-shifted tumbling bucketings.",
+)
+def q162_streaming_sliding_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    global _Q162_RUNS
+    _Q162_RUNS += 1
+    name = f"q162_mem_{_Q162_RUNS}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _finish_memory_sink(spark, name)
