@@ -590,3 +590,72 @@ def q153_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared_grams"))
     )
+
+
+@register(
+    "q163_paragraph_dedup",
+    # sentences (period-split segments) stand in for paragraphs on the
+    # single-paragraph synthetic docs; dedup keeps the globally-first
+    # occurrence (min doc_id, then min position) of each normalized
+    # segment — the C4 three-sentence-span dedup shape.
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS seg_index,
+               trim(seg) AS seg_text
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, '.')) AS seg,
+                   unnest(range(1, len(string_split(text, '.')) + 1)) AS pos
+            FROM documents
+        )
+        WHERE trim(seg) <> ''
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY lower(seg_text)
+                   ORDER BY doc_id, seg_index) AS rn,
+               CAST(count(*) OVER (PARTITION BY lower(seg_text)) AS BIGINT)
+                   AS n_copies
+        FROM segs
+    )
+    SELECT doc_id, seg_index, md5(seg_text) AS seg_md5, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="north-star dedup family: cross-document exact segment "
+               "dedup (the C4 repeated-span removal step) — hash-groupBy "
+               "+ first-occurrence window; §2B windows",
+    doc="Corpus-level exact paragraph/segment dedup: explode documents "
+        "into period-split segments, keep the globally first occurrence "
+        "of each normalized segment, report the copy count. One shuffle "
+        "on the segment key; at 100 TB the key is a hash, the window "
+        "state per key is the duplicate count — the standard C4 "
+        "repeated-span removal expressed relationally.",
+)
+def q163_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\.")).alias("pos", "seg"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("seg_index"),
+            F.trim("seg").alias("seg_text"),
+        )
+        .filter(F.col("seg_text") != "")
+    )
+    w = W.partitionBy(F.lower("seg_text")).orderBy("doc_id", "seg_index")
+    wc = W.partitionBy(F.lower("seg_text"))
+    return (
+        segs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "seg_index",
+            F.md5("seg_text").alias("seg_md5"),
+            "n_copies",
+        )
+    )
