@@ -646,8 +646,12 @@ def q163_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("seg_text") != "")
     )
-    w = W.partitionBy(F.lower("seg_text")).orderBy("doc_id", "seg_index")
-    wc = W.partitionBy(F.lower("seg_text"))
+    # materialize the partition key once: inlining lower(seg_text) in both
+    # window specs makes Catalyst mint two distinct attrs and plan TWO
+    # exchanges; one named column → both windows share one shuffle
+    segs = segs.withColumn("seg_key", F.lower("seg_text"))
+    w = W.partitionBy("seg_key").orderBy("doc_id", "seg_index")
+    wc = W.partitionBy("seg_key")
     return (
         segs.withColumn("rn", F.row_number().over(w))
         .withColumn("n_copies", F.count("*").over(wc).cast("long"))

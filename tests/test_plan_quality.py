@@ -178,3 +178,40 @@ class TestContainmentJoin:
         plan = plan_of(spark, "q19_interval_containment_join")
         assert "BroadcastNestedLoopJoin" in plan
         assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[-1]
+
+
+class TestRound4PlanShapes:
+    def test_paragraph_dedup_single_shuffle(self, spark):
+        # q163: one Exchange on the segment key drives both the window
+        # dedup and the copy count — no second shuffle
+        plan = plan_of(spark, "q163_paragraph_dedup")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_semantic_dispatch_single_scan_single_agg_exchange(self, spark):
+        # q158: the 4-model stack rides ONE documents scan; the only
+        # shuffle is the aggregation exchange
+        plan = plan_of(spark, "q158_semantic_type_dispatch")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_cv_chain_python_stages_pipeline(self, spark):
+        # q161: render → detect must PIPELINE (no exchange between the
+        # two python stages); the cv subtree appears twice in the anti-
+        # join plan, so check every detect→render pair
+        lines = plan_of(spark, "q161_cv_provider_chain").splitlines()
+        pairs = 0
+        for i, line in enumerate(lines):
+            if "MapInPandas detect" not in line:
+                continue
+            for below in lines[i + 1:]:
+                if "MapInPandas render" in below:
+                    pairs += 1
+                    break
+                assert "Exchange" not in below, "shuffle between stages"
+        assert pairs >= 1
+
+    def test_weight_model_single_python_stage(self, spark):
+        # q156: one mapInPandas labeling stage over the repartitioned
+        # tokens; no extra shuffles after the pinned repartition
+        plan = plan_of(spark, "q156_weight_model_labels")
+        assert plan.count("MapInPandas") == 1
