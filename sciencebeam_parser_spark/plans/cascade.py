@@ -181,6 +181,35 @@ class CascadeConfig:
     segmentation_labels_body: tuple = ("<body>", "<acknowledgement>", "<annex>")
     segmentation_labels_references: tuple = ("<references>",)
 
+    # RequestFieldNames (processors/fulltext/config.py:11-27): the
+    # architecture-independent field names a /api/convert `includes=`
+    # request may carry; FRONT_FIELDS gate the header model
+    FRONT_FIELDS = frozenset({"title", "abstract", "authors", "affiliations"})
+
+    def for_requested_field_names(self, field_names) -> "CascadeConfig":
+        """Plan pruning from requested output fields
+        (FullTextProcessorConfig.get_for_requested_field_names,
+        processors/fulltext/config.py:58-81): an empty or unrecognized
+        request keeps the full cascade; otherwise only the stages that
+        produce the requested fields are built — Catalyst never sees the
+        pruned branches (the reference's boolean gates, our lazy DAG)."""
+        from dataclasses import replace
+
+        fields = set(field_names or ())
+        if not fields:
+            return self
+        remaining = fields - self.FRONT_FIELDS - {"references"}
+        if remaining:
+            return self
+        return replace(
+            self,
+            extract_front=bool(self.FRONT_FIELDS & fields),
+            extract_body_sections=False,
+            extract_references="references" in fields,
+            extract_citation_fields="references" in fields,
+            match_citations="references" in fields,
+        )
+
 
 def _extract_all_entities(
     tokens: DataFrame,

@@ -1011,6 +1011,50 @@ def q123_model_xml_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q164_requested_fields_cascade",
+    # includes=title,abstract gates the cascade to the header model only
+    # (get_for_requested_field_names): typed front entities, aff content
+    # ids still minted, no citation matching and no validity stage.
+    oracle="WITH " + _CASCADE_TYPED_SQL + """
+    hdr_only AS (SELECT * FROM typed WHERE model_name = 'header'),
+    with_ids AS (
+        SELECT *, CASE WHEN entity_type = 'raw_affiliation'
+                 THEN 'aff' || CAST(row_number() OVER (
+                          PARTITION BY doc_id,
+                              (entity_type = 'raw_affiliation')
+                          ORDER BY token_start) - 1 AS VARCHAR)
+                 END AS content_id
+        FROM hdr_only
+    )
+    SELECT doc_id, model_name, entity_group, entity_type, region,
+           n_tokens, content_id,
+           CAST(NULL AS VARCHAR) AS target_content_id,
+           CAST(NULL AS BOOLEAN) AS is_valid_reference
+    FROM with_ids
+    """,
+    survey_ref="§3.1 /api/convert includes= field selection → plan pruning "
+               "(FullTextProcessorConfig.get_for_requested_field_names, "
+               "processors/fulltext/config.py:58-81); §2A A28 config gates",
+    doc="The cascade with includes=title,abstract: only the header branch "
+        "is BUILT (lazy DAG = the reference's boolean gates) — no "
+        "fulltext/reference/citation stages, no matching, no validity "
+        "join; Catalyst never sees the pruned subtrees.",
+)
+def q164_requested_fields_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.plans.cascade import CascadeConfig
+
+    toks, labels = _mock_labeled_tokens(spark, sf_dir)
+    config = CascadeConfig().for_requested_field_names({"title", "abstract"})
+    ents = run_fulltext_cascade(toks, labels, config)
+    return ents.select(
+        "doc_id", "model_name", "entity_group", "entity_type", "region",
+        "n_tokens", "content_id", "target_content_id", "is_valid_reference",
+    )
+
+
+@register(
     "q158_semantic_type_dispatch",
     # deterministic per-model tags by token position/shape; the Spark side
     # routes them through the SAME create_map dispatch the cascade uses
