@@ -404,3 +404,78 @@ def chain_graphic_matchers(graphics: DataFrame, stages) -> DataFrame:
             "left_anti",
         )
     return matched
+
+
+def match_graphics_by_text(
+    graphic_texts: DataFrame,
+    candidates: DataFrame,
+    *,
+    text_col: str = "ocr_text",
+    label_col: str = "label_text",
+    prefix_length: int = 3,
+) -> DataFrame:
+    """AbstractGraphicTextGraphicMatcher.get_graphic_matches
+    (processors/graphic_matching.py:497-553): each graphic's text is tried
+    LINE BY LINE against a SimpleContentIdMatcher over the candidate label
+    texts (prefix_length=3) — the FIRST line with any match wins, exact
+    normalized key beating the token-prefix key, and key collisions keep
+    the last candidate ({key: id} dict overwrite).
+
+    graphic_texts: (doc_id, graphic_id, <text_col>);
+    candidates: (doc_id, content_id, <label_col>).
+    Returns (doc_id, graphic_id, content_id).
+
+    Relational shape: explode text into (line_idx, line), stack both key
+    priorities, equi-join on (doc_id, prio, key), then one window picks
+    (min line_idx, min prio) per graphic — at scale this is an equi-join
+    on normalized keys exactly like the citation matcher's stage 1+2.
+    """
+    from sciencebeam_parser_spark.operators.ref_matching import (
+        normalized_key,
+        token_prefix_key,
+    )
+
+    lines = graphic_texts.select(
+        "doc_id",
+        "graphic_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).filter(F.trim("line") != "")
+
+    def stacked(df: DataFrame, col: str) -> DataFrame:
+        keys = F.array(
+            F.struct(
+                F.lit(1).alias("_prio"),
+                normalized_key(F.col(col)).alias("_key"),
+            ),
+            F.struct(
+                F.lit(2).alias("_prio"),
+                token_prefix_key(F.col(col), prefix_length).alias("_key"),
+            ),
+        )
+        return (
+            df.select("*", F.explode(keys).alias("_pk"))
+            .select("*", "_pk._prio", "_pk._key")
+            .drop("_pk")
+            .filter(F.length("_key") > 0)
+        )
+
+    # {key: id} dict semantics — last candidate wins per (prio, key)
+    w_last = W.partitionBy("doc_id", "_prio", "_key").orderBy(
+        F.desc("content_id")
+    )
+    cand_keys = (
+        stacked(candidates, label_col)
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "_prio", "_key", "content_id")
+    )
+    w_best = W.partitionBy("doc_id", "graphic_id").orderBy(
+        "line_idx", "_prio"
+    )
+    return (
+        stacked(lines, "line")
+        .join(cand_keys, ["doc_id", "_prio", "_key"])
+        .withColumn("_best", F.row_number().over(w_best))
+        .filter(F.col("_best") == 1)
+        .select("doc_id", "graphic_id", "content_id")
+    )

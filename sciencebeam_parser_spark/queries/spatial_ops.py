@@ -334,11 +334,13 @@ def q96_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM label_pairs WHERE rn = 1
     ),
     rem3 AS (
+        -- svg graphics yield no OCR text (the reference returns '' for
+        -- svg, graphic_matching.py:578-581) and stay unmatched
         SELECT u.doc_id, u.graphic_id,
                'FIG ' || CAST(u.graphic_id + 40 AS VARCHAR) AS ocr_text
         FROM unmatched1 u LEFT JOIN label_matched lm
           ON u.doc_id = lm.doc_id AND u.graphic_id = lm.graphic_id
-        WHERE lm.content_id IS NULL
+        WHERE lm.content_id IS NULL AND u.graphic_id % 10 <> 0
     ),
     ocr_pairs AS (
         SELECT r.doc_id, r.graphic_id, c.content_id,
@@ -423,20 +425,22 @@ def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ocr_match(remaining):
         # A25 completes the A21 chain (graphic_matching.py:568-593
         # OpticalCharacterRecognitionGraphicMatcher): OCR the remaining
-        # graphics' images through the REAL ocr_images plumbing (executor-
-        # singleton handle, mapInPandas) with a deterministic fake kernel
-        # (bytes→text; tesseract absent in this sandbox), then match the
-        # OCR text to candidates on the normalized key
-        # (SimpleContentIdMatcher, ref_matching.py:19-24 semantics).
-        from sciencebeam_parser_spark.operators.ref_matching import (
-            normalized_key,
+        # NON-SVG graphics' images through the REAL ocr_images plumbing
+        # (executor-singleton handle, mapInPandas) with a deterministic
+        # fake kernel (bytes→text; tesseract absent in this sandbox),
+        # then match per OCR LINE with exact-then-prefix normalized keys
+        # (AbstractGraphicTextGraphicMatcher + SimpleContentIdMatcher,
+        # prefix_length=3 — match_graphics_by_text).
+        from sciencebeam_parser_spark.operators.graphic_matching import (
+            match_graphics_by_text,
         )
         from sciencebeam_parser_spark.sources.pdf import ocr_images
 
         # synthesized graphic "image": bytes embedding the label text the
         # fake OCR reads back (doc-consistent: candidate partkeys are
-        # graphic_id + 40 — same doc mod 40, candidate residue mod 3)
-        imgs = remaining.select(
+        # graphic_id + 40 — same doc mod 40, candidate residue mod 3);
+        # svg graphics are skipped (the reference OCRs only bitmaps)
+        imgs = remaining.filter(F.col("graphic_type") != "svg").select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col("graphic_id").cast("int").alias("page_number"),
             F.encode(
@@ -453,22 +457,10 @@ def q132_graphic_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("page_number").cast("int").alias("graphic_id"),
             "ocr_text",
         )
-        cand_keys = candidates.select(
-            "doc_id",
-            "content_id",
-            normalized_key(F.col("content_id")).alias("_key"),
+        labels = candidates.select(
+            "doc_id", "content_id", F.col("content_id").alias("label_text")
         )
-        pairs = texts.withColumn(
-            "_key", normalized_key(F.col("ocr_text"))
-        ).join(cand_keys, ["doc_id", "_key"]).select(
-            "doc_id", "graphic_id", "content_id"
-        )
-        w = W.partitionBy("doc_id", "graphic_id").orderBy("content_id")
-        return (
-            pairs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return match_graphics_by_text(texts, labels)
 
     return chain_graphic_matchers(
         graphics,

@@ -188,3 +188,60 @@ class TestMatcherChain:
         assert {(r.graphic_id, r.match_stage) for r in out} == {
             (1, "s1"), (2, "s2")
         }
+
+
+class TestMatchGraphicsByText:
+    """AbstractGraphicTextGraphicMatcher behaviors ported from
+    tests/processors/graphic_matching_test.py: first matching line wins,
+    exact key beats prefix key, prefix fallback (length 3), empty text
+    stays unmatched."""
+
+    def _match(self, spark, graphic_rows, candidate_rows):
+        from sciencebeam_parser_spark.operators.graphic_matching import (
+            match_graphics_by_text,
+        )
+
+        graphics = spark.createDataFrame(
+            graphic_rows, "doc_id long, graphic_id int, ocr_text string"
+        )
+        cands = spark.createDataFrame(
+            candidate_rows, "doc_id long, content_id string, label_text string"
+        )
+        return {
+            (r["doc_id"], r["graphic_id"]): r["content_id"]
+            for r in match_graphics_by_text(graphics, cands).collect()
+        }
+
+    def test_exact_normalized_match(self, spark):
+        got = self._match(
+            spark,
+            [(1, 10, "Figure 2")],
+            [(1, "c1", "Figure 1"), (1, "c2", "Figure 2")],
+        )
+        assert got == {(1, 10): "c2"}
+
+    def test_prefix_fallback_matches_abbreviated_label(self, spark):
+        # 'Fig 2' has no exact key match against 'Figure 2', but the
+        # 3-char token-prefix key ('fig2') matches both sides
+        got = self._match(
+            spark,
+            [(1, 10, "Fig 2")],
+            [(1, "c1", "Figure 2")],
+        )
+        assert got == {(1, 10): "c1"}
+
+    def test_first_matching_line_wins(self, spark):
+        got = self._match(
+            spark,
+            [(1, 10, "garbage line\nFigure 1\nFigure 2")],
+            [(1, "c1", "Figure 1"), (1, "c2", "Figure 2")],
+        )
+        assert got == {(1, 10): "c1"}
+
+    def test_empty_text_unmatched(self, spark):
+        got = self._match(
+            spark,
+            [(1, 10, ""), (1, 11, "\n\n")],
+            [(1, "c1", "Figure 1")],
+        )
+        assert got == {}
