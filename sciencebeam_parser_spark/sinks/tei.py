@@ -32,6 +32,49 @@ TEI_OUT_SCHEMA = T.StructType(
 )
 
 
+def _set_styled_content(el: ET.Element, runs) -> None:
+    """Style-run assembly (tei/common.py:61-85 get_required_styles +
+    get_element_for_styles): each run is {'styles': [...], 'text': ...};
+    plain runs become text/tails, styled runs nested <hi rend=...>
+    elements (outermost = first style). Consecutive same-style tokens
+    arrive pre-merged into one run (the reference merges them the same
+    way while iterating the layout block)."""
+    el.text = ""
+    last_child = None
+    first = True
+    for run in runs:
+        # Arrow hands struct fields back as numpy arrays — normalize
+        raw_styles = run["styles"]
+        styles = [] if raw_styles is None else list(raw_styles)
+        text = run["text"] or ""
+        if not first:
+            text = " " + text if not styles else text
+        if not styles:
+            if last_child is None:
+                el.text = (el.text or "") + text
+            else:
+                last_child.tail = (last_child.tail or "") + text
+        else:
+            if not first:
+                # whitespace between runs stays OUTSIDE the hi element
+                if last_child is None:
+                    el.text = (el.text or "") + " "
+                else:
+                    last_child.tail = (last_child.tail or "") + " "
+            node = None
+            for style in reversed(styles):
+                inner = node
+                node = ET.Element(f"{{{TEI_NS}}}hi")
+                node.set("rend", style)
+                if inner is None:
+                    node.text = text
+                else:
+                    node.append(inner)
+            el.append(node)
+            last_child = node
+        first = False
+
+
 def _build_persname_author(analytic: ET.Element, text: str) -> None:
     """author/persName with forename+surname (tei/author.py:99-130
     get_tei_author_for_semantic_author_element; part mapping
@@ -102,7 +145,11 @@ def _build_tei(entities: pd.DataFrame) -> str:
             el.set("level", "a")
             el.set("type", "main")
             set_coords(el, r)
-            el.text = r.text
+            runs = getattr(r, "style_runs", None)
+            if runs is not None and len(runs):
+                _set_styled_content(el, runs)
+            else:
+                el.text = r.text
         elif etype == "abstract":
             ab = ET.SubElement(profile_desc, f"{{{TEI_NS}}}abstract")
             p = ET.SubElement(ab, f"{{{TEI_NS}}}p")
@@ -120,7 +167,11 @@ def _build_tei(entities: pd.DataFrame) -> str:
         elif etype == "paragraph":
             parent = current_div if current_div is not None else body
             p = ET.SubElement(parent, f"{{{TEI_NS}}}p")
-            p.text = r.text
+            runs = getattr(r, "style_runs", None)
+            if runs is not None and len(runs):
+                _set_styled_content(p, runs)
+            else:
+                p.text = r.text
         elif etype in ("raw_figure", "raw_table"):
             fig = ET.SubElement(body, f"{{{TEI_NS}}}figure")
             if etype == "raw_table":

@@ -172,3 +172,55 @@ class TestTeiAuthors:
         assert xref.get("ref-type") == "aff" and xref.get("rid") == "aff0"
         affs = jats.findall(".//article-meta/aff")
         assert [a.get("id") for a in affs] == ["aff0", "aff1"]
+
+
+class TestTeiStyles:
+    """<hi rend> style runs, ported from tests/document/tei/common_test.py
+    (bold / italic / nested bold+italic / merged consecutive runs; plain
+    text preserved around them)."""
+
+    def _title_el(self, spark, runs):
+        entities = spark.createDataFrame(
+            [("d1", 1, "title", "front", 0, 2, "t1 t2 t3", runs)],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string, "
+            "style_runs array<struct<styles:array<string>,text:string>>",
+        )
+        out = entities_to_tei(entities).collect()[0]["tei_xml"]
+        return ET.fromstring(out).find(".//tei:titleStmt/tei:title", NS)
+
+    def test_bold_run(self, spark):
+        el = self._title_el(
+            spark,
+            [([], "t1"), (["bold"], "t2"), ([], "t3")],
+        )
+        his = el.findall("tei:hi", NS)
+        assert [h.get("rend") for h in his] == ["bold"]
+        assert his[0].text == "t2"
+        assert "".join(el.itertext()) == "t1 t2 t3"
+
+    def test_nested_bold_italic(self, spark):
+        el = self._title_el(
+            spark,
+            [([], "t1"), (["bold", "italic"], "t2"), ([], "t3")],
+        )
+        outer = el.find("tei:hi", NS)
+        assert outer.get("rend") == "bold"
+        inner = outer.find("tei:hi", NS)
+        assert inner.get("rend") == "italic" and inner.text == "t2"
+        assert "".join(el.itertext()) == "t1 t2 t3"
+
+    def test_merged_consecutive_styled_tokens(self, spark):
+        # consecutive same-style tokens arrive pre-merged into one run
+        el = self._title_el(
+            spark,
+            [([], "t1"), (["bold"], "t2 t3"), ([], "t4")],
+        )
+        his = el.findall("tei:hi", NS)
+        assert len(his) == 1 and his[0].text == "t2 t3"
+        assert "".join(el.itertext()) == "t1 t2 t3 t4"
+
+    def test_no_styles_plain_text(self, spark):
+        el = self._title_el(spark, [])
+        assert el.text == "t1 t2 t3"
+        assert el.findall("tei:hi", NS) == []
