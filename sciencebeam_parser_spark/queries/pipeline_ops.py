@@ -1211,7 +1211,11 @@ def q158_semantic_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('title', 'abstract', 'heading', 'paragraph',
                     'raw_reference_text')
                    AND NOT (region = 'front' AND entity_type IN
-                            ('raw_authors', 'raw_affiliation'))) AS n_other
+                            ('raw_authors', 'raw_affiliation'))) AS n_other,
+               sum(CASE WHEN entity_type = 'title'
+                        THEN (token_start + n_tokens - 1) // 2
+                             - (token_start - 1) // 2
+                        ELSE 0 END) AS n_hi
         FROM typed GROUP BY doc_id
     )
     SELECT doc_id, element, CAST(n_elements AS BIGINT) AS n_elements
@@ -1262,6 +1266,8 @@ def q158_semantic_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, '@coords', n_title + n_ref FROM agg
         WHERE n_title + n_ref > 0
         UNION ALL
+        SELECT doc_id, 'hi', n_hi FROM agg WHERE n_hi > 0
+        UNION ALL
         SELECT doc_id, 'note',
                n_ref + n_other + n_aff
                + CASE WHEN n_aff > 0 THEN 1 ELSE 0 END
@@ -1298,6 +1304,69 @@ def q130_tei_structure_roundtrip(
             F.col("token_start") * 10.0,
             (F.col("token_end") - F.col("token_start")) * 10.0 + 8.0,
         ),
+    )
+    # synthesized styles for TITLE entities: even-seq tokens are bold
+    # (consecutive integers alternate parity, so every bold token is its
+    # own <hi> run — n_hi per title = #evens in [start..end]); runs built
+    # relationally (islands over is_bold) and attached as style_runs
+    styled = toks.select(
+        "doc_id",
+        "token_seq",
+        "text",
+        (F.col("token_seq") % 2 == 0).alias("is_bold"),
+    )
+    spans = ents.filter(F.col("entity_type") == "title").select(
+        "doc_id", "model_name", "entity_group", "token_start", "token_end"
+    )
+    span_toks = styled.join(spans, "doc_id").filter(
+        F.col("token_seq").between(F.col("token_start"), F.col("token_end"))
+    )
+    w_run = W.partitionBy("doc_id", "model_name", "entity_group").orderBy(
+        "token_seq"
+    )
+    boundary = (
+        F.lag("is_bold").over(w_run).isNull()
+        | (F.col("is_bold") != F.lag("is_bold").over(w_run))
+    ).cast("int")
+    run_toks = span_toks.withColumn(
+        "run_id",
+        F.sum(boundary).over(w_run.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    run_rows = run_toks.groupBy(
+        "doc_id", "model_name", "entity_group", "run_id"
+    ).agg(
+        F.min("token_seq").alias("_ord"),
+        F.max(F.col("is_bold").cast("int")).alias("_bold"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_seq", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    runs_arr = run_rows.groupBy("doc_id", "model_name", "entity_group").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "_ord",
+                        F.struct(
+                            F.when(
+                                F.col("_bold") == 1, F.array(F.lit("bold"))
+                            )
+                            .otherwise(F.array().cast("array<string>"))
+                            .alias("styles"),
+                            F.col("_text").alias("text"),
+                        ).alias("run"),
+                    )
+                )
+            ),
+            lambda s: s["run"],
+        ).alias("style_runs")
+    )
+    ents = ents.join(
+        runs_arr, ["doc_id", "model_name", "entity_group"], "left"
     )
     tei = entities_to_tei(ents)
 
