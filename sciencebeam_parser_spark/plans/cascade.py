@@ -171,6 +171,11 @@ class CascadeConfig:
 
     extract_front: bool = True
     extract_body_sections: bool = True
+    # separate gates for the two non-body segmentation regions routed to
+    # the fulltext model (FullTextProcessorConfig.extract_acknowledgements
+    # / extract_back_sections, processors/fulltext/config.py:35-36)
+    extract_acknowledgements: bool = True
+    extract_back_sections: bool = True
     extract_references: bool = True
     extract_citation_fields: bool = True
     match_citations: bool = True
@@ -314,9 +319,15 @@ def run_fulltext_cascade(
         model_regions["reference_segmenter"] = "back"
         if config.extract_citation_fields:
             model_regions["citation"] = "back"
+    body_labels = tuple(
+        t
+        for t in config.segmentation_labels_body
+        if (t != "<acknowledgement>" or config.extract_acknowledgements)
+        and (t != "<annex>" or config.extract_back_sections)
+    )
     region_by_seg_tag = {
         **{t: "front" for t in config.segmentation_labels_front},
-        **{t: "body" for t in config.segmentation_labels_body},
+        **{t: "body" for t in body_labels},
         **{t: "back" for t in config.segmentation_labels_references},
     }
     entities = _extract_all_entities(

@@ -238,3 +238,36 @@ class TestWeightTableModel:
         executor_singleton("wt_once", factory)
         executor_singleton("wt_once", factory)
         assert len(calls) == 1
+
+
+class TestSegmentationRegionGates:
+    def test_acknowledgement_and_annex_gates(self, spark):
+        from sciencebeam_parser_spark.plans.cascade import CascadeConfig
+
+        tokens = spark.createDataFrame(
+            [("d1", 1, "ack"), ("d1", 2, "annex"), ("d1", 3, "body")],
+            "doc_id string, token_seq long, text string",
+        )
+        labels = spark.createDataFrame(
+            [
+                ("d1", 1, "segmentation", "I-<acknowledgement>"),
+                ("d1", 2, "segmentation", "I-<annex>"),
+                ("d1", 3, "segmentation", "I-<body>"),
+                ("d1", 1, "fulltext", "I-<paragraph>"),
+                ("d1", 2, "fulltext", "I-<paragraph>"),
+                ("d1", 3, "fulltext", "I-<paragraph>"),
+            ],
+            "doc_id string, token_seq long, model_name string, label string",
+        )
+        full = run_fulltext_cascade(tokens, labels)
+        assert sum(r["n_tokens"] for r in full.collect()) == 3
+        gated = run_fulltext_cascade(
+            tokens,
+            labels,
+            CascadeConfig(
+                extract_acknowledgements=False, extract_back_sections=False
+            ),
+        )
+        rows = gated.collect()
+        # only the <body> token survives the region gate
+        assert sum(r["n_tokens"] for r in rows) == 1
