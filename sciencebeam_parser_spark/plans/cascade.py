@@ -179,6 +179,10 @@ class CascadeConfig:
     extract_references: bool = True
     extract_citation_fields: bool = True
     match_citations: bool = True
+    # FullTextProcessorConfig.merge_raw_authors (config.py:43): collapse a
+    # document's front raw_authors entities into ONE block before the name
+    # model (the reference merges the layout blocks; default off)
+    merge_raw_authors: bool = False
     # the entities relation fans out to markers/targets/validity branches;
     # materializing it once is the reference's result-cache analog (SURVEY §4)
     cache_entities: bool = True
@@ -333,6 +337,35 @@ def run_fulltext_cascade(
     entities = _extract_all_entities(
         tokens, labels, model_regions, region_by_seg_tag
     )
+    if config.merge_raw_authors:
+        # one merged raw_authors entity per (doc, model): earliest group id
+        # and span, texts joined in document order (processor.py merges the
+        # semantic blocks the same way before the name model runs)
+        is_ra = (F.col("entity_type") == "raw_authors") & (
+            F.col("region") == "front"
+        )
+        ra = entities.filter(is_ra)
+        merged = ra.groupBy("doc_id", "model_name").agg(
+            F.min("entity_group").alias("entity_group"),
+            F.first(F.lit("<author>")).alias("tag"),
+            F.first(F.lit("raw_authors")).alias("entity_type"),
+            F.first(F.lit("front")).alias("region"),
+            F.min("token_start").alias("token_start"),
+            F.max("token_end").alias("token_end"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("token_start", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        entities = entities.filter(~is_ra).unionByName(
+            merged.select(*entities.columns)
+        )
     entities = _enrich_citation_fields(entities)
 
     # A19 — content ids per entity family in document order

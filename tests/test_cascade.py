@@ -271,3 +271,39 @@ class TestSegmentationRegionGates:
         rows = gated.collect()
         # only the <body> token survives the region gate
         assert sum(r["n_tokens"] for r in rows) == 1
+
+
+class TestMergeRawAuthors:
+    def test_merges_front_raw_authors_into_one_block(self, spark):
+        from sciencebeam_parser_spark.plans.cascade import CascadeConfig
+
+        tokens = spark.createDataFrame(
+            [
+                ("d1", 1, "alice"), ("d1", 2, "x"), ("d1", 3, "bob"),
+            ],
+            "doc_id string, token_seq long, text string",
+        )
+        labels = spark.createDataFrame(
+            [
+                ("d1", 1, "segmentation", "I-<header>"),
+                ("d1", 2, "segmentation", "I-<header>"),
+                ("d1", 3, "segmentation", "I-<header>"),
+                # two separate author runs split by a title token
+                ("d1", 1, "header", "I-<author>"),
+                ("d1", 2, "header", "I-<title>"),
+                ("d1", 3, "header", "I-<author>"),
+            ],
+            "doc_id string, token_seq long, model_name string, label string",
+        )
+        default = run_fulltext_cascade(tokens, labels)
+        assert (
+            default.filter(default.entity_type == "raw_authors").count() == 2
+        )
+        merged = run_fulltext_cascade(
+            tokens, labels, CascadeConfig(merge_raw_authors=True)
+        )
+        rows = merged.filter(merged.entity_type == "raw_authors").collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "alice bob"
+        assert rows[0]["token_start"] == 1 and rows[0]["token_end"] == 3
+        assert rows[0]["n_tokens"] == 2
