@@ -1507,3 +1507,126 @@ def q131_jats_structure_roundtrip(
     return both.select("doc_id", "jats_xml").mapInPandas(
         count_elements, schema=schema
     )
+
+
+def _q165_ann_oracle(n_planes: int = 4, dim: int = 8) -> str:
+    coeff = (
+        "(CAST('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0 "
+        "- 0.5)"
+    )
+    projs = ", ".join(
+        "list_sum([v[i] * " + coeff.format(p=p)
+        + f" FOR i IN range(1, {dim + 1})]) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    # the decode schema stores features as float32 — replicate the
+    # truncation (CAST AS REAL) before promoting to DOUBLE for scoring,
+    # exactly what Spark's float→double arithmetic does
+    feats = ", ".join(
+        "CAST(CAST(round(CAST('0x' || substr(h, "
+        f"{1 + 2 * i}, 2) AS INT) / 255.0, 6) AS REAL) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH media AS (
+        SELECT 'm' || doc_id AS media_id, sha256(text) AS h FROM documents
+    ),
+    vecs AS (SELECT media_id, [{feats}] AS v FROM media),
+    projected AS (SELECT media_id, v, {projs} FROM vecs),
+    bucketed AS (
+        SELECT media_id, v,
+               sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+               CAST({bucket} AS BIGINT) AS bucket
+        FROM projected
+    ),
+    pairs AS (
+        SELECT a.media_id AS media_id, b.media_id AS neighbor_id, a.bucket,
+               list_sum([a.v[i] * b.v[i] FOR i IN range(1, {dim + 1})])
+               / (a.nrm * b.nrm) AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.media_id <> b.media_id
+    )
+    SELECT media_id, neighbor_id, bucket, round(cos, 6) AS cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY media_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "q165_multimodal_ann_pipeline",
+    oracle=_q165_ann_oracle(),
+    survey_ref="north-star multimodal + similarity fused: decode → feature "
+               "→ LSH bucket → within-bucket cosine nearest neighbor, one "
+               "DAG (the image-dedup/retrieval pipeline shape)",
+    doc="End-to-end multimodal ANN: the REAL decode_images stage (fake "
+        "kernel) produces 8-dim features, add_lsh_bucket assigns a 4-bit "
+        "hyperplane bucket, and each image's nearest same-bucket neighbor "
+        "by exact cosine is reported — the shuffle key at scale is the "
+        "bucket, never all-pairs; scoring is the bounded within-bucket "
+        "quadratic. Decode, bucketing and scoring all under one oracle.",
+)
+def q165_multimodal_ann_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import decode_images
+    from sciencebeam_parser_spark.operators.similarity import add_lsh_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    decoded = decode_images(media, use_fake_decoder=True)
+    bucketed = add_lsh_bucket(
+        decoded,
+        n_planes=4,
+        id_col="media_id",
+        vec_col="feature",
+        dim=8,
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("media_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.bucket").alias("bucket"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+    )
+    w = W.partitionBy("media_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "media_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
