@@ -1936,7 +1936,10 @@ def q121_alto_graphics_roundtrip(
         "executed through the executor-singleton mapInPandas protocol "
         "(deterministic fake kernel; the binary is absent in-sandbox), "
         "and the ALTO kernel parsing the result back to the tokens "
-        "relation — every stage of the ingest pipeline under one oracle.",
+        "relation — every stage of the ingest pipeline under one oracle. "
+        "Contract: the corpus dir must be shared storage on a real "
+        "cluster (executors write the fixture files, the scan lists "
+        "them); local[] satisfies this trivially.",
 )
 def q159_pdf_alto_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -185,7 +185,9 @@ def q151_bucketed_colocated_join(
         "as one zip archive per partition via foreachPartition (executor-"
         "side I/O, nothing through the driver); the query returns one row "
         "per archive with its entry count and an order-insensitive digest "
-        "of the entry names.",
+        "of the entry names. Contract: output_dir must be shared storage "
+        "(object store/NFS) on a real cluster — executors write it and "
+        "the driver lists it; local[] satisfies this trivially.",
 )
 def q157_asset_zip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
