@@ -1630,3 +1630,255 @@ def q165_multimodal_ann_pipeline(
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "q166_structured_reference_sink",
+    # per-REFERENCE citation parse (the reference runs the citation model
+    # on each raw reference's tokens - processor.py:242-267) + structured
+    # biblStruct serialization: field runs become analytic/monogr/imprint
+    # children, raw text stays a note[@type=raw_reference]; the element
+    # histogram of the re-parsed XML must match the relational prediction.
+    oracle="WITH " + _TOKENS_CTE + """,
+    base AS (
+        SELECT doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens
+    ),
+    back AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<label>'
+                    ELSE '<reference>' END AS rs_tag
+        FROM base WHERE (token_seq - 1) * 10 >= n * 7
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(rs_tag) OVER w IS NULL
+                         OR rs_tag <> lag(rs_tag) OVER w THEN 1 ELSE 0
+                  END AS b
+        FROM back WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rg
+        FROM flagged
+    ),
+    ref_toks AS (
+        SELECT doc_id, rg, token_seq, token,
+               row_number() OVER (
+                   PARTITION BY doc_id, rg ORDER BY token_seq) AS rn
+        FROM grouped WHERE rs_tag = '<reference>'
+    ),
+    fielded AS (
+        SELECT *, CASE WHEN regexp_matches(token, '^[0-9]+$')
+                       THEN 'external_identifier'
+                       WHEN rn <= 2 THEN 'title'
+                       WHEN len(token) >= 8 THEN 'journal'
+                       ELSE 'publisher' END AS field_type
+        FROM ref_toks
+    ),
+    fruns AS (
+        SELECT doc_id, rg, field_type,
+               sum(fb) OVER (
+                   PARTITION BY doc_id, rg ORDER BY token_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM (
+            SELECT *, CASE WHEN lag(field_type) OVER w IS NULL
+                             OR field_type <> lag(field_type) OVER w
+                      THEN 1 ELSE 0 END AS fb
+            FROM fielded
+            WINDOW w AS (PARTITION BY doc_id, rg ORDER BY token_seq)
+        )
+    ),
+    run_counts AS (
+        SELECT doc_id, rg, field_type,
+               count(DISTINCT run_id) AS n_runs
+        FROM fruns GROUP BY 1, 2, 3
+    ),
+    per_ref AS (
+        SELECT doc_id, rg,
+               sum(CASE WHEN field_type = 'title' THEN n_runs END) AS t,
+               sum(CASE WHEN field_type = 'external_identifier'
+                        THEN n_runs END) AS e,
+               sum(CASE WHEN field_type = 'journal' THEN n_runs END) AS j,
+               sum(CASE WHEN field_type = 'publisher' THEN n_runs END) AS p
+        FROM run_counts GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_ref,
+               sum(COALESCE(t, 0) + COALESCE(j, 0)) AS n_title_el,
+               sum(COALESCE(e, 0)) AS n_idno,
+               sum(COALESCE(p, 0)) AS n_publisher,
+               count(*) FILTER (
+                   WHERE COALESCE(t, 0) + COALESCE(e, 0) > 0) AS n_analytic,
+               count(*) FILTER (
+                   WHERE COALESCE(j, 0) + COALESCE(p, 0) > 0) AS n_monogr,
+               count(*) FILTER (WHERE COALESCE(p, 0) > 0) AS n_imprint
+        FROM per_ref GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, element,
+           CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id,
+               unnest(['TEI', 'teiHeader', 'fileDesc', 'titleStmt',
+                       'profileDesc', 'text', 'body', 'back', 'div',
+                       'listBibl']) AS element,
+               1 AS n_elements
+        FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'biblStruct', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'note', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'title', n_title_el FROM agg WHERE n_title_el > 0
+        UNION ALL
+        SELECT doc_id, 'idno', n_idno FROM agg WHERE n_idno > 0
+        UNION ALL
+        SELECT doc_id, 'publisher', n_publisher FROM agg
+        WHERE n_publisher > 0
+        UNION ALL
+        SELECT doc_id, 'analytic', n_analytic FROM agg WHERE n_analytic > 0
+        UNION ALL
+        SELECT doc_id, 'monogr', n_monogr FROM agg WHERE n_monogr > 0
+        UNION ALL
+        SELECT doc_id, 'imprint', n_imprint FROM agg WHERE n_imprint > 0
+    )
+    """,
+    survey_ref="§2A A29 structured references (tei/references.py:52-110 "
+               "get_tei_reference_element; parent paths tei/factories.py:"
+               "140-152) + the per-reference citation model application "
+               "(processor.py:242-267) as a containment-partitioned parse",
+    doc="Structured biblStruct references end-to-end: the citation field "
+        "model runs PER REFERENCE (islands partitioned by the enclosing "
+        "reference span - the reference's per-segment model application), "
+        "field runs land under analytic/monogr/imprint via the parent-"
+        "path tables, the raw text stays a typed note, and the re-parsed "
+        "XML's element histogram matches the relational prediction.",
+)
+def q166_structured_reference_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import xml.etree.ElementTree as ET
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = _tokens(spark, sf_dir)
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    back = toks.withColumn("_n", n).filter(
+        (F.col("token_seq") - 1) * 10 >= F.col("_n") * 7
+    ).withColumn(
+        "rs_tag",
+        F.when(F.col("token").rlike("^[0-9]+$"), "<label>").otherwise(
+            "<reference>"
+        ),
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("token_seq")
+    boundary = (
+        F.lag("rs_tag").over(w_doc).isNull()
+        | (F.col("rs_tag") != F.lag("rs_tag").over(w_doc))
+    ).cast("int")
+    grouped = back.withColumn(
+        "rg", F.sum(boundary).over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ref_toks = grouped.filter(F.col("rs_tag") == "<reference>")
+    w_ref = W.partitionBy("doc_id", "rg").orderBy("token_seq")
+    fielded = ref_toks.withColumn(
+        "rn", F.row_number().over(w_ref)
+    ).withColumn(
+        "field_type",
+        F.when(F.col("token").rlike("^[0-9]+$"), "external_identifier")
+        .when(F.col("rn") <= 2, "title")
+        .when(F.length("token") >= 8, "journal")
+        .otherwise("publisher"),
+    )
+    fb = (
+        F.lag("field_type").over(w_ref).isNull()
+        | (F.col("field_type") != F.lag("field_type").over(w_ref))
+    ).cast("int")
+    runs_t = fielded.withColumn(
+        "run_id", F.sum(fb).over(w_ref.rowsBetween(W.unboundedPreceding, 0))
+    )
+    run_rows = runs_t.groupBy("doc_id", "rg", "run_id").agg(
+        F.min("token_seq").alias("_ord"),
+        F.min("field_type").alias("field_type"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_seq", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    refs = ref_toks.groupBy("doc_id", "rg").agg(
+        F.min("token_seq").alias("token_start"),
+        F.max("token_seq").alias("token_end"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_seq", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    fields_arr = run_rows.groupBy("doc_id", "rg").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "_ord",
+                        F.struct(
+                            F.col("field_type"), F.col("text")
+                        ).alias("run"),
+                    )
+                )
+            ),
+            lambda s: s["run"],
+        ).alias("ref_fields")
+    )
+    w_id = W.partitionBy("doc_id").orderBy("token_start")
+    ents = (
+        refs.join(fields_arr, ["doc_id", "rg"])
+        .withColumn(
+            "content_id",
+            F.concat(F.lit("b"), (F.row_number().over(w_id) - 1).cast("string")),
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("raw_reference_text").alias("entity_type"),
+            F.lit("back").alias("region"),
+            "token_start",
+            "token_end",
+            "text",
+            "content_id",
+            "ref_fields",
+        )
+    )
+    tei = entities_to_tei(ents)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("element", T.StringType()),
+            T.StructField("n_elements", T.LongType()),
+        ]
+    )
+
+    def count_elements(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
+                counts = Counter(
+                    el.tag.rsplit("}", 1)[-1]
+                    for el in ET.fromstring(xml).iter()
+                )
+                rows.extend((doc_id, tag, cnt) for tag, cnt in counts.items())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "element", "n_elements"]
+                )
+
+    return tei.mapInPandas(count_elements, schema=schema)

@@ -75,6 +75,66 @@ def _set_styled_content(el: ET.Element, runs) -> None:
         first = False
 
 
+def _build_structured_biblstruct(parent: ET.Element, r) -> ET.Element:
+    """Structured reference (tei/references.py:52-110
+    get_tei_reference_element + the factories' parent paths,
+    tei/factories.py:140-152): parsed citation fields land under
+    analytic / monogr / monogr/imprint, created on demand; the raw
+    reference text stays as note[@type=raw_reference].
+
+    ``r.ref_fields``: ordered array of {field_type, text} runs from the
+    per-reference citation parse. Mapping (SIMPLE_TAG_EXPRESSION /
+    PARENT_PATH tables): title → analytic/title[level=a type=main];
+    external_identifier → analytic/idno; journal → monogr/title[level=j];
+    publisher → monogr/imprint/publisher."""
+    bibl = ET.SubElement(parent, f"{{{TEI_NS}}}biblStruct")
+    paths: dict = {}
+
+    def get_or_create(path: tuple) -> ET.Element:
+        if not path:
+            return bibl
+        if path not in paths:
+            paths[path] = ET.SubElement(
+                get_or_create(path[:-1]), f"{{{TEI_NS}}}{path[-1]}"
+            )
+        return paths[path]
+
+    for fld in r.ref_fields:
+        ftype, text = fld["field_type"], fld["text"]
+        if ftype == "title":
+            el = ET.SubElement(
+                get_or_create(("analytic",)), f"{{{TEI_NS}}}title"
+            )
+            el.set("level", "a")
+            el.set("type", "main")
+            el.text = text
+        elif ftype == "external_identifier":
+            el = ET.SubElement(
+                get_or_create(("analytic",)), f"{{{TEI_NS}}}idno"
+            )
+            el.text = text
+        elif ftype == "journal":
+            el = ET.SubElement(
+                get_or_create(("monogr",)), f"{{{TEI_NS}}}title"
+            )
+            el.set("level", "j")
+            el.text = text
+        elif ftype == "publisher":
+            el = ET.SubElement(
+                get_or_create(("monogr", "imprint")),
+                f"{{{TEI_NS}}}publisher",
+            )
+            el.text = text
+        else:
+            note = ET.SubElement(bibl, f"{{{TEI_NS}}}note")
+            note.set("type", ftype)
+            note.text = text
+    raw = ET.SubElement(bibl, f"{{{TEI_NS}}}note")
+    raw.set("type", "raw_reference")
+    raw.text = r.text
+    return bibl
+
+
 def _build_persname_author(analytic: ET.Element, text: str) -> None:
     """author/persName with forename+surname (tei/author.py:99-130
     get_tei_author_for_semantic_author_element; part mapping
@@ -185,11 +245,15 @@ def _build_tei(entities: pd.DataFrame) -> str:
                 ref_div = ET.SubElement(back, f"{{{TEI_NS}}}div")
                 ref_div.set("type", "references")
                 ref_div = ET.SubElement(ref_div, f"{{{TEI_NS}}}listBibl")
-            bibl = ET.SubElement(ref_div, f"{{{TEI_NS}}}biblStruct")
+            fields = getattr(r, "ref_fields", None)
+            if fields is not None and len(fields):
+                bibl = _build_structured_biblstruct(ref_div, r)
+            else:
+                bibl = ET.SubElement(ref_div, f"{{{TEI_NS}}}biblStruct")
+                ET.SubElement(bibl, f"{{{TEI_NS}}}note").text = r.text
             set_coords(bibl, r)
             if r.content_id:
                 bibl.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
-            ET.SubElement(bibl, f"{{{TEI_NS}}}note").text = r.text
         elif etype in ("reference_citation", "figure_citation", "table_citation"):
             parent = current_div if current_div is not None else body
             ref = ET.SubElement(parent, f"{{{TEI_NS}}}ref")
