@@ -1403,7 +1403,7 @@ def q130_tei_structure_roundtrip(
     # the JATS half of A29 verified the same way as q130: skeleton once per
     # doc; article-title per title entity; abstract + its p; every TEI
     # paragraph becomes a JATS p whether sec-wrapped or not; sec/title per
-    # heading; ref-list once + ref/mixed-citation per raw reference.
+    # heading; ref-list once + ref/element-citation per raw reference (empty citations: the stylesheet maps no raw-note fallback).
     oracle="WITH " + _CASCADE_TYPED_SQL + """
     agg AS (
         SELECT doc_id,
@@ -1460,7 +1460,7 @@ def q130_tei_structure_roundtrip(
         UNION ALL
         SELECT doc_id, 'ref', n_ref FROM agg WHERE n_ref > 0
         UNION ALL
-        SELECT doc_id, 'mixed-citation', n_ref FROM agg WHERE n_ref > 0
+        SELECT doc_id, 'element-citation', n_ref FROM agg WHERE n_ref > 0
     )
     """,
     survey_ref="§2A A29 TEI→JATS transform — structural round-trip "

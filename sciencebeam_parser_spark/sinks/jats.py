@@ -154,7 +154,40 @@ def tei_to_jats_xml(tei_xml: str) -> str:
             xml_id = bibl.get("{http://www.w3.org/XML/1998/namespace}id")
             if xml_id:
                 ref.set("id", xml_id)
-            ET.SubElement(ref, "mixed-citation").text = _all_text(bibl)
+            # biblStruct → element-citation (tei-to-jats.xsl:250-335):
+            # article-title from analytic (or monogr) title[@type=main],
+            # source from monogr title[@level=j], person-group from
+            # analytic/author/persName; unmapped raw notes do NOT surface
+            # (the stylesheet has no mixed-citation fallback)
+            cit = ET.SubElement(ref, "element-citation")
+            cit.set("publication-type", "journal")
+            a_title = bibl.find(
+                f"{_t('analytic')}/{_t('title')}[@type='main']"
+            )
+            if a_title is None:
+                a_title = bibl.find(
+                    f"{_t('monogr')}/{_t('title')}[@type='main']"
+                )
+            if a_title is not None:
+                ET.SubElement(cit, "article-title").text = _all_text(a_title)
+            j_title = bibl.find(f"{_t('monogr')}/{_t('title')}[@level='j']")
+            if j_title is not None:
+                ET.SubElement(cit, "source").text = _all_text(j_title)
+            pers = bibl.findall(
+                f"{_t('analytic')}/{_t('author')}/{_t('persName')}"
+            )
+            if pers:
+                group = ET.SubElement(cit, "person-group")
+                group.set("person-group-type", "author")
+                for p in pers:
+                    name = ET.SubElement(group, "name")
+                    surname = p.find(_t("surname"))
+                    ET.SubElement(name, "surname").text = (
+                        _all_text(surname) if surname is not None else ""
+                    )
+                    ET.SubElement(name, "given-names").text = " ".join(
+                        _all_text(f) for f in p.findall(_t("forename"))
+                    )
     return ET.tostring(article, encoding="unicode")
 
 

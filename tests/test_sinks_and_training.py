@@ -52,7 +52,12 @@ class TestJats:
         assert tw.get("id") == "tab_0"
         ref = root.find("back/ref-list/ref")
         assert ref.get("id") == "b0"
-        assert ref.findtext("mixed-citation") == "Smith 2020"
+        # tei-to-jats.xsl:250-335: biblStruct always becomes an
+        # element-citation; a raw note-only reference maps to an empty one
+        cit = ref.find("element-citation")
+        assert cit is not None
+        assert cit.get("publication-type") == "journal"
+        assert cit.find("article-title") is None
 
     def test_dataframe_conversion(self, spark):
         df = spark.createDataFrame(
@@ -200,3 +205,34 @@ class TestDelftConversion:
         assert lines[("d1", 0)] == "The 3 I-<title>"
         assert lines[("d1", 1)] == "Title 5 <title>"
         assert lines[("d1", 2)] == "body 4 <other>"
+
+
+TEI_STRUCTURED_REF = (
+    '<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><back>'
+    '<div type="references"><listBibl>'
+    '<biblStruct xml:id="b0">'
+    "<analytic>"
+    '<title level="a" type="main">Deep Parsing</title>'
+    "<idno>doi123</idno>"
+    "<author><persName>"
+    '<forename type="first">maria</forename><surname>lopez</surname>'
+    "</persName></author>"
+    "</analytic>"
+    '<monogr><title level="j">J. Spark</title>'
+    "<imprint><publisher>Pub House</publisher></imprint></monogr>"
+    '<note type="raw_reference">raw text</note>'
+    "</biblStruct>"
+    "</listBibl></div></back></text></TEI>"
+)
+
+
+class TestJatsStructuredReference:
+    def test_element_citation_structured_fields(self):
+        root = ET.fromstring(tei_to_jats_xml(TEI_STRUCTURED_REF))
+        cit = root.find("back/ref-list/ref/element-citation")
+        assert cit.findtext("article-title") == "Deep Parsing"
+        assert cit.findtext("source") == "J. Spark"
+        name = cit.find("person-group/name")
+        assert cit.find("person-group").get("person-group-type") == "author"
+        assert name.findtext("surname") == "lopez"
+        assert name.findtext("given-names") == "maria"
