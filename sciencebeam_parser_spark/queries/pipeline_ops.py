@@ -1632,14 +1632,7 @@ def q165_multimodal_ann_pipeline(
     )
 
 
-@register(
-    "q166_structured_reference_sink",
-    # per-REFERENCE citation parse (the reference runs the citation model
-    # on each raw reference's tokens - processor.py:242-267) + structured
-    # biblStruct serialization: field runs become analytic/monogr/imprint
-    # children, raw text stays a note[@type=raw_reference]; the element
-    # histogram of the re-parsed XML must match the relational prediction.
-    oracle="WITH " + _TOKENS_CTE + """,
+_STRUCT_REF_SQL = _TOKENS_CTE + """,
     base AS (
         SELECT doc_id, token_seq, token,
                count(*) OVER (PARTITION BY doc_id) AS n
@@ -1704,8 +1697,19 @@ def q165_multimodal_ann_pipeline(
                sum(CASE WHEN field_type = 'journal' THEN n_runs END) AS j,
                sum(CASE WHEN field_type = 'publisher' THEN n_runs END) AS p
         FROM run_counts GROUP BY 1, 2
-    ),
-    agg AS (
+    )
+"""
+
+
+@register(
+    "q166_structured_reference_sink",
+    # per-REFERENCE citation parse (the reference runs the citation model
+    # on each raw reference's tokens - processor.py:242-267) + structured
+    # biblStruct serialization: field runs become analytic/monogr/imprint
+    # children, raw text stays a note[@type=raw_reference]; the element
+    # histogram of the re-parsed XML must match the relational prediction.
+    oracle="WITH " + _STRUCT_REF_SQL + """
+    ,     agg AS (
         SELECT doc_id,
                count(*) AS n_ref,
                sum(COALESCE(t, 0) + COALESCE(j, 0)) AS n_title_el,
@@ -1760,12 +1764,50 @@ def q165_multimodal_ann_pipeline(
 def q166_structured_reference_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    ents = _structured_ref_entities(spark, sf_dir)
+    tei = entities_to_tei(ents)
+    return _count_xml_elements(tei, "tei_xml")
+
+
+def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
+    """(doc_id, xml) → per-doc element histogram (shared by the
+    structural round-trip queries)."""
     import xml.etree.ElementTree as ET
     from collections import Counter
 
     import pandas as pd
     from pyspark.sql import types as T
 
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("element", T.StringType()),
+            T.StructField("n_elements", T.LongType()),
+        ]
+    )
+
+    def count_elements(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
+                counts = Counter(
+                    el.tag.rsplit("}", 1)[-1]
+                    for el in ET.fromstring(xml).iter()
+                )
+                rows.extend((doc_id, tag, cnt) for tag, cnt in counts.items())
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "element", "n_elements"]
+                )
+
+    return df.select("doc_id", xml_col).mapInPandas(
+        count_elements, schema=schema
+    )
+
+
+def _structured_ref_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-reference citation parse: reference islands, field islands
+    partitioned by the enclosing reference, ref_fields arrays."""
     toks = _tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
     back = toks.withColumn("_n", n).filter(
@@ -1857,28 +1899,52 @@ def q166_structured_reference_sink(
             "ref_fields",
         )
     )
-    tei = entities_to_tei(ents)
+    return ents
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("element", T.StringType()),
-            T.StructField("n_elements", T.LongType()),
-        ]
+
+@register(
+    "q167_structured_reference_jats",
+    # the JATS half of q166: the structured TEI references transform to
+    # ref/element-citation with article-title (first analytic title),
+    # source (first monogr journal title) - histogram predicted from the
+    # same per-reference field-run relation.
+    oracle="WITH " + _STRUCT_REF_SQL + """
+    , agg AS (
+        SELECT doc_id,
+               count(*) AS n_ref,
+               count(*) FILTER (WHERE COALESCE(t, 0) > 0) AS n_at,
+               count(*) FILTER (WHERE COALESCE(j, 0) > 0) AS n_src
+        FROM per_ref GROUP BY doc_id
     )
-
-    def count_elements(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
-                counts = Counter(
-                    el.tag.rsplit("}", 1)[-1]
-                    for el in ET.fromstring(xml).iter()
-                )
-                rows.extend((doc_id, tag, cnt) for tag, cnt in counts.items())
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "element", "n_elements"]
-                )
-
-    return tei.mapInPandas(count_elements, schema=schema)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, element,
+           CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id,
+               unnest(['article', 'front', 'article-meta', 'title-group',
+                       'body', 'back', 'ref-list']) AS element,
+               1 AS n_elements
+        FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'ref', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'element-citation', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'article-title', n_at FROM agg WHERE n_at > 0
+        UNION ALL
+        SELECT doc_id, 'source', n_src FROM agg WHERE n_src > 0
+    )
+    """,
+    survey_ref="§2A A29 structured references in JATS (tei-to-jats.xsl:"
+               "250-335 biblStruct → element-citation template)",
+    doc="Structured references through the JATS transform: per-reference "
+        "parsed fields surface as article-title/source inside "
+        "element-citation (first matching TEI node each, per the "
+        "stylesheet's value-of semantics); histogram matched against the "
+        "same relational prediction as q166.",
+)
+def q167_structured_reference_jats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ents = _structured_ref_entities(spark, sf_dir)
+    both = tei_with_jats(entities_to_tei(ents))
+    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
