@@ -239,7 +239,19 @@ def _build_tei(entities: pd.DataFrame) -> str:
             set_coords(fig, r)
             if r.content_id:
                 fig.set("{http://www.w3.org/XML/1998/namespace}id", r.content_id)
-            ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = r.text
+            # parsed figure/table sub-model fields (tei/figure_table.py:
+            # 24-60): a label emits BOTH head and label elements; the
+            # caption becomes figDesc; without parsed fields the raw text
+            # stays a bare figDesc
+            fig_label = getattr(r, "fig_label", None)
+            fig_caption = getattr(r, "fig_caption", None)
+            if fig_label is not None and not pd.isna(fig_label):
+                ET.SubElement(fig, f"{{{TEI_NS}}}head").text = fig_label
+                ET.SubElement(fig, f"{{{TEI_NS}}}label").text = fig_label
+            if fig_caption is not None and not pd.isna(fig_caption):
+                ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = fig_caption
+            elif fig_label is None or pd.isna(fig_label):
+                ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = r.text
         elif etype == "raw_reference_text":
             if ref_div is None:
                 ref_div = ET.SubElement(back, f"{{{TEI_NS}}}div")

@@ -224,3 +224,32 @@ class TestTeiStyles:
         el = self._title_el(spark, [])
         assert el.text == "t1 t2 t3"
         assert el.findall("tei:hi", NS) == []
+
+
+class TestTeiParsedFigure:
+    def test_parsed_label_and_caption(self, spark):
+        """tei/figure_table.py:24-60 — a parsed label emits BOTH head and
+        label; the caption becomes figDesc."""
+        entities = spark.createDataFrame(
+            [
+                ("d1", 1, "raw_figure", "body", 0, 3, "Figure 1 A caption",
+                 "fig_0", "Figure 1", "A caption"),
+                ("d1", 2, "raw_table", "body", 4, 5, "tab text",
+                 "tab_0", None, None),
+            ],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string, "
+            "content_id string, fig_label string, fig_caption string",
+        )
+        root = ET.fromstring(
+            entities_to_tei(entities).collect()[0]["tei_xml"]
+        )
+        figs = root.findall(".//tei:body/tei:figure", NS)
+        assert len(figs) == 2
+        parsed = figs[0]
+        assert parsed.find("tei:head", NS).text == "Figure 1"
+        assert parsed.find("tei:label", NS).text == "Figure 1"
+        assert parsed.find("tei:figDesc", NS).text == "A caption"
+        raw = figs[1]
+        assert raw.find("tei:head", NS) is None
+        assert raw.find("tei:figDesc", NS).text == "tab text"
