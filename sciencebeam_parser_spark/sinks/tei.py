@@ -165,6 +165,7 @@ def _build_tei(entities: pd.DataFrame) -> str:
     back = ET.SubElement(text_el, f"{{{TEI_NS}}}back")
     ref_div = None
     current_div = None
+    last_formula = None  # open formula for a following equation_label
     analytic = None  # sourceDesc/biblStruct/analytic, created on demand
     # (marker_text → affiliations) per tei_document.py:68-75; the mock
     # vocabulary yields no markers, so every affiliation keys to '' and
@@ -278,6 +279,15 @@ def _build_tei(entities: pd.DataFrame) -> str:
             if target:
                 ref.set("target", "#" + target)
             ref.text = r.text
+        elif etype == "equation":
+            # raw equation → formula (tei/equation.py:26-52)
+            parent = current_div if current_div is not None else body
+            last_formula = ET.SubElement(parent, f"{{{TEI_NS}}}formula")
+            last_formula.text = r.text
+        elif etype == "equation_label" and last_formula is not None:
+            # the equation's label nests inside the formula
+            # (SemanticLabel inside SemanticRawEquation)
+            ET.SubElement(last_formula, f"{{{TEI_NS}}}label").text = r.text
         else:
             # unknown content → note (document/tei/common.py)
             note = ET.SubElement(body, f"{{{TEI_NS}}}note")

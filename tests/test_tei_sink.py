@@ -253,3 +253,25 @@ class TestTeiParsedFigure:
         raw = figs[1]
         assert raw.find("tei:head", NS) is None
         assert raw.find("tei:figDesc", NS).text == "tab text"
+
+
+class TestTeiEquation:
+    def test_formula_with_nested_label(self, spark):
+        """tei/equation.py:26-52 — raw equation → formula; a following
+        equation_label nests inside it as label."""
+        entities = spark.createDataFrame(
+            [
+                ("d1", 1, "equation", "body", 0, 2, "E = mc2"),
+                ("d1", 2, "equation_label", "body", 3, 3, "(1)"),
+            ],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string",
+        ).withColumn("content_id", F.lit(None).cast("string"))
+        root = ET.fromstring(
+            entities_to_tei(entities).collect()[0]["tei_xml"]
+        )
+        formula = root.find(".//tei:body/tei:formula", NS)
+        assert formula is not None and formula.text == "E = mc2"
+        assert formula.find("tei:label", NS).text == "(1)"
+        # no stray notes
+        assert root.findall(".//tei:note", NS) == []
