@@ -125,6 +125,20 @@ def _build_structured_biblstruct(parent: ET.Element, r) -> ET.Element:
                 f"{{{TEI_NS}}}publisher",
             )
             el.text = text
+        elif ftype == "page_range":
+            # biblScope[@unit=page] (tei/page_range.py:16-37): from/to
+            # attributes when the range parses, plain text otherwise
+            el = ET.SubElement(
+                get_or_create(("monogr", "imprint")),
+                f"{{{TEI_NS}}}biblScope",
+            )
+            el.set("unit", "page")
+            parts = text.split("-", 1)
+            if len(parts) == 2 and parts[0] and parts[1]:
+                el.set("from", parts[0])
+                el.set("to", parts[1])
+            else:
+                el.text = text
         else:
             note = ET.SubElement(bibl, f"{{{TEI_NS}}}note")
             note.set("type", ftype)
@@ -253,6 +267,18 @@ def _build_tei(entities: pd.DataFrame) -> str:
                 ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = fig_caption
             elif fig_label is None or pd.isna(fig_label):
                 ET.SubElement(fig, f"{{{TEI_NS}}}figDesc").text = r.text
+            # matched layout graphics → graphic children with coords/type/
+            # url attributes (tei/graphic.py:22-46)
+            graphics = getattr(r, "graphics", None)
+            if graphics is not None and len(graphics):
+                for g in graphics:
+                    g_el = ET.SubElement(fig, f"{{{TEI_NS}}}graphic")
+                    if g.get("url"):
+                        g_el.set("url", g["url"])
+                    if g.get("coords"):
+                        g_el.set("coords", g["coords"])
+                    if g.get("graphic_type"):
+                        g_el.set("type", g["graphic_type"])
         elif etype == "raw_reference_text":
             if ref_div is None:
                 ref_div = ET.SubElement(back, f"{{{TEI_NS}}}div")

@@ -275,3 +275,53 @@ class TestTeiEquation:
         assert formula.find("tei:label", NS).text == "(1)"
         # no stray notes
         assert root.findall(".//tei:note", NS) == []
+
+
+class TestTeiPageRangeAndGraphic:
+    def test_structured_ref_page_range(self, spark):
+        """tei/page_range.py — parsed ranges become biblScope[@unit=page]
+        with from/to; unparseable ranges keep the text."""
+        entities = spark.createDataFrame(
+            [
+                ("d1", 1, "raw_reference_text", "back", 0, 5, "ref one",
+                 "b0",
+                 [{"field_type": "page_range", "text": "12-34"}]),
+                ("d1", 2, "raw_reference_text", "back", 6, 9, "ref two",
+                 "b1",
+                 [{"field_type": "page_range", "text": "e1234"}]),
+            ],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string, "
+            "content_id string, "
+            "ref_fields array<struct<field_type:string,text:string>>",
+        )
+        root = ET.fromstring(
+            entities_to_tei(entities).collect()[0]["tei_xml"]
+        )
+        scopes = root.findall(".//tei:imprint/tei:biblScope", NS)
+        assert len(scopes) == 2
+        assert (scopes[0].get("from"), scopes[0].get("to")) == ("12", "34")
+        assert scopes[0].text is None
+        assert scopes[1].get("from") is None and scopes[1].text == "e1234"
+
+    def test_figure_graphic_children(self, spark):
+        """tei/graphic.py — matched layout graphics become graphic
+        children with url/coords/type attributes."""
+        entities = spark.createDataFrame(
+            [
+                ("d1", 1, "raw_figure", "body", 0, 3, "Figure 1", "fig_0",
+                 [{"url": "image1.png", "coords": "1,10.00,20.00,30.00,40.00",
+                   "graphic_type": "bitmap"}]),
+            ],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string, "
+            "content_id string, "
+            "graphics array<map<string,string>>",
+        )
+        root = ET.fromstring(
+            entities_to_tei(entities).collect()[0]["tei_xml"]
+        )
+        g = root.find(".//tei:figure/tei:graphic", NS)
+        assert g.get("url") == "image1.png"
+        assert g.get("coords") == "1,10.00,20.00,30.00,40.00"
+        assert g.get("type") == "bitmap"
