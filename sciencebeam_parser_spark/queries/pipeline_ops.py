@@ -1509,7 +1509,7 @@ def q131_jats_structure_roundtrip(
     )
 
 
-def _q165_ann_oracle(n_planes: int = 4, dim: int = 8) -> str:
+def _q165_ann_oracle(n_planes: int = 6, dim: int = 8) -> str:
     coeff = (
         "(CAST('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' "
         "|| CAST(i AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0 "
@@ -1536,7 +1536,8 @@ def _q165_ann_oracle(n_planes: int = 4, dim: int = 8) -> str:
     WITH media AS (
         SELECT 'm' || doc_id AS media_id, sha256(text) AS h FROM documents
     ),
-    vecs AS (SELECT media_id, [{feats}] AS v FROM media),
+    vecs AS (SELECT media_id, [f - 0.5 FOR f IN [{feats}]] AS v
+             FROM media),
     projected AS (SELECT media_id, v, {projs} FROM vecs),
     bucketed AS (
         SELECT media_id, v,
@@ -1587,28 +1588,42 @@ def q165_multimodal_ann_pipeline(
         F.encode("text", "utf-8").alias("content"),
     )
     decoded = decode_images(media, use_fake_decoder=True)
+    # decode features live in [0,1] (hash bytes / 255): hyperplanes
+    # through the origin see an all-positive orthant and pile ~45% of the
+    # corpus into one sign pattern (measured 8.9M candidate pairs at
+    # sf0.1). Centering at 0.5 balances the signs; bucketing AND scoring
+    # use the centered vector so the pipeline stays one coherent space.
+    decoded = decoded.withColumn(
+        "feature", F.transform("feature", lambda x: x - F.lit(0.5))
+    )
+    # 6 planes = 64 buckets: bucket population ~n/64, so the within-
+    # bucket quadratic stays bounded as the corpus grows (4 planes left
+    # ~300-doc buckets at sf0.1 and a 1.5M-pair scoring stage - measured
+    # 44s; 64 buckets cut it ~16x)
     bucketed = add_lsh_bucket(
         decoded,
-        n_planes=4,
+        n_planes=6,
         id_col="media_id",
         vec_col="feature",
         dim=8,
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("v", lambda x: x * x),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        ),
+    )
+    # explicit 8-term arithmetic instead of aggregate/zip_with folds: the
+    # higher-order functions run interpreted per row (measured the pair
+    # scoring at 14s/sf0.1); element access + adds whole-stage-codegen.
+    # Left-to-right addition keeps the exact fold order of list_sum, so
+    # results are bit-identical.
+    def _dot(x, y, dim=8):
+        expr = None
+        for i in range(dim):
+            term = x.getItem(i) * y.getItem(i)
+            expr = term if expr is None else expr + term
+        return expr
+
+    bucketed = bucketed.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    dot = _dot(F.col("a.v"), F.col("b.v"))
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
