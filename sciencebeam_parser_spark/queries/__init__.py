@@ -16,4 +16,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     training_ops,
     udf_ops,
     layout_ops,
+    curation_ops,
 )

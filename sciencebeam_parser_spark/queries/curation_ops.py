@@ -1,0 +1,444 @@
+"""Corpus-curation operators, round 4 (north-star extensions): statistical
+language-model filtering, model-based quality classification, weighted
+corpus sampling, per-domain caps, stream-static enrichment, and the
+binned interval join.
+
+These complete the LLM-pipeline family (q60-q69 dedup/similarity, q125-q128
+corpus shaping, q139-q146 quality/stats, q152/q153 end-to-end + decontam)
+with the remaining steps a CCNet/DCLM-style curation pipeline runs:
+
+* **bigram LM scoring** (q168) — the KenLM-perplexity filter re-expressed
+  relationally: the LM is *trained on the corpus itself* as a bigram count
+  table (one groupBy), and scoring is an equi-join of each document's
+  bigrams against that table. No model binary, no UDF — the whole thing is
+  two hash aggregates and two joins, all map-side-combinable.
+* **linear quality classifier** (q169) — the fastText-style learned filter
+  with a fixed literal weight vector over hand-computed features; a pure
+  projection (the inference step of model-based filtering without the
+  training loop).
+* **weighted priority sampling** (q171) — Duffield-style priority sampling
+  (priority = weight / uniform-hash) made fully deterministic by deriving
+  the uniform from md5(doc_id); top-k compiles to TakeOrderedAndProject,
+  so no global sort materializes at any scale.
+* **per-domain cap** (q172) — the Common-Crawl "at most N pages per
+  domain" rule as one ranked window, deterministic via hash ordering.
+* **stream-static join** (q170) — Structured Streaming's dimension-
+  enrichment pattern: a file stream joined against a static broadcast
+  dim, then aggregated; the batch SQL twin is the oracle.
+* **binned interval join** (q173) — the range-join-to-equi-join rewrite:
+  intervals explode into the fixed-width time bins they overlap, points
+  carry their bin, and the join runs on (key, bin) with an exact residual
+  filter — the standard trick that turns an O(n*m) theta join into a
+  shuffle-bounded equi join at 100 TB.
+
+Engine anchor: the reference has no corpus-curation layer (its unit is one
+document, app/parser.py:516-527); these are the north-star additions the
+task brief lists as first-class.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.queries.text_ops import (
+    _WORDS_SQL,
+    _md5_long,
+    _md5_long_sql,
+    _words,
+)
+
+# words with positions, as a DuckDB CTE (mirrors docpipe._TOKENS_CTE but on
+# the shared lowercase alnum tokenization _WORDS_SQL)
+_WORDPOS_CTE = f"""
+    wordpos AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, w
+        FROM (
+            SELECT doc_id,
+                   unnest({_WORDS_SQL}) AS w,
+                   unnest(range(1, len({_WORDS_SQL}) + 1)) AS pos
+            FROM documents
+        )
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM wordpos a
+        JOIN wordpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+"""
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per in-document word bigram.
+
+    zip_with pairs each word with its successor (the shorter tail is
+    null-padded; the pad row is filtered), so the explode happens once —
+    no positional self-join on the Spark side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = _words()
+    pairs = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .filter(F.col("bg.w2").isNotNull())
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+@register(
+    "q168_bigram_lm_score",
+    oracle="WITH " + _WORDPOS_CTE + """,
+    lm AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))), 4)
+               AS avg_nll,
+           CASE WHEN round(avg(-log2((lm.c12 + 1.0)
+                                     / (uni.c1 + vocab.v))), 4) > 9.0
+                THEN TRUE ELSE FALSE END AS high_perplexity
+    FROM bigrams d
+    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+    JOIN uni ON d.w1 = uni.w1
+    CROSS JOIN vocab
+    GROUP BY d.doc_id
+    """,
+    survey_ref="north-star text analysis: statistical LM filtering "
+               "(CCNet-style perplexity gate) — the corpus-trained bigram "
+               "LM as a count table, scoring as an equi-join",
+    doc="Bigram-LM document scoring: train add-one-smoothed conditional "
+        "probabilities P(w2|w1) from the corpus itself (groupBy counts), "
+        "then score every document's mean negative log2-likelihood by "
+        "joining its bigrams back against the LM. High-perplexity "
+        "documents (avg_nll > 9 bits) are flagged — the statistical twin "
+        "of the rule-based q139 gate. Scale: the LM table is vocabulary-"
+        "bounded (grows ~O(corpus^0.7), Heaps' law), aggregates are "
+        "map-side partial, and the scoring joins are equi-joins on word "
+        "keys; head-word skew ('the') is AQE skew-join territory, noted "
+        "per-key salting is the manual fallback.",
+)
+def q168_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _bigrams(spark, sf_dir)
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = lm.agg(F.countDistinct("w2").alias("v"))
+    # vocab is one row — broadcast nested-loop join is the right plan
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(nll), 4).alias("avg_nll"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        (F.col("avg_nll") > 9.0).alias("high_perplexity"),
+    )
+
+
+# fixed literal weights — the inference half of a trained linear filter
+# (fastText/DCLM-style); deterministic by construction
+_QC_BIAS = -3.0
+_QC_W_NWORDS = 0.002
+_QC_W_MWL = 0.5
+_QC_W_SYM = -8.0
+_QC_W_STOP = 6.0
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for")
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "q169_quality_classifier",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+               round(list_sum([len(x) FOR x IN {_WORDS_SQL}]) * 1.0
+                     / greatest(len({_WORDS_SQL}), 1), 4) AS mean_word_len,
+               round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     * 1.0 / greatest(len(text), 1), 4) AS symbol_ratio,
+               round(len([x FOR x IN {_WORDS_SQL}
+                          IF x IN {_STOPWORDS_SQL}]) * 1.0
+                     / greatest(len({_WORDS_SQL}), 1), 4) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
+           round({_QC_BIAS} + {_QC_W_NWORDS} * n_words
+                 + {_QC_W_MWL} * mean_word_len
+                 + {_QC_W_SYM} * symbol_ratio
+                 + {_QC_W_STOP} * stop_ratio, 6) AS logit,
+           CASE WHEN {_QC_BIAS} + {_QC_W_NWORDS} * n_words
+                     + {_QC_W_MWL} * mean_word_len
+                     + {_QC_W_SYM} * symbol_ratio
+                     + {_QC_W_STOP} * stop_ratio > 0
+                THEN TRUE ELSE FALSE END AS keep
+    FROM m
+    """,
+    survey_ref="north-star text analysis: model-based quality filter "
+               "(linear classifier inference over handcrafted features, "
+               "fixed weight vector)",
+    doc="Learned-filter inference as a projection: four per-document "
+        "features (word count, mean word length, symbol ratio, stopword "
+        "ratio — each rounded so both engines agree at boundaries) are "
+        "combined by a literal weight vector into a logit; keep = logit "
+        "> 0. Zero shuffles at any scale, whole-stage codegen end to "
+        "end; swapping the literals for a broadcast weights row upgrades "
+        "this to real trained weights without changing the plan.",
+)
+def q169_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_word_len = F.round(
+        word_chars / F.greatest(F.size(words), F.lit(1)), 4
+    )
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = F.round(
+        symbols / F.greatest(F.length("text"), F.lit(1)), 4
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+        / F.greatest(F.size(words), F.lit(1)),
+        4,
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    logit = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_NWORDS) * F.col("n_words")
+        + F.lit(_QC_W_MWL) * F.col("mean_word_len")
+        + F.lit(_QC_W_SYM) * F.col("symbol_ratio")
+        + F.lit(_QC_W_STOP) * F.col("stop_ratio")
+    )
+    return m.select(
+        "*",
+        F.round(logit, 6).alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+_Q170_RUNS = 0
+
+
+@register(
+    "q170_streaming_static_join",
+    # batch twin of the stream-static enrichment: every streamed event is
+    # joined to the static customer dim on user_id = c_custkey, then
+    # aggregated per (segment, event_type). user_id range sits inside the
+    # customer key range at every sf, so the inner join keeps all events.
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2B streaming: stream-static join (dimension enrichment "
+               "of a file stream against a batch table, then stateful "
+               "agg) — the gazetteer/lookup pattern (A31 config dims) in "
+               "streaming form",
+    doc="Structured Streaming stream-static join: readStream over events "
+        "joined to the static customer dimension (Spark re-plans the "
+        "static side per micro-batch; small dims broadcast), aggregated "
+        "per (segment, event_type) in complete mode. Hash-matches the "
+        "batch SQL twin — stream/batch unification on a two-table plan. "
+        "At scale the static side refreshes per batch, so slowly-changing "
+        "dims are picked up without restarting the query.",
+)
+def q170_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _events_stream,
+        _finish_memory_sink,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    global _Q170_RUNS
+    _Q170_RUNS += 1
+    name = f"q170_mem_{_Q170_RUNS}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _finish_memory_sink(spark, name)
+
+
+@register(
+    "q171_weighted_sample",
+    # Duffield priority sampling with a deterministic uniform: u =
+    # md5(doc_id)/2^60, priority = weight/u computed as one IEEE double
+    # division (identical bit pattern on both engines — no libm calls).
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           round(CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+                 / {_md5_long_sql("CAST(doc_id AS VARCHAR)")}, 6)
+               AS priority
+    FROM documents
+    ORDER BY CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+             / {_md5_long_sql("CAST(doc_id AS VARCHAR)")} DESC, doc_id
+    LIMIT 100
+    """,
+    survey_ref="north-star corpus shaping: weighted (size-biased) corpus "
+               "sampling — priority sampling with a hash-derived uniform, "
+               "deterministic and re-runnable (extends the uniform q125 / "
+               "stratified q144 family)",
+    doc="Weighted top-k corpus sample: priority = n_chars / "
+        "uniform(md5(doc_id)); the k highest-priority documents form a "
+        "size-biased sample (Duffield/Lund/Thorup priority sampling — "
+        "inclusion probability proportional to weight). Deterministic: "
+        "the uniform comes from md5, and the priority is a single IEEE "
+        "double division both engines compute bit-identically. The top-k "
+        "compiles to TakeOrderedAndProject (per-partition heaps + driver "
+        "merge of k rows) — no global sort at any corpus size.",
+)
+def q171_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u_scaled = _md5_long(F.col("doc_id").cast("string"))  # u * 2^60
+    priority = (
+        F.col("n_chars").cast("double") * F.lit(1152921504606846976.0)
+        / u_scaled
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            priority.alias("_p"),
+        )
+        .orderBy(F.desc("_p"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id", "source", "n_chars", F.round("_p", 6).alias("priority")
+        )
+    )
+
+
+@register(
+    "q172_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS domain_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_md5_long_sql("CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+    survey_ref="north-star corpus shaping: per-domain document cap (the "
+               "Common-Crawl 'at most N pages per host' rule) — ranked "
+               "window + filter",
+    doc="Per-domain cap: keep at most 10 documents per source, chosen by "
+        "hash rank so the selection is deterministic and unbiased by "
+        "storage order. One shuffle on the domain key; rank-filter "
+        "windows push the cap into the sort via WindowGroupLimit, so "
+        "only ~cap rows per domain survive the exchange at scale. "
+        "Skewed mega-domains are exactly the rows the cap discards, so "
+        "the skew self-heals downstream.",
+)
+def q172_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        _md5_long(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("domain_rank"))
+    )
+
+
+@register(
+    "q173_interval_bin_join",
+    # exact twin: plain theta join (point in [start, start+5min)) — tiny
+    # at oracle scale; the Spark side runs the binned equi-join rewrite.
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 5 MINUTE
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    survey_ref="§2B joins: range/interval join via the bin-to-equi-join "
+               "rewrite (the scalable form of the q19 containment filter "
+               "and the q136 as-of join)",
+    doc="Interval join at scale: each 5-minute signup window explodes "
+        "into the two 300-second time bins it can overlap, points carry "
+        "their own bin, and the join runs as an equi-join on (user_id, "
+        "bin) with the exact range as a residual filter — O(n+m) shuffle "
+        "instead of the per-user quadratic a theta join would run. A "
+        "point's bin is unique, so no post-join dedup is needed. The "
+        "DuckDB oracle states the same semantics as the naive theta "
+        "join.",
+)
+def q173_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    points = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.floor(sec / 300).alias("p_bin"),
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+            F.floor(sec / 300).alias("s_bin"),
+        )
+        # a [t, t+300s) window overlaps bin(t) and bin(t)+1 only
+        .withColumn("bin", F.explode(F.array(F.col("s_bin"), F.col("s_bin") + 1)))
+    )
+    joined = signups.join(
+        points,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_bin") == F.col("bin"))
+        & (F.col("ts") >= F.col("s_ts"))
+        & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

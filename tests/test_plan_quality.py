@@ -215,3 +215,38 @@ class TestRound4PlanShapes:
         # tokens; no extra shuffles after the pinned repartition
         plan = plan_of(spark, "q156_weight_model_labels")
         assert plan.count("MapInPandas") == 1
+
+
+class TestCurationPlanShapes:
+    def test_quality_classifier_is_map_only(self, spark):
+        # q169: classifier inference is a pure projection — zero shuffles
+        plan = plan_of(spark, "q169_quality_classifier")
+        assert "Exchange" not in plan
+
+    def test_weighted_sample_take_ordered(self, spark):
+        # q171: priority top-k must be per-partition heaps + driver merge,
+        # never a global sort
+        plan = plan_of(spark, "q171_weighted_sample")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+    def test_domain_cap_single_shuffle_with_group_limit(self, spark):
+        # q172: one Exchange on the domain key; the rank filter pushes a
+        # WindowGroupLimit below it so mega-domains truncate map-side
+        plan = plan_of(spark, "q172_domain_cap")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "WindowGroupLimit" in plan
+
+    def test_interval_join_is_equi_not_nested_loop(self, spark):
+        # q173: the bin rewrite must produce a hash/merge equi-join —
+        # the naive theta-join plan would be a nested loop
+        plan = plan_of(spark, "q173_interval_bin_join")
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_lm_aggs_are_partial(self, spark):
+        # q168: LM training counts must have map-side partial aggregation
+        # (two-phase HashAggregate), and the vocab scalar must broadcast
+        plan = plan_of(spark, "q168_bigram_lm_score")
+        assert plan.count("HashAggregate") >= 4
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
