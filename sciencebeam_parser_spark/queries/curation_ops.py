@@ -89,9 +89,9 @@ def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q168_bigram_lm_score",
-    oracle="WITH " + _WORDPOS_CTE + """,
+# per-document LM scores as a reusable CTE chain (q168 result set; q176
+# derives its percentile threshold from the same `scored` relation)
+_LM_SCORED_SQL = "WITH " + _WORDPOS_CTE + """,
     lm AS (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
         FROM bigrams GROUP BY w1, w2
@@ -99,19 +99,28 @@ def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni AS (
         SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
     ),
-    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm)
-    SELECT d.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(-log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))), 4)
-               AS avg_nll,
-           CASE WHEN round(avg(-log2((lm.c12 + 1.0)
-                                     / (uni.c1 + vocab.v))), 4) > 9.0
-                THEN TRUE ELSE FALSE END AS high_perplexity
-    FROM bigrams d
-    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
-    JOIN uni ON d.w1 = uni.w1
-    CROSS JOIN vocab
-    GROUP BY d.doc_id
+    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))), 4)
+                   AS avg_nll
+        FROM bigrams d
+        JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+        JOIN uni ON d.w1 = uni.w1
+        CROSS JOIN vocab
+        GROUP BY d.doc_id
+    )
+"""
+
+
+@register(
+    "q168_bigram_lm_score",
+    oracle=_LM_SCORED_SQL + """
+    SELECT doc_id, n_bigrams, avg_nll,
+           CASE WHEN avg_nll > 9.0 THEN TRUE ELSE FALSE END
+               AS high_perplexity
+    FROM scored
     """,
     survey_ref="north-star text analysis: statistical LM filtering "
                "(CCNet-style perplexity gate) — the corpus-trained bigram "
@@ -128,6 +137,17 @@ def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-key salting is the manual fallback.",
 )
 def q168_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _lm_scored(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        (F.col("avg_nll") > 9.0).alias("high_perplexity"),
+    )
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll) — the bigram-LM scoring pipeline."""
     bg = _bigrams(spark, sf_dir)
     lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -139,15 +159,9 @@ def q168_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
     )
     nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
-    out = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(nll), 4).alias("avg_nll"),
-    )
-    return out.select(
-        "doc_id",
-        "n_bigrams",
-        "avg_nll",
-        (F.col("avg_nll") > 9.0).alias("high_perplexity"),
     )
 
 
@@ -441,4 +455,173 @@ def q173_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_id").agg(
         F.count("event_id").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q174_jsonl_shard_sink",
+    # the write is real (JSONL shards partitioned by source); the checked
+    # relation is the read-back per-shard manifest, which SQL predicts
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    survey_ref="§2B sinks: JSONL training-shard export (the corpus output "
+               "format LLM trainers read) — partitioned text sink + "
+               "schema-on-read round trip",
+    doc="Training-shard export: the corpus written as JSON-lines files "
+        "partitioned by source shard (one directory per shard, the "
+        "layout data loaders expect), read back with spark.read.json, "
+        "and verified via a per-shard manifest (doc count, char volume, "
+        "language count) the oracle predicts from the source table. At "
+        "scale the JSON encode/decode is JVM-native (no Python "
+        "boundary) and the write parallelizes per input partition.",
+)
+def q174_jsonl_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).partitionBy("source").json(out_dir)
+    back = spark.read.json(out_dir)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_DOC_STREAM_RUNS = 0
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over documents.parquet — the incremental-ingest source."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register(
+    "q175_streaming_incremental_dedup",
+    # arriving half = odd doc_ids; already-ingested half = even doc_ids.
+    # A new doc survives iff its exact text hash is absent from the
+    # ingested corpus — the batch anti-join states the same set.
+    oracle="""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM documents i
+          WHERE i.doc_id % 2 = 0 AND md5(i.text) = md5(d.text)
+      )
+    """,
+    survey_ref="north-star dedup + §2B streaming composed: incremental "
+               "corpus ingestion — stream-static LEFT ANTI join of "
+               "arriving documents against the already-ingested corpus's "
+               "hash set",
+    doc="Incremental exact dedup: newly arriving documents (streamed) "
+        "anti-join on content hash against the static ingested corpus, "
+        "so only genuinely new content lands — the daily-crawl-increment "
+        "pattern. The static side is re-planned every micro-batch "
+        "(yesterday's ingest is visible today without restarting); at "
+        "scale the hash set is a parquet table and the anti-join "
+        "shuffles only the increment. Intra-batch duplicates are q135's "
+        "dropDuplicatesWithinWatermark composed upstream.",
+)
+def q175_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.queries.events_ops import _finish_memory_sink
+
+    ingested = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+    )
+    arriving = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn("h", F.md5("text"))
+    )
+    fresh = arriving.join(ingested, on="h", how="left_anti").select(
+        "doc_id", "source"
+    )
+    global _DOC_STREAM_RUNS
+    _DOC_STREAM_RUNS += 1
+    name = f"q175_mem_{_DOC_STREAM_RUNS}"
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _finish_memory_sink(spark, name)
+
+
+@register(
+    "q176_perplexity_percentile_gate",
+    # threshold = exact 90th percentile (linear interpolation, the
+    # (n-1)*p definition both engines implement) of the rounded scores,
+    # itself rounded before the comparison so the keep set is exact
+    oracle=_LM_SCORED_SQL + """,
+    thr AS (
+        SELECT round(quantile_cont(avg_nll, 0.9), 4) AS threshold
+        FROM scored
+    )
+    SELECT s.doc_id, s.avg_nll, thr.threshold,
+           CASE WHEN s.avg_nll <= thr.threshold THEN TRUE ELSE FALSE END
+               AS keep
+    FROM scored s CROSS JOIN thr
+    """,
+    survey_ref="north-star text analysis: data-dependent quality "
+               "threshold (drop the worst decile by corpus percentile) — "
+               "the two-pass global-statistic → broadcast → filter "
+               "pattern",
+    doc="Percentile-gated perplexity filter: the keep threshold is not a "
+        "constant but the corpus's own 90th-percentile LM score (exact "
+        "interpolated percentile), broadcast back over the scores — the "
+        "relative quality cut CCNet applies per language bucket. The "
+        "one-row threshold joins as a broadcast nested loop; the scored "
+        "relation is checkpointed once (localCheckpoint — truncates "
+        "lineage and materializes to executor storage) so the threshold "
+        "pass and the gate pass share one LM computation.",
+)
+def q176_perplexity_percentile_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _lm_scored(spark, sf_dir).localCheckpoint()
+    thr = scored.agg(
+        F.round(F.percentile("avg_nll", F.lit(0.9)), 4).alias("threshold")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_nll",
+        "threshold",
+        (F.col("avg_nll") <= F.col("threshold")).alias("keep"),
     )

@@ -250,3 +250,22 @@ class TestCurationPlanShapes:
         plan = plan_of(spark, "q168_bigram_lm_score")
         assert plan.count("HashAggregate") >= 4
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_percentile_gate_reuses_checkpoint(self, spark):
+        # q176: the LM scoring pipeline must run once — the threshold and
+        # gate passes both read the checkpointed scan, so the executed
+        # plan contains no bigram explode/join at all
+        plan = plan_of(spark, "q176_perplexity_percentile_gate")
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+        assert "Generate explode" not in plan
+
+    def test_incremental_dedup_static_side_builds_hash_set(self, spark):
+        # q175's batch twin shape: the ingested-corpus side must reach the
+        # join as a projected hash column only (text never shuffles twice)
+        from sciencebeam_parser_spark.queries.curation_ops import (
+            _documents_stream,  # noqa: F401 - import sanity
+        )
+        df = REGISTRY["q175_streaming_incremental_dedup"].build(
+            spark, SF_DIR
+        )
+        assert df.count() > 0
