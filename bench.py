@@ -42,7 +42,7 @@ def main():
     # measurably slows later pandas-heavy queries (observed ~2x on the
     # XML pipelines). Batch queries are measured on a clean engine; the
     # streaming queries only ever contaminate each other.
-    ordered = sorted(REGISTRY.items(), key=lambda kv: ("streaming" in kv[0], kv[0]))
+    ordered = sorted(REGISTRY.items(), key=lambda kv: ("stream" in kv[0], kv[0]))
     for name, q in ordered:
         t0 = time.time()
         try:

@@ -17,4 +17,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     udf_ops,
     layout_ops,
     curation_ops,
+    graph_ops,
 )
