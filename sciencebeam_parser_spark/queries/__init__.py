@@ -18,4 +18,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     layout_ops,
     curation_ops,
     graph_ops,
+    eval_ops,
 )

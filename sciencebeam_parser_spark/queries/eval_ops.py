@@ -1,0 +1,255 @@
+"""Pipeline-evaluation and corpus-mixture operators: ANN recall
+measurement, token-budget mixture sampling, and leakage-safe dataset
+splitting.
+
+These close the loop on the north-star LLM-data pipeline: a curation
+engine must not only dedup/filter/sample but also MEASURE its own
+approximations (what recall does the LSH ANN actually achieve vs the
+exact baseline?), MIX sources to a token budget (the data-mixture step
+that turns per-source corpora into one pretraining stream), and SPLIT
+without leakage (near-duplicate documents must never straddle
+train/test — the contamination failure mode q153 decontaminates after
+the fact; this prevents it structurally).
+
+Every query composes already-oracle-checked operators (q65 brute-force
+top-k, q86 LSH ANN, q110 connected components) and restates the
+composition in SQL, so the oracle checks the full composed DAG.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries import text_ops  # noqa: F401 — registers q65/q86/q110
+from sciencebeam_parser_spark.queries.registry import REGISTRY, register, table
+from sciencebeam_parser_spark.queries.text_ops import (
+    _LSH_PAIRS_SQL,
+    _md5_long,
+    _md5_long_sql,
+)
+
+_EXACT5_SQL = REGISTRY["q65_similarity_topk"].oracle
+_ANN5_SQL = REGISTRY["q86_similarity_ann_lsh"].oracle
+
+
+@register(
+    "q182_ann_recall_eval",
+    # recall@5 of the LSH ANN against the exact brute-force top-5, per
+    # query — both sides are the (already oracle-checked) q65/q86 result
+    # sets, so this oracle checks the composed evaluation DAG.
+    oracle=f"""
+    WITH exact5 AS ({_EXACT5_SQL}),
+    ann5 AS ({_ANN5_SQL}),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact5 e
+        JOIN ann5 a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT v.vec_id AS query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / 5.0, 2) AS recall_at_5
+    FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+    """,
+    survey_ref="north-star similarity search: quality evaluation of the "
+               "approximate path (LSH ANN q86) against the exact "
+               "baseline (q65) — recall@k, the metric that justifies "
+               "the bucketed plan at scale",
+    doc="ANN recall@5 per query: the LSH top-5 (bucket-join plan) "
+        "intersected with the exact brute-force top-5, left-joined back "
+        "over all vectors so bucket-starved queries report recall 0. At "
+        "100 TB this runs on a deterministic hash-sample of queries "
+        "(q125 composes upstream) while the ANN serves the full corpus — "
+        "the standard continuous-evaluation harness for an ANN index. "
+        "On the synthetic table it measures single-table 8-plane LSH at "
+        "~2-4% mean recall (256 buckets over 500 vectors leaves ~2 "
+        "candidates per bucket) — the quantified argument for the "
+        "multi-table index in operators/similarity.py.",
+)
+def q182_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import (
+        q65_similarity_topk,
+        q86_similarity_ann_lsh,
+    )
+
+    exact5 = q65_similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann5 = q86_similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact5.join(ann5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    vecs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id")
+    )
+    return vecs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+    )
+
+
+@register(
+    "q183_token_budget_mixture",
+    # data-mixture sampling: per-source token budgets proportional to
+    # mixture weights (integer arithmetic), filled in deterministic
+    # hash-shuffled order until the budget is crossed.
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    weights AS (
+        SELECT source, 1 + (CAST(substr(source, 4) AS INT) % 3) AS w
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tot AS (SELECT sum(w) AS tot_w FROM weights),
+    budgets AS (
+        SELECT w.source, w.w,
+               CAST((20000 * w.w) // t.tot_w AS BIGINT) AS budget
+        FROM weights w CROSS JOIN tot t
+    ),
+    ordered AS (
+        SELECT c.doc_id, c.source, c.n_tokens,
+               CAST(b.w AS BIGINT) AS weight, b.budget,
+               COALESCE(sum(c.n_tokens) OVER (
+                   PARTITION BY c.source
+                   ORDER BY md5(CAST(c.doc_id AS VARCHAR)), c.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS taken_before
+        FROM counts c JOIN budgets b ON b.source = c.source
+    )
+    SELECT doc_id, source, weight, budget, n_tokens,
+           CAST(taken_before AS BIGINT) AS token_start
+    FROM ordered
+    WHERE taken_before < budget
+    """,
+    survey_ref="north-star corpus shaping: data-mixture sampling — "
+               "per-source token budgets from mixture weights, the step "
+               "that turns per-domain corpora into one pretraining "
+               "stream (extends q126 packing / q144 stratified sample)",
+    doc="Token-budget mixture: each source gets a budget proportional to "
+        "its mixture weight (integer arithmetic — no float shares), then "
+        "fills it in md5-shuffled order (deterministic, re-runnable) "
+        "until the running token count crosses the budget; the last doc "
+        "may overshoot (take-while-below semantics). One window per "
+        "source — bounded state per shard, shards fill independently, "
+        "exactly how a 1000-executor mixture job lays out.",
+)
+def q183_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (1 + F.expr("CAST(substring(source, 4) AS INT) % 3")).alias("w"),
+        )
+    )
+    tot = weights.agg(F.sum("w").alias("tot_w"))
+    budgets = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("w").cast("long").alias("weight"),
+        F.expr("(20000 * w) div tot_w").cast("long").alias("budget"),
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ordered = counts.join(F.broadcast(budgets), "source").withColumn(
+        "taken_before",
+        F.coalesce(
+            F.sum("n_tokens").over(win.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return ordered.filter(F.col("taken_before") < F.col("budget")).select(
+        "doc_id",
+        "source",
+        "weight",
+        "budget",
+        "n_tokens",
+        F.col("taken_before").alias("token_start"),
+    )
+
+
+@register(
+    "q184_leakage_safe_split",
+    # train/valid/test split hashed on the DEDUP GROUP key, not the doc
+    # key: near-duplicates (q110's connected components over LSH pairs)
+    # always land in the same split. Singleton docs use their own id.
+    oracle="WITH RECURSIVE " + _LSH_PAIRS_SQL + f""",
+    sym AS (
+        SELECT doc1 AS a, doc2 AS b FROM lsh_pairs
+        UNION
+        SELECT doc2 AS a, doc1 AS b FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT s.a, r.lab FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT)
+                   AS group_key
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_key,
+           CAST({_md5_long_sql("CAST(group_key AS VARCHAR)")} % 100
+                AS BIGINT) AS split_bucket,
+           CASE
+               WHEN {_md5_long_sql("CAST(group_key AS VARCHAR)")} % 100 < 80
+                   THEN 'train'
+               WHEN {_md5_long_sql("CAST(group_key AS VARCHAR)")} % 100 < 90
+                   THEN 'valid'
+               ELSE 'test'
+           END AS split
+    FROM assigned
+    """,
+    survey_ref="north-star training-data pipeline: leakage-safe "
+               "train/valid/test split — hash the dedup-cluster key, not "
+               "the document key (composes q110 components; structural "
+               "prevention of the contamination q153 removes after the "
+               "fact)",
+    doc="Group-aware 80/10/10 split: documents are bucketed by the md5 of "
+        "their near-dup component id (q110's min-label components over "
+        "MinHash-LSH pairs; singletons key on their own id), so no "
+        "near-duplicate pair can straddle train/test. Deterministic and "
+        "re-runnable; at scale the component map is the (much smaller) "
+        "dedup side-output and the join is a plain equi-shuffle.",
+)
+def q184_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import q110_dedup_clusters
+
+    comp = q110_dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").cast("long").alias("group_key"),
+    )
+    bucket = _md5_long(F.col("group_key").cast("string")) % 100
+    return assigned.select(
+        "doc_id",
+        "group_key",
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
