@@ -94,6 +94,129 @@ def q182_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_multi_candidates_sql(n_planes: int, n_tables: int) -> str:
+    """Per-table LSH bucket CTEs + the unioned candidate-pair set, matching
+    operators/similarity.py's seeding (plane seed = 1000*table + p)."""
+    coeff = (
+        "(CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 15) AS BIGINT) "
+        "/ 1152921504606846976.0 - 0.5)"
+    )
+    ctes = []
+    for t in range(n_tables):
+        projs = ", ".join(
+            "list_sum([v[i] * "
+            + coeff.format(seed=1000 * t + p)
+            + f" FOR i IN range(1, len(v)+1)]) AS proj{p}"
+            for p in range(n_planes)
+        )
+        bucket = " + ".join(
+            f"(CASE WHEN proj{p} > 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        ctes.append(
+            f"""
+    proj_t{t} AS (SELECT vec_id, {projs} FROM vecs),
+    bucketed_t{t} AS (
+        SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM proj_t{t}
+    ),
+    pairs_t{t} AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bucketed_t{t} a JOIN bucketed_t{t} b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )"""
+        )
+    union = " UNION ".join(
+        f"SELECT * FROM pairs_t{t}" for t in range(n_tables)
+    )
+    return ",".join(ctes) + f""",
+    cand AS ({union})"""
+
+
+_ANN_MULTI_PLANES = 6
+_ANN_MULTI_TABLES = 4
+
+
+@register(
+    "q185_ann_multitable_recall",
+    # same harness as q182, but the candidates come from FOUR independent
+    # 6-plane LSH tables (union of per-table bucket joins) — the recall
+    # lever whose payoff this query quantifies.
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, v, sqrt(list_sum([x*x FOR x IN v])) AS nrm FROM vecs
+    ),{_ann_multi_candidates_sql(_ANN_MULTI_PLANES, _ANN_MULTI_TABLES)},
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)])
+               / (a.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN normed a ON a.vec_id = c.query_id
+        JOIN normed b ON b.vec_id = c.neighbor_id
+    ),
+    ann5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ),
+    exact5 AS ({_EXACT5_SQL}),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact5 e
+        JOIN ann5 a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT v.vec_id AS query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / 5.0, 2) AS recall_at_5
+    FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+    """,
+    survey_ref="north-star similarity search: recall@k of the MULTI-table "
+               "LSH index (operators/similarity.py ann_topk) — the scale "
+               "path's recall lever, quantified against the exact "
+               "baseline next to q182's single-table measurement",
+    doc="Multi-table ANN recall@5: candidates sharing a bucket in ANY of "
+        "4 independent 6-plane LSH tables, exact-cosine ranked, "
+        "intersected with the brute-force top-5. Read next to q182: "
+        "more tables -> linearly more candidate-join cost, "
+        "super-linearly better recall — the trade a production index "
+        "tunes. Plan shape per table is the same bucket equi-join "
+        "(shuffle on bucket), unioned and deduped before scoring.",
+)
+def q185_ann_multitable_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.operators.similarity import ann_topk
+    from sciencebeam_parser_spark.queries.text_ops import q65_similarity_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    ann5 = ann_topk(
+        emb, k=5, n_planes=_ANN_MULTI_PLANES, n_tables=_ANN_MULTI_TABLES
+    ).select("query_id", "neighbor_id")
+    exact5 = q65_similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact5.join(ann5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    vecs = emb.select(F.col("vec_id").alias("query_id"))
+    return vecs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+    )
+
+
 @register(
     "q183_token_budget_mixture",
     # data-mixture sampling: per-source token budgets proportional to
