@@ -763,3 +763,106 @@ def q162_streaming_sliding_window(
     )
     q.awaitTermination(300)
     return _finish_memory_sink(spark, name)
+
+
+@register(
+    "q186_retention_cohorts",
+    # weekly retention triangle: cohort = first active week per user,
+    # offset in whole weeks (exact epoch arithmetic on week-truncated
+    # timestamps — no engine-specific week-diff semantics).
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST((CAST(epoch(a.wk) AS BIGINT)
+                 - CAST(epoch(c.cohort_week) AS BIGINT)) // 604800
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="engine-general analytics surface (§2B aggregations + "
+               "windows family): cohort retention — the canonical "
+               "two-level self-aggregation every analytics engine must "
+               "express",
+    doc="Weekly retention cohorts: first-active week per user joined "
+        "back to weekly activity, offsets via exact epoch arithmetic on "
+        "week-truncated timestamps (portable across engines — named "
+        "week-diff functions disagree on boundary semantics). Two "
+        "shuffles (distinct-activity, cohort agg) + one equi-join on "
+        "user_id; at scale both aggregations combine map-side.",
+)
+def q186_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week")
+    )
+    offset = (
+        (
+            F.unix_timestamp("wk") - F.unix_timestamp("cohort_week")
+        )
+        / 604800
+    ).cast("long")
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q187_daily_anomaly_zscore",
+    # volume-anomaly detection: per-day event counts scored against the
+    # corpus-wide mean/stddev (sample), |z| > 2 flags. The z-score is
+    # rounded before the flag comparison so both engines gate on the
+    # same 4-dp value.
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(n) AS mu, stddev_samp(n) AS sigma
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.day, d.event_type, d.n,
+           round((d.n - s.mu) / s.sigma, 4) AS zscore,
+           CASE WHEN abs(round((d.n - s.mu) / s.sigma, 4)) > 2.0
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    """,
+    survey_ref="engine-general analytics/observability (§2B aggregations "
+               "+ scalar math family): volume anomaly detection — the "
+               "pipeline-health check a 100 TB ingest runs on every "
+               "partition",
+    doc="Daily volume z-scores per event type: per-day counts scored "
+        "against the type's mean/sample-stddev, |z| > 2 flagged. The "
+        "stats side is a tiny aggregate (one row per type) broadcast "
+        "back over the daily counts — the global-statistic → broadcast "
+        "→ gate shape shared with q176's percentile cut.",
+)
+def q187_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "day",
+        "event_type",
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
