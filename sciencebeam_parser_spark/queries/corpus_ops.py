@@ -493,3 +493,64 @@ def q129_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_height",
         F.lower(F.hex("resized")).alias("resized_hex"),
     )
+
+
+@register(
+    "q188_rag_chunking",
+    # overlapping RAG chunks: window W=64 tokens, stride S=48 (16-token
+    # overlap). Token p (1-based) belongs to chunk k iff k*S < p <= k*S+W;
+    # k ranges over [max(0, ceil((p-W)/S)), (p-1)//S]. The ceil is stated
+    # as floor-division then clamped, so DuckDB's floor-div and Spark's
+    # trunc-div agree (the only sign-sensitive case clamps to 0 on both).
+    oracle="WITH " + _TOKENS_CTE + """,
+    membership AS (
+        SELECT doc_id, token_seq, token,
+               unnest(range(
+                   greatest(0, (token_seq - 64 + 47) // 48),
+                   ((token_seq - 1) // 48) + 1)) AS chunk_id
+        FROM tokens
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(min(token_seq) AS BIGINT) AS token_start,
+           CAST(max(token_seq) AS BIGINT) AS token_end,
+           string_agg(token, ' ' ORDER BY token_seq) AS text
+    FROM membership
+    GROUP BY doc_id, chunk_id
+    """,
+    survey_ref="north-star corpus shaping: overlapping context-window "
+               "chunking for retrieval (RAG prep) — the overlapped twin "
+               "of q126's disjoint packing",
+    doc="RAG document chunking: 64-token windows at stride 48 (16-token "
+        "overlap, the retrieval-friendly layout). Each token fans out to "
+        "the 1-2 chunks containing it (bounded explode, never a "
+        "self-join), then one groupBy(doc, chunk) assembles ordered "
+        "chunk text with start/end offsets. Map-side explode + single "
+        "shuffle on (doc_id, chunk_id); chunks of different docs are "
+        "independent at any scale.",
+)
+def q188_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    k_min = F.greatest(
+        F.lit(0), F.expr("(token_seq - 64 + 47) div 48")
+    )
+    k_max = F.expr("(token_seq - 1) div 48")
+    member = toks.select(
+        "doc_id",
+        "token_seq",
+        "token",
+        F.explode(F.sequence(k_min, k_max)).alias("chunk_id"),
+    )
+    return member.groupBy(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.min("token_seq").cast("long").alias("token_start"),
+        F.max("token_seq").cast("long").alias("token_end"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("token_seq", "token"))
+            ).token,
+            " ",
+        ).alias("text"),
+    )
