@@ -625,3 +625,71 @@ def q176_perplexity_percentile_gate(
         "threshold",
         (F.col("avg_nll") <= F.col("threshold")).alias("keep"),
     )
+
+
+@register(
+    "q189_corrupt_record_handling",
+    # schema-on-read resilience: a JSON line per doc, every 7th truncated
+    # (unterminated string — unambiguously malformed on any parser).
+    # Spark's PERMISSIVE from_json nulls every field of a malformed row;
+    # DuckDB gates on json_valid. Both reduce to the same (is_valid,
+    # parsed fields) relation.
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id,
+               '{"id": ' || CAST(doc_id AS VARCHAR)
+                   || ', "lang": "' || lang || '"}' AS line
+        FROM documents
+    ),
+    corrupted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN substr(line, 1, len(line) - 5)
+                    ELSE line END AS raw
+        FROM lines
+    )
+    SELECT doc_id,
+           CASE WHEN json_valid(raw) THEN TRUE ELSE FALSE END AS is_valid,
+           CASE WHEN json_valid(raw)
+                THEN CAST(json_extract(raw, '$.id') AS BIGINT) END
+               AS parsed_id,
+           CASE WHEN json_valid(raw)
+                THEN json_extract_string(raw, '$.lang') END AS parsed_lang
+    FROM corrupted
+    """,
+    survey_ref="§2B JSON scalar family + engine-general ingest "
+               "robustness: malformed-record tolerance on schema-on-read "
+               "(the PERMISSIVE-mode contract a 100 TB JSONL ingest "
+               "depends on — bad rows isolate, the job never dies)",
+    doc="Corrupt-record handling: JSONL payloads with every 7th line "
+        "deterministically truncated, parsed via from_json in PERMISSIVE "
+        "mode — malformed rows surface as null-field rows (is_valid "
+        "false) instead of failing the scan, the quarantine-not-crash "
+        "semantics required when reading trillions of crawled lines. "
+        "Pure projection, no shuffle.",
+)
+def q189_corrupt_record_handling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    lined = docs.withColumn("line", line)
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.expr("substring(line, 1, length(line) - 5)"),
+    ).otherwise(F.col("line"))
+    parsed = F.from_json(raw, "id bigint, lang string")
+    return lined.select(
+        "doc_id",
+        (parsed["id"].isNotNull() & parsed["lang"].isNotNull()).alias(
+            "is_valid"
+        ),
+        parsed["id"].alias("parsed_id"),
+        parsed["lang"].alias("parsed_lang"),
+    )
