@@ -285,6 +285,7 @@ def q170_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.queries.events_ops import (
         _events_stream,
         _finish_memory_sink,
+        _start_bounded_stream,
     )
 
     stream = _events_stream(spark, sf_dir)
@@ -299,14 +300,13 @@ def q170_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q170_RUNS
     _Q170_RUNS += 1
     name = f"q170_mem_{_Q170_RUNS}"
-    q = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 
@@ -555,7 +555,10 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q175_streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from sciencebeam_parser_spark.queries.events_ops import _finish_memory_sink
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _finish_memory_sink,
+        _start_bounded_stream,
+    )
 
     ingested = (
         table(spark, sf_dir, "documents")
@@ -573,14 +576,13 @@ def q175_streaming_incremental_dedup(
     global _DOC_STREAM_RUNS
     _DOC_STREAM_RUNS += 1
     name = f"q175_mem_{_DOC_STREAM_RUNS}"
-    q = (
+    writer = (
         fresh.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 

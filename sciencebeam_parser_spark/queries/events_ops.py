@@ -69,6 +69,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _start_bounded_stream(spark, writer, timeout: int = 300,
+                          partitions: int = 8, stop_on_timeout: bool = False):
+    """Start an availableNow streaming writer with a BOUNDED state-store
+    partition count, await termination, restore the session conf.
+
+    The number of streaming state partitions equals
+    spark.sql.shuffle.partitions at plan time, and every partition pays
+    state-store init + per-batch commit. The batch suite wants 32 shuffle
+    partitions; a bounded availableNow run over one file wants few, large
+    state partitions (measured 2-3x per-query wall clock at sf0.1:
+    q179 9.2s -> 3.3s, q134 3.2s -> 1.7s warm). At real scale this knob
+    is sized to key cardinality, not inherited from the batch setting."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = writer.start()
+        if not q.awaitTermination(timeout) and stop_on_timeout:
+            q.stop()
+        return q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @register(
     "q50_tumbling_window",
     oracle="""
@@ -298,14 +321,13 @@ def q134_streaming_tumbling_window(
     global _Q134_RUNS
     _Q134_RUNS += 1
     name = f"q134_mem_{_Q134_RUNS}"
-    q = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 
@@ -339,14 +361,13 @@ def q135_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q135_RUNS
     _Q135_RUNS += 1
     name = f"q135_mem_{_Q135_RUNS}"
-    q = (
+    writer = (
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 
@@ -415,14 +436,13 @@ def q140_streaming_session_window(
     global _Q140_RUNS
     _Q140_RUNS += 1
     name = f"q140_mem_{_Q140_RUNS}"
-    q = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 
@@ -467,15 +487,13 @@ def q141_streaming_stateful_totals(
     global _Q141_RUNS
     _Q141_RUNS += 1
     name = f"q141_mem_{_Q141_RUNS}"
-    q = (
+    writer = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
+    _start_bounded_stream(spark, writer, stop_on_timeout=True)
     return _finish_memory_sink(spark, name).select(
         "key", "n_events", F.round("total_value", 2).alias("total_value")
     )
@@ -754,14 +772,13 @@ def q162_streaming_sliding_window(
     global _Q162_RUNS
     _Q162_RUNS += 1
     name = f"q162_mem_{_Q162_RUNS}"
-    q = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 

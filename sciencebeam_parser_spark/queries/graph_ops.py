@@ -252,6 +252,7 @@ def q179_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.queries.events_ops import (
         _events_stream,
         _finish_memory_sink,
+        _start_bounded_stream,
     )
 
     clicks = (
@@ -295,14 +296,13 @@ def q179_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _Q179_RUNS
     _Q179_RUNS += 1
     name = f"q179_mem_{_Q179_RUNS}"
-    q = (
+    writer = (
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
 
 

@@ -81,7 +81,10 @@ _Q150_RUNS = 0
         "fanout). Result hash-matches the batch oracle.",
 )
 def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sciencebeam_parser_spark.queries.events_ops import _events_stream
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _events_stream,
+        _start_bounded_stream,
+    )
 
     # keyed by batch_id: foreachBatch is at-least-once, so a retried
     # micro-batch must overwrite its previous rows, not append duplicates
@@ -100,14 +103,13 @@ def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     global _Q150_RUNS
     _Q150_RUNS += 1
-    q = (
+    writer = (
         _events_stream(spark, sf_dir)
         .writeStream.foreachBatch(sink_batch)
         .queryName(f"q150_feb_{_Q150_RUNS}")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
+    _start_bounded_stream(spark, writer)
     rows = [r for _, batch in sorted(collected.items()) for r in batch]
     return spark.createDataFrame(
         rows, "event_id long, user_id long, value double"
