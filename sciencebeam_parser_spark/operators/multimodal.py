@@ -306,3 +306,77 @@ def detect_layout_boxes(
     return images.select("doc_id", "page_number", "image").mapInPandas(
         detect, schema=CV_BOXES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms0", T.DoubleType()),
+        T.StructField("rms1", T.DoubleType()),
+        T.StructField("rms2", T.DoubleType()),
+        T.StructField("rms3", T.DoubleType()),
+        T.StructField("n_zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def _fake_pcm(content: bytes) -> list:
+    """32 deterministic PCM samples in [-1, 1): sha256 bytes recentred and
+    divided by 128 (a power of two — every sample is EXACT in binary
+    floating point, so downstream sums/products are engine-portable)."""
+    h = hashlib.sha256(content or b"").digest()
+    return [(b - 128) / 128.0 for b in h[:32]]
+
+
+def extract_audio_features(
+    media: DataFrame,
+    *,
+    use_fake_decoder: bool = False,
+    batch_note: str = "audio codecs not available in this environment",
+) -> DataFrame:
+    """Audio feature stage: binary → windowed RMS energy + zero-crossing
+    count (the classic cheap VAD/energy features).
+
+    Kernel contract mirrors decode_images: the REAL decode (PCM via an
+    audio codec) is a stub that raises at execution time; with
+    ``use_fake_decoder=True`` the PCM comes from the content hash
+    (deterministic, engine-portable). Feature math is the production code
+    either way: 4 windows x 8 samples, rms = sqrt(mean(s^2)) rounded 6dp,
+    zero crossings counted on strict sign changes. mapInPandas batch
+    shape, schema, and column pruning are the real plumbing.
+    """
+    import math
+
+    def features(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    f"real audio decode not implemented: {batch_note}"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                s = _fake_pcm(row["content"])
+                rms = [
+                    round(
+                        math.sqrt(sum(x * x for x in s[w * 8:w * 8 + 8]) / 8),
+                        6,
+                    )
+                    for w in range(4)
+                ]
+                zc = sum(
+                    1 for i in range(len(s) - 1) if s[i] * s[i + 1] < 0
+                )
+                rows.append((row["media_id"], len(s), *rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples",
+                    "rms0", "rms1", "rms2", "rms3",
+                    "n_zero_crossings",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        features, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -554,3 +554,71 @@ def q188_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
+
+
+@register(
+    "q190_audio_features",
+    # fake PCM from the content hash (as q111/q129 for image): 32 samples
+    # (b-128)/128 — exact powers-of-two arithmetic, so window energies and
+    # sign products are bit-identical across engines; the windowed-RMS +
+    # zero-crossing math is the real semantics under test.
+    oracle="""
+    WITH media AS (
+        SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS h
+        FROM documents
+    ),
+    samples AS (
+        SELECT media_id, CAST(i AS INT) AS i,
+               (CAST('0x' || substr(h, CAST(2 * i + 1 AS INT), 2) AS INT)
+                - 128) / 128.0 AS s
+        FROM media, unnest(range(0, 32)) AS t(i)
+    ),
+    winstats AS (
+        SELECT media_id, i // 8 AS w, sum(s * s) AS ss
+        FROM samples GROUP BY media_id, i // 8
+    ),
+    rms AS (
+        SELECT media_id,
+               round(sqrt(max(CASE WHEN w = 0 THEN ss END) / 8), 6) AS rms0,
+               round(sqrt(max(CASE WHEN w = 1 THEN ss END) / 8), 6) AS rms1,
+               round(sqrt(max(CASE WHEN w = 2 THEN ss END) / 8), 6) AS rms2,
+               round(sqrt(max(CASE WHEN w = 3 THEN ss END) / 8), 6) AS rms3
+        FROM winstats GROUP BY media_id
+    ),
+    zc AS (
+        SELECT a.media_id, CAST(count(*) AS INT) AS n_zero_crossings
+        FROM samples a
+        JOIN samples b ON b.media_id = a.media_id AND b.i = a.i + 1
+        WHERE a.s * b.s < 0
+        GROUP BY a.media_id
+    )
+    SELECT r.media_id, CAST(32 AS INT) AS n_samples,
+           r.rms0, r.rms1, r.rms2, r.rms3,
+           CAST(COALESCE(z.n_zero_crossings, 0) AS INT) AS n_zero_crossings
+    FROM rms r LEFT JOIN zc z ON z.media_id = r.media_id
+    """,
+    survey_ref="north-star multimodal columns — audio branch: opaque "
+               "binary -> decode -> windowed energy features (completes "
+               "the image q111/q129 and video q112 family)",
+    doc="Audio feature extraction end-to-end with the deterministic fake "
+        "PCM decoder: 4x8-sample windowed RMS energy + zero-crossing "
+        "count (the classic cheap VAD features), computed in the real "
+        "mapInPandas kernel (operators/multimodal.py "
+        "extract_audio_features; the codec call is the injectable stub, "
+        "the feature math is production). All sample arithmetic is exact "
+        "in binary floating point, so the oracle reproduces it "
+        "bit-for-bit.",
+)
+def q190_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return extract_audio_features(media, use_fake_decoder=True)

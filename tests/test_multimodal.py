@@ -106,3 +106,43 @@ class TestResize:
         from py4j.protocol import Py4JJavaError
         with _pytest.raises(Exception):
             resize_images(media).collect()
+
+
+class TestAudioFeatures:
+    def test_fake_decoder_deterministic_and_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from sciencebeam_parser_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        media = spark.createDataFrame(
+            [("a1", b"hello"), ("a2", b"world"), ("a3", None)],
+            "media_id string, content binary",
+        )
+        rows = {r["media_id"]: r for r in extract_audio_features(
+            media, use_fake_decoder=True
+        ).collect()}
+        assert set(rows) == {"a1", "a2", "a3"}
+        for r in rows.values():
+            assert r["n_samples"] == 32
+            for w in range(4):
+                assert 0.0 <= r[f"rms{w}"] <= 1.0
+            assert 0 <= r["n_zero_crossings"] <= 31
+        again = {r["media_id"]: r for r in extract_audio_features(
+            media, use_fake_decoder=True
+        ).collect()}
+        assert rows == again
+
+    def test_real_path_raises(self, spark):
+        import pytest
+
+        from sciencebeam_parser_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        media = spark.createDataFrame(
+            [("a1", b"x")], "media_id string, content binary"
+        )
+        with pytest.raises(Exception, match="not implemented"):
+            extract_audio_features(media).collect()
