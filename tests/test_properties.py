@@ -265,3 +265,110 @@ class TestSequencePackingProperty:
             for r in rs:  # already ordered by doc_id within source
                 assert r.token_start == expected_start
                 expected_start += r.n_tokens
+
+
+class TestRagChunkingProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=150), min_size=1, max_size=6
+        )
+    )
+    def test_chunks_match_reference_model(self, spark, doc_sizes):
+        """q188's relational chunking must equal the direct sliding-window
+        model: chunk k covers tokens (k*48, k*48+64], chunks exist while
+        k*48 < n."""
+        import sciencebeam_parser_spark.queries.docpipe as docpipe_mod
+        from sciencebeam_parser_spark.queries.corpus_ops import (
+            q188_rag_chunking,
+        )
+
+        rows = [
+            (i, " ".join(f"t{p}" for p in range(1, n + 1)), "en", "s", n)
+            for i, n in enumerate(doc_sizes)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        orig = docpipe_mod.table
+        try:
+            docpipe_mod.table = lambda s, d, n: df  # noqa: ARG005
+            got = {
+                (r.doc_id, r.chunk_id): (
+                    r.n_tokens, r.token_start, r.token_end, r.text
+                )
+                for r in q188_rag_chunking(spark, "u").collect()
+            }
+        finally:
+            docpipe_mod.table = orig
+
+        want = {}
+        for i, n in enumerate(doc_sizes):
+            k = 0
+            while k * 48 < n:
+                lo, hi = k * 48 + 1, min(k * 48 + 64, n)
+                want[(i, k)] = (
+                    hi - lo + 1, lo, hi,
+                    " ".join(f"t{p}" for p in range(lo, hi + 1)),
+                )
+                k += 1
+        assert got == want
+
+
+class TestSnapshotUpsertProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),
+                st.floats(
+                    min_value=0, max_value=1000,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+            min_size=1,
+            max_size=15,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def test_merge_matches_reference_model(self, spark, custs):
+        import sciencebeam_parser_spark.queries.graph_ops as graph_mod
+        from sciencebeam_parser_spark.queries.graph_ops import (
+            q178_snapshot_upsert,
+        )
+
+        rows = [
+            (k, f"c{k}", 0, round(bal, 2), "SEG") for k, bal in custs
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        orig = graph_mod.table
+        try:
+            graph_mod.table = lambda s, d, n: df  # noqa: ARG005
+            got = {
+                r.c_custkey: (r.c_acctbal, r.c_mktsegment, r.row_source)
+                for r in q178_snapshot_upsert(spark, "u").collect()
+            }
+        finally:
+            graph_mod.table = orig
+
+        want = {}
+        for k, bal in custs:
+            bal = round(bal, 2)
+            if k % 10 != 7:
+                want[k] = (round(bal, 2), "SEG", "base")
+            if k % 5 == 0:  # update wins, inserts missing keys
+                want[k] = (round(bal + 100, 2), "UPDATED", "update")
+        assert got == want
