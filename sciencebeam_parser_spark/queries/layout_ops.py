@@ -222,3 +222,62 @@ def q157_asset_zip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "zip_name string, n_entries long, entry_names_md5 string"
     )
+
+
+@register(
+    "q191_schema_evolution_scan",
+    # two ingest generations with drifted schemas (gen 1: doc_id+n_chars;
+    # gen 2: doc_id+lang+source) merged by schema-union read: absent
+    # columns surface as NULL, exactly the UNION the oracle states.
+    oracle="""
+    SELECT doc_id, CAST(1 AS INT) AS gen,
+           n_chars,
+           CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT) AS gen,
+           CAST(NULL AS BIGINT) AS n_chars,
+           lang, source
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    survey_ref="§2B parquet scan, engine-general lake maintenance: "
+               "schema evolution across ingest generations (mergeSchema "
+               "read) — the drift every long-lived 100 TB corpus "
+               "accumulates",
+    doc="Schema-evolution scan: two parquet generations written with "
+        "different column sets (an early ingest without lang/source, a "
+        "later one without n_chars), read back in ONE scan with "
+        "mergeSchema=true — the union schema materializes, absent "
+        "columns are NULL, no rewrite of the old generation. At 100 TB "
+        "this is how a corpus absorbs schema drift without a petabyte "
+        "backfill; the per-file footers still prune columns that "
+        "generation never had. Requires shared storage for the temp "
+        "write (same contract as q149/q151/q174).",
+)
+def q191_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "gen=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "gen=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out_dir)
+        .parquet(out_dir)
+    )
+    return merged.select(
+        "doc_id",
+        F.col("gen").cast("int").alias("gen"),
+        "n_chars",
+        "lang",
+        "source",
+    )
