@@ -622,3 +622,65 @@ def q190_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     return extract_audio_features(media, use_fake_decoder=True)
+
+
+@register(
+    "q192_vocab_growth",
+    # Heaps-law curve: per document (in corpus order), how many tokens
+    # were seen and how many word TYPES were new — first occurrence via
+    # a per-word row_number over global (doc_id, token_seq) order, then
+    # running sums over the per-doc aggregates.
+    oracle="WITH " + _TOKENS_CTE + """,
+    first_occ AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY token ORDER BY doc_id, token_seq) = 1
+                   THEN 1 ELSE 0 END AS is_new
+        FROM tokens
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(is_new) AS BIGINT) AS n_new_types
+        FROM first_occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_new_types,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+           CAST(sum(n_new_types) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_vocab
+    FROM per_doc
+    """,
+    survey_ref="north-star text analysis: corpus vocabulary-growth curve "
+               "(Heaps' law observable) — the statistic that sizes the "
+               "q168 LM table and tokenizer vocab budgets",
+    doc="Vocabulary growth in corpus order: each word type's first "
+        "occurrence found with one per-word window (shuffle on the word "
+        "key — the only big shuffle), aggregated per doc, then two "
+        "running sums over the tiny per-doc relation. The cumulative "
+        "curve is the Heaps-law measurement used to budget tokenizer "
+        "vocab and LM table sizes before a full 100 TB pass.",
+)
+def q192_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    w_first = W.partitionBy("token").orderBy("doc_id", "token_seq")
+    first_occ = toks.withColumn(
+        "is_new",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    per_doc = first_occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("is_new").cast("long").alias("n_new_types"),
+    )
+    w_cum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_new_types",
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum("n_new_types").over(w_cum).cast("long").alias("cum_vocab"),
+    )
