@@ -269,3 +269,37 @@ class TestCurationPlanShapes:
             spark, SF_DIR
         )
         assert df.count() > 0
+
+
+class TestRound4bPlanShapes:
+    def test_mixture_budgets_broadcast(self, spark):
+        # q183's budgets dim (one row per source) must broadcast — the
+        # corpus fact table never shuffles for the budget lookup
+        plan = plan_of(spark, "q183_token_budget_mixture")
+        assert "BroadcastHashJoin" in plan
+
+    def test_rag_chunking_single_shuffle(self, spark):
+        # explode fan-out is map-side; the only Exchange is the final
+        # (doc_id, chunk_id) aggregation
+        plan = plan_of(spark, "q188_rag_chunking")
+        assert plan.count("Exchange") <= 2  # partial+final agg pair
+        assert "CartesianProduct" not in plan
+
+    def test_bpe_pairs_take_ordered(self, spark):
+        plan = plan_of(spark, "q180_bpe_pair_counts")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_anomaly_stats_broadcast(self, spark):
+        # q187's per-type stats (5 rows) broadcast back over daily counts
+        plan = plan_of(spark, "q187_daily_anomaly_zscore")
+        assert "BroadcastHashJoin" in plan
+
+    def test_audio_features_single_python_stage(self, spark):
+        # one mapInPandas stage, no shuffle (map-only multimodal kernel)
+        plan = plan_of(spark, "q190_audio_features")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+
+    def test_corrupt_record_handling_map_only(self, spark):
+        plan = plan_of(spark, "q189_corrupt_record_handling")
+        assert "Exchange" not in plan
