@@ -376,3 +376,235 @@ def q184_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    from sciencebeam_parser_spark.queries.text_ops import _LSH_PAIRS_SQL
+
+    eq = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return "WITH " + _LSH_PAIRS_SQL + f""",
+    est AS (
+        SELECT p.doc1, p.doc2, ({eq}) / 16.0 AS est_j
+        FROM lsh_pairs p
+        JOIN sig a ON a.doc_id = p.doc1
+        JOIN sig b ON b.doc_id = p.doc2
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM sh x
+        JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT e.doc1, e.doc2,
+           round(e.est_j, 4) AS est_jaccard,
+           round(COALESCE(i.c, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(i.c, 0)), 4) AS exact_jaccard,
+           round(abs(e.est_j - COALESCE(i.c, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(i.c, 0))), 4) AS abs_err
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.doc1
+    JOIN sizes sb ON sb.doc_id = e.doc2
+    LEFT JOIN inter i ON i.doc1 = e.doc1 AND i.doc2 = e.doc2
+    """
+
+
+@register(
+    "q193_minhash_accuracy_eval",
+    # the dedup-side twin of q182/q185: per LSH candidate pair, the
+    # 16-component signature-agreement estimate vs the exact shingle-set
+    # Jaccard, with the absolute error — quantifying what the sketch
+    # trades for its one-pass O(doc) cost.
+    oracle=_minhash_accuracy_oracle(),
+    survey_ref="north-star dedup evaluation: MinHash estimator accuracy "
+               "against exact n-gram Jaccard on the LSH candidate set "
+               "(completes the measurement harness family q182/q185)",
+    doc="MinHash accuracy per candidate pair: estimated Jaccard = "
+        "fraction of equal signature components (k=16), exact Jaccard = "
+        "|intersection|/|union| of distinct trigram shingles, plus "
+        "absolute error. Exact intersections are computed ONLY on the "
+        "LSH candidate pairs (inverted-index join), so the evaluation "
+        "itself scales the same way the dedup does — never all-pairs.",
+)
+def q193_minhash_accuracy_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import (
+        _minhash_signature,
+        _shingle_array,
+        q62_dedup_minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sig = _minhash_signature(docs)
+    pairs = q62_dedup_minhash_lsh_pairs(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    eq = sum(
+        (
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(16)
+        ),
+        F.lit(0),
+    )
+    est = (
+        pairs.join(a, F.col("a.doc_id") == F.col("doc1"))
+        .join(b, F.col("b.doc_id") == F.col("doc2"))
+        .select("doc1", "doc2", (eq / 16.0).alias("est_j"))
+    )
+    # distinct shingles, xxhash64-compressed for the narrow shuffle (q63's
+    # trick); intersection counts are representation-independent
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(_shingle_array()), lambda s: F.xxhash64(s)
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc1"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc2"), F.col("n").alias("nb")
+    )
+    exact = (
+        F.coalesce("c", F.lit(0))
+        * 1.0
+        / (F.col("na") + F.col("nb") - F.coalesce("c", F.lit(0)))
+    )
+    return (
+        est.join(sa, "doc1")
+        .join(sb, "doc2")
+        .join(inter, ["doc1", "doc2"], "left")
+        .select(
+            "doc1",
+            "doc2",
+            F.round("est_j", 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_j") - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "q194_url_canonicalize",
+    # Common-Crawl URL canonicalization: synthetic URLs built from the doc
+    # key exercise every rule — lowercase scheme/host, strip default port,
+    # drop fragment, drop utm_* params, strip trailing slash.
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.ORG:443/Path' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS no_frag
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1))
+                   AS scheme,
+               lower(regexp_extract(no_frag, '^[A-Za-z]+://([^/:?]+)', 1))
+                   AS host,
+               regexp_replace(
+                   regexp_extract(no_frag, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+                   '/$', '') AS path,
+               regexp_extract(no_frag, '[?](.*)$', 1) AS query
+        FROM stripped
+    ),
+    cleaned AS (
+        SELECT doc_id, url, scheme, host, path,
+               array_to_string(
+                   list_filter(string_split(query, '&'),
+                               x -> NOT (x LIKE 'utm_%')), '&') AS clean_q
+        FROM parts
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || path
+               || CASE WHEN clean_q <> '' THEN '?' || clean_q ELSE '' END
+               AS canonical_url,
+           host
+    FROM cleaned
+    """,
+    survey_ref="north-star dedup preprocessing: URL canonicalization "
+               "(lowercase scheme/host, default-port strip, fragment "
+               "drop, utm param removal, trailing-slash strip) — the "
+               "normalization Common-Crawl-style exact URL dedup keys on",
+    doc="URL canonicalization as a single codegen'd projection: regexp "
+        "decomposition into scheme/host/path/query, tracking-param "
+        "filter, recomposition. No shuffle — at 100 TB this runs "
+        "map-side ahead of the exact-dedup groupBy keyed on the "
+        "canonical URL (q60 composes downstream).",
+)
+def q194_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ORG:443/Path"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    no_frag = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/:?]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?]+([^?]*)", 1), "/$", ""
+    )
+    query = F.regexp_extract(no_frag, r"[?](.*)$", 1)
+    clean_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    return base.select(
+        "doc_id",
+        "url",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(
+                ""
+            ),
+        ).alias("canonical_url"),
+        host.alias("host"),
+    )
