@@ -1845,9 +1845,19 @@ def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
     )
 
 
-def _structured_ref_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _structured_ref_entities(
+    spark: SparkSession,
+    sf_dir: str,
+    field_expr=None,
+    dash_fields: tuple = (),
+) -> DataFrame:
     """The per-reference citation parse: reference islands, field islands
-    partitioned by the enclosing reference, ref_fields arrays."""
+    partitioned by the enclosing reference, ref_fields arrays.
+
+    ``field_expr`` overrides the token→field-type rule (defaults to the
+    q166 fielding); ``dash_fields`` lists field types whose run text has
+    spaces replaced by '-' (so multi-token runs form parseable page
+    ranges / ISO-ish dates for the imprint mappings)."""
     toks = _tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
     back = toks.withColumn("_n", n).filter(
@@ -1868,15 +1878,16 @@ def _structured_ref_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_toks = grouped.filter(F.col("rs_tag") == "<reference>")
     w_ref = W.partitionBy("doc_id", "rg").orderBy("token_seq")
+    if field_expr is None:
+        field_expr = (
+            F.when(F.col("token").rlike("^[0-9]+$"), "external_identifier")
+            .when(F.col("rn") <= 2, "title")
+            .when(F.length("token") >= 8, "journal")
+            .otherwise("publisher")
+        )
     fielded = ref_toks.withColumn(
         "rn", F.row_number().over(w_ref)
-    ).withColumn(
-        "field_type",
-        F.when(F.col("token").rlike("^[0-9]+$"), "external_identifier")
-        .when(F.col("rn") <= 2, "title")
-        .when(F.length("token") >= 8, "journal")
-        .otherwise("publisher"),
-    )
+    ).withColumn("field_type", field_expr)
     fb = (
         F.lag("field_type").over(w_ref).isNull()
         | (F.col("field_type") != F.lag("field_type").over(w_ref))
@@ -1895,6 +1906,14 @@ def _structured_ref_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
+    if dash_fields:
+        run_rows = run_rows.withColumn(
+            "text",
+            F.when(
+                F.col("field_type").isin(*dash_fields),
+                F.regexp_replace("text", " ", "-"),
+            ).otherwise(F.col("text")),
+        )
     refs = ref_toks.groupBy("doc_id", "rg").agg(
         F.min("token_seq").alias("token_start"),
         F.max("token_seq").alias("token_end"),
@@ -1986,5 +2005,173 @@ def q167_structured_reference_jats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ents = _structured_ref_entities(spark, sf_dir)
+    both = tei_with_jats(entities_to_tei(ents))
+    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+
+
+_IMPRINT_REF_SQL = _TOKENS_CTE + """,
+    base AS (
+        SELECT doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens
+    ),
+    back AS (
+        SELECT doc_id, token_seq, token,
+               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<label>'
+                    ELSE '<reference>' END AS rs_tag
+        FROM base WHERE (token_seq - 1) * 10 >= n * 7
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(rs_tag) OVER w IS NULL
+                         OR rs_tag <> lag(rs_tag) OVER w THEN 1 ELSE 0
+                  END AS b
+        FROM back WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
+    ),
+    grouped AS (
+        SELECT *, sum(b) OVER (
+            PARTITION BY doc_id ORDER BY token_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rg
+        FROM flagged
+    ),
+    ref_toks AS (
+        SELECT doc_id, rg, token_seq, token,
+               row_number() OVER (
+                   PARTITION BY doc_id, rg ORDER BY token_seq) AS rn
+        FROM grouped WHERE rs_tag = '<reference>'
+    ),
+    fielded AS (
+        SELECT *, CASE WHEN rn <= 2 THEN 'title'
+                       WHEN len(token) >= 8 THEN 'journal'
+                       WHEN CAST(rn % 7 AS INT) IN (3, 4, 5) THEN 'date'
+                       WHEN CAST(rn % 7 AS INT) = 6 THEN 'volume'
+                       WHEN CAST(rn % 7 AS INT) IN (0, 1)
+                           THEN 'page_range'
+                       ELSE 'publisher' END AS field_type
+        FROM ref_toks
+    ),
+    fruns AS (
+        SELECT doc_id, rg, field_type, token_seq,
+               sum(fb) OVER (
+                   PARTITION BY doc_id, rg ORDER BY token_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM (
+            SELECT *, CASE WHEN lag(field_type) OVER w IS NULL
+                             OR field_type <> lag(field_type) OVER w
+                      THEN 1 ELSE 0 END AS fb
+            FROM fielded
+            WINDOW w AS (PARTITION BY doc_id, rg ORDER BY token_seq)
+        )
+    ),
+    runs AS (
+        SELECT doc_id, rg, field_type, run_id,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM fruns GROUP BY 1, 2, 3, 4
+    ),
+    first_date AS (
+        SELECT doc_id, rg, n_toks FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, rg ORDER BY run_id) AS dr
+            FROM runs WHERE field_type = 'date'
+        ) WHERE dr = 1
+    ),
+    per_ref AS (
+        SELECT doc_id, rg,
+               max(CASE WHEN field_type = 'title' THEN 1 ELSE 0 END)
+                   AS has_t,
+               max(CASE WHEN field_type = 'journal' THEN 1 ELSE 0 END)
+                   AS has_j,
+               max(CASE WHEN field_type = 'volume' THEN 1 ELSE 0 END)
+                   AS has_v,
+               max(CASE WHEN field_type = 'page_range' THEN 1 ELSE 0 END)
+                   AS has_p
+        FROM runs GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT p.doc_id,
+               count(*) AS n_ref,
+               sum(p.has_t) AS n_at,
+               sum(p.has_j) AS n_src,
+               sum(p.has_v) AS n_vol,
+               sum(p.has_p) AS n_page,
+               count(fd.n_toks) AS n_year,
+               count(CASE WHEN fd.n_toks >= 2 THEN 1 END) AS n_month,
+               count(CASE WHEN fd.n_toks >= 3 THEN 1 END) AS n_day
+        FROM per_ref p
+        LEFT JOIN first_date fd
+               ON fd.doc_id = p.doc_id AND fd.rg = p.rg
+        GROUP BY 1
+    )
+"""
+
+
+@register(
+    "q195_reference_imprint_jats",
+    # the imprint half of the biblStruct → element-citation stylesheet
+    # mappings (tei-to-jats.xsl:276-335 + parseDateComponents :434-490):
+    # date runs become year/month/day by '-' splitting of @when (month
+    # requires a 2-token first date run, day a 3-token one), volume
+    # biblScopes → volume, page biblScopes → fpage+lpage (both branches
+    # of the stylesheet emit both), stylesheet value-of = first node.
+    oracle="WITH " + _IMPRINT_REF_SQL + """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, element,
+           CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id,
+               unnest(['article', 'front', 'article-meta', 'title-group',
+                       'body', 'back', 'ref-list']) AS element,
+               1 AS n_elements
+        FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'ref', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'element-citation', n_ref FROM agg WHERE n_ref > 0
+        UNION ALL
+        SELECT doc_id, 'article-title', n_at FROM agg WHERE n_at > 0
+        UNION ALL
+        SELECT doc_id, 'source', n_src FROM agg WHERE n_src > 0
+        UNION ALL
+        SELECT doc_id, 'volume', n_vol FROM agg WHERE n_vol > 0
+        UNION ALL
+        SELECT doc_id, 'fpage', n_page FROM agg WHERE n_page > 0
+        UNION ALL
+        SELECT doc_id, 'lpage', n_page FROM agg WHERE n_page > 0
+        UNION ALL
+        SELECT doc_id, 'year', n_year FROM agg WHERE n_year > 0
+        UNION ALL
+        SELECT doc_id, 'month', n_month FROM agg WHERE n_month > 0
+        UNION ALL
+        SELECT doc_id, 'day', n_day FROM agg WHERE n_day > 0
+    )
+    """,
+    survey_ref="§2A A29 TEI→JATS imprint mappings (tei-to-jats.xsl:"
+               "276-335 volume/issue/fpage/lpage/pub-id + "
+               "parseDateComponents :434-490) over the structured "
+               "per-reference citation parse",
+    doc="Structured references with imprint fields through the JATS "
+        "transform: position-cycled fielding yields volume / date / "
+        "page-range runs (dash-joined, so multi-token runs form "
+        "parseable ranges and ISO-ish dates), the TEI sink lands them "
+        "as biblScope/date under monogr/imprint, and the JATS transform "
+        "maps them to volume, fpage+lpage, and year/month/day per the "
+        "stylesheet's '-'-splitting date parser. Element histogram "
+        "matched against the relational prediction of every branch.",
+)
+def q195_reference_imprint_jats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rn = F.col("rn")
+    field_expr = (
+        F.when(rn <= 2, "title")
+        .when(F.length("token") >= 8, "journal")
+        .when((rn % 7).isin(3, 4, 5), "date")
+        .when(rn % 7 == 6, "volume")
+        .when((rn % 7).isin(0, 1), "page_range")
+        .otherwise("publisher")
+    )
+    ents = _structured_ref_entities(
+        spark, sf_dir, field_expr=field_expr,
+        dash_fields=("date", "page_range"),
+    )
     both = tei_with_jats(entities_to_tei(ents))
     return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")

@@ -131,15 +131,47 @@ def tei_to_jats_xml(tei_xml: str) -> str:
             elif tag == "p":
                 ET.SubElement(body_out, "p").text = _all_text(child)
             elif tag == "figure":
+                # tei-to-jats.xsl:160-200: fig gets object-id + label
+                # (head text) + caption{title(head), p(figDesc)} +
+                # graphic[@xlink:href] per tei:graphic (or an empty
+                # <graphic/> — output_empty_figure_graphic defaults
+                # true); table-wrap gets label + caption +
+                # table/tbody/tr/td with the tei:table text
                 is_table = child.get("type") == "table"
                 fig = ET.SubElement(body_out, "table-wrap" if is_table else "fig")
                 xml_id = child.get("{http://www.w3.org/XML/1998/namespace}id")
-                if xml_id:
-                    fig.set("id", xml_id)
+                fig.set("id", xml_id or "")
+                head = child.find(_t("head"))
+                head_text = _all_text(head) if head is not None else ""
+                if not is_table:
+                    ET.SubElement(fig, "object-id").text = xml_id or ""
+                ET.SubElement(fig, "label").text = head_text
+                cap = ET.SubElement(fig, "caption")
+                if head is not None:
+                    ET.SubElement(cap, "title").text = head_text
                 desc = child.find(_t("figDesc"))
-                if desc is not None:
-                    cap = ET.SubElement(fig, "caption")
-                    ET.SubElement(cap, "p").text = _all_text(desc)
+                ET.SubElement(cap, "p").text = (
+                    _all_text(desc) if desc is not None else ""
+                )
+                if is_table:
+                    tbl = child.find(_t("table"))
+                    table_out = ET.SubElement(fig, "table")
+                    tbody = ET.SubElement(table_out, "tbody")
+                    tr = ET.SubElement(tbody, "tr")
+                    ET.SubElement(tr, "td").text = (
+                        _all_text(tbl) if tbl is not None else ""
+                    )
+                else:
+                    graphics = child.findall(_t("graphic"))
+                    for g in graphics:
+                        g_out = ET.SubElement(fig, "graphic")
+                        if g.get("url"):
+                            g_out.set(
+                                "{http://www.w3.org/1999/xlink}href",
+                                g.get("url"),
+                            )
+                    if not graphics:
+                        ET.SubElement(fig, "graphic")
             elif tag == "note":
                 p = ET.SubElement(body_out, "p")
                 p.set("content-type", child.get("type", "note"))
@@ -173,21 +205,67 @@ def tei_to_jats_xml(tei_xml: str) -> str:
             j_title = bibl.find(f"{_t('monogr')}/{_t('title')}[@level='j']")
             if j_title is not None:
                 ET.SubElement(cit, "source").text = _all_text(j_title)
-            pers = bibl.findall(
-                f"{_t('analytic')}/{_t('author')}/{_t('persName')}"
-            )
-            if pers:
-                group = ET.SubElement(cit, "person-group")
-                group.set("person-group-type", "author")
-                for p in pers:
-                    name = ET.SubElement(group, "name")
-                    surname = p.find(_t("surname"))
-                    ET.SubElement(name, "surname").text = (
-                        _all_text(surname) if surname is not None else ""
-                    )
-                    ET.SubElement(name, "given-names").text = " ".join(
-                        _all_text(f) for f in p.findall(_t("forename"))
-                    )
+            # imprint mappings (tei-to-jats.xsl:276-335): published date
+            # @when → year/month/day (parseDateComponents, :434-490 —
+            # split on '-': first part year, second month, remainder
+            # day); biblScope volume/issue → volume/issue; biblScope
+            # page @from/@to → fpage/lpage, text fallback → both
+            imprint = f"{_t('monogr')}/{_t('imprint')}"
+            for d in bibl.findall(f"{imprint}/{_t('date')}"):
+                if d.get("type") != "published":
+                    continue
+                when = d.get("when", "")
+                if "-" in when:
+                    year, rest = when.split("-", 1)
+                    ET.SubElement(cit, "year").text = year
+                    if "-" in rest:
+                        month, day = rest.split("-", 1)
+                        ET.SubElement(cit, "month").text = month
+                        ET.SubElement(cit, "day").text = day
+                    else:
+                        ET.SubElement(cit, "month").text = rest
+                else:
+                    ET.SubElement(cit, "year").text = when
+                break  # the stylesheet reads the (first) published date
+            for unit in ("volume", "issue"):
+                scope = bibl.find(
+                    f"{imprint}/{_t('biblScope')}[@unit='{unit}']"
+                )
+                if scope is not None:
+                    ET.SubElement(cit, unit).text = _all_text(scope)
+            page = bibl.find(f"{imprint}/{_t('biblScope')}[@unit='page']")
+            if page is not None:
+                if page.get("from") or page.get("to"):
+                    if page.get("from"):
+                        ET.SubElement(cit, "fpage").text = page.get("from")
+                    if page.get("to"):
+                        ET.SubElement(cit, "lpage").text = page.get("to")
+                elif page.text:
+                    ET.SubElement(cit, "fpage").text = page.text
+                    ET.SubElement(cit, "lpage").text = page.text
+            doi = bibl.find(f"{_t('monogr')}/{_t('idno')}[@type='doi']")
+            if doi is not None:
+                pub_id = ET.SubElement(cit, "pub-id")
+                pub_id.set("pub-id-type", "doi")
+                pub_id.text = _all_text(doi)
+            # person-group per author container (xsl:305-317: analytic
+            # authors, then monogr authors, each their own group)
+            for container in ("analytic", "monogr"):
+                pers = bibl.findall(
+                    f"{_t(container)}/{_t('author')}/{_t('persName')}"
+                )
+                if pers:
+                    group = ET.SubElement(cit, "person-group")
+                    group.set("person-group-type", "author")
+                    for p in pers:
+                        name = ET.SubElement(group, "name")
+                        surname = p.find(_t("surname"))
+                        ET.SubElement(name, "surname").text = (
+                            _all_text(surname) if surname is not None else ""
+                        )
+                        ET.SubElement(name, "given-names").text = " ".join(
+                            _all_text(f) for f in p.findall(_t("forename"))
+                        )
     return ET.tostring(article, encoding="unicode")
 
 

@@ -86,9 +86,14 @@ def _build_structured_biblstruct(parent: ET.Element, r) -> ET.Element:
     per-reference citation parse. Mapping (SIMPLE_TAG_EXPRESSION /
     PARENT_PATH tables): title → analytic/title[level=a type=main];
     external_identifier → analytic/idno; journal → monogr/title[level=j];
-    publisher → monogr/imprint/publisher."""
+    publisher → monogr/imprint/publisher; volume/issue →
+    monogr/imprint/biblScope[@unit=...] (factories.py:126-127, parent
+    paths :146-147); date → monogr/imprint/date with @type=published on
+    the FIRST date only and @when from the text
+    (tei/references.py:92-104)."""
     bibl = ET.SubElement(parent, f"{{{TEI_NS}}}biblStruct")
     paths: dict = {}
+    is_first_date = True
 
     def get_or_create(path: tuple) -> ET.Element:
         if not path:
@@ -125,6 +130,23 @@ def _build_structured_biblstruct(parent: ET.Element, r) -> ET.Element:
                 f"{{{TEI_NS}}}publisher",
             )
             el.text = text
+        elif ftype in ("volume", "issue"):
+            el = ET.SubElement(
+                get_or_create(("monogr", "imprint")),
+                f"{{{TEI_NS}}}biblScope",
+            )
+            el.set("unit", ftype)
+            el.text = text
+        elif ftype == "date":
+            el = ET.SubElement(
+                get_or_create(("monogr", "imprint")), f"{{{TEI_NS}}}date"
+            )
+            if is_first_date:
+                el.set("type", "published")
+            if text:
+                el.set("when", text)
+            el.text = text
+            is_first_date = False
         elif ftype == "page_range":
             # biblScope[@unit=page] (tei/page_range.py:16-37): from/to
             # attributes when the range parses, plain text otherwise

@@ -236,3 +236,116 @@ class TestJatsStructuredReference:
         assert cit.find("person-group").get("person-group-type") == "author"
         assert name.findtext("surname") == "lopez"
         assert name.findtext("given-names") == "maria"
+
+
+class TestJatsFigureTemplate:
+    """tei-to-jats.xsl:160-200 figure/table templates (label, object-id,
+    caption, graphic xlink, empty-graphic default, table body)."""
+
+    TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+    def _convert(self, body_inner: str) -> str:
+        from sciencebeam_parser_spark.sinks.jats import tei_to_jats_xml
+
+        tei = (
+            f'<TEI xmlns="{self.TEI_NS}"><teiHeader/>'
+            f"<text><body>{body_inner}</body></text></TEI>"
+        )
+        return tei_to_jats_xml(tei)
+
+    def test_fig_full(self):
+        jats = self._convert(
+            '<figure xml:id="fig_0"><head>Figure 1</head>'
+            "<figDesc>A caption</figDesc>"
+            '<graphic url="image1.png"/></figure>'
+        )
+        assert '<fig id="fig_0">' in jats
+        assert "<object-id>fig_0</object-id>" in jats
+        assert "<label>Figure 1</label>" in jats
+        assert "<title>Figure 1</title>" in jats
+        assert "<p>A caption</p>" in jats
+        assert 'href="image1.png"' in jats
+
+    def test_fig_empty_graphic_default(self):
+        # output_empty_figure_graphic defaults 'true': no tei:graphic →
+        # an EMPTY <graphic/> still appears (xsl:172-176)
+        jats = self._convert(
+            '<figure xml:id="fig_1"><figDesc>d</figDesc></figure>'
+        )
+        assert "<graphic />" in jats or "<graphic/>" in jats
+
+    def test_table_wrap(self):
+        jats = self._convert(
+            '<figure type="table" xml:id="tab_0"><head>Table 1</head>'
+            "<figDesc>desc</figDesc><table>1 2 3</table></figure>"
+        )
+        assert '<table-wrap id="tab_0">' in jats
+        assert "<label>Table 1</label>" in jats
+        assert "<td>1 2 3</td>" in jats
+        # table-wrap has no object-id in the stylesheet
+        assert "object-id" not in jats
+
+
+class TestJatsImprintMappings:
+    TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+    def _convert_ref(self, bibl_inner: str) -> str:
+        from sciencebeam_parser_spark.sinks.jats import tei_to_jats_xml
+
+        tei = (
+            f'<TEI xmlns="{self.TEI_NS}"><teiHeader/>'
+            "<text><body/><back><div><listBibl>"
+            f'<biblStruct xml:id="b0">{bibl_inner}</biblStruct>'
+            "</listBibl></div></back></text></TEI>"
+        )
+        return tei_to_jats_xml(tei)
+
+    def test_date_year_month_day(self):
+        jats = self._convert_ref(
+            "<monogr><imprint>"
+            '<date type="published" when="2001-02-03"/>'
+            "</imprint></monogr>"
+        )
+        assert "<year>2001</year>" in jats
+        assert "<month>02</month>" in jats
+        assert "<day>03</day>" in jats
+
+    def test_date_year_only_and_year_month(self):
+        assert "<year>2001</year>" in self._convert_ref(
+            '<monogr><imprint><date type="published" when="2001"/>'
+            "</imprint></monogr>"
+        )
+        jats = self._convert_ref(
+            '<monogr><imprint><date type="published" when="2001-02"/>'
+            "</imprint></monogr>"
+        )
+        assert "<month>02</month>" in jats and "<day>" not in jats
+
+    def test_non_published_date_skipped(self):
+        jats = self._convert_ref(
+            '<monogr><imprint><date when="1999"/></imprint></monogr>'
+        )
+        assert "<year>" not in jats
+
+    def test_volume_pages_from_to_and_fallback(self):
+        jats = self._convert_ref(
+            "<monogr><imprint>"
+            '<biblScope unit="volume">7</biblScope>'
+            '<biblScope unit="page" from="321" to="324"/>'
+            "</imprint></monogr>"
+        )
+        assert "<volume>7</volume>" in jats
+        assert "<fpage>321</fpage>" in jats and "<lpage>324</lpage>" in jats
+        fallback = self._convert_ref(
+            "<monogr><imprint>"
+            '<biblScope unit="page">55</biblScope>'
+            "</imprint></monogr>"
+        )
+        assert "<fpage>55</fpage>" in fallback
+        assert "<lpage>55</lpage>" in fallback
+
+    def test_monogr_doi_pub_id(self):
+        jats = self._convert_ref(
+            '<monogr><idno type="doi">10.1/x</idno></monogr>'
+        )
+        assert '<pub-id pub-id-type="doi">10.1/x</pub-id>' in jats
