@@ -2175,3 +2175,116 @@ def q195_reference_imprint_jats(
     )
     both = tei_with_jats(entities_to_tei(ents))
     return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+
+
+@register(
+    "q196_back_sections_jats",
+    # acknowledgement/annex back sections end-to-end: the 70-80% token
+    # span becomes an acknowledgement section (heading = first 2 tokens,
+    # paragraph = rest), 80-90% an annex section; TEI lands them as
+    # back/div[@type=...]/div{head,p} (tei_document.py:133-141) and the
+    # JATS back template maps ack child divs to ack/sec and annex child
+    # divs to plain back secs (tei-to-jats.xsl:209-240 defaults,
+    # expectations pinned by the reference's own XSLT tests
+    # tei_to_jats_xslt_test.py TestBack).
+    oracle="WITH " + _TOKENS_CTE + """,
+    base AS (
+        SELECT doc_id, token_seq,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens
+    ),
+    spans AS (
+        SELECT doc_id, token_seq,
+               CASE WHEN (token_seq - 1) * 10 >= n * 7
+                     AND (token_seq - 1) * 10 < n * 8
+                    THEN 'acknowledgement'
+                    WHEN (token_seq - 1) * 10 >= n * 8
+                     AND (token_seq - 1) * 10 < n * 9
+                    THEN 'annex' END AS region
+        FROM base
+    ),
+    reg AS (
+        SELECT doc_id, region, CAST(count(*) AS BIGINT) AS n_toks
+        FROM spans WHERE region IS NOT NULL GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               max(CASE WHEN region = 'acknowledgement' THEN 1 ELSE 0 END)
+                   AS has_ack,
+               max(CASE WHEN region = 'annex' THEN 1 ELSE 0 END)
+                   AS has_annex,
+               max(CASE WHEN region = 'acknowledgement' AND n_toks > 2
+                        THEN 1 ELSE 0 END) AS ack_p,
+               max(CASE WHEN region = 'annex' AND n_toks > 2
+                        THEN 1 ELSE 0 END) AS annex_p
+        FROM reg GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, element,
+           CAST(n_elements AS BIGINT) AS n_elements
+    FROM (
+        SELECT doc_id,
+               unnest(['article', 'front', 'article-meta', 'title-group',
+                       'body', 'back']) AS element,
+               1 AS n_elements
+        FROM agg WHERE has_ack + has_annex > 0
+        UNION ALL
+        SELECT doc_id, 'ack', has_ack FROM agg WHERE has_ack > 0
+        UNION ALL
+        SELECT doc_id, 'sec', has_ack + has_annex FROM agg
+        WHERE has_ack + has_annex > 0
+        UNION ALL
+        SELECT doc_id, 'title', has_ack + has_annex FROM agg
+        WHERE has_ack + has_annex > 0
+        UNION ALL
+        SELECT doc_id, 'p', ack_p + annex_p FROM agg
+        WHERE ack_p + annex_p > 0
+    )
+    """,
+    survey_ref="§2A A29 back sections (tei_document.py:133-141 "
+               "acknowledgement/annex routing; tei-to-jats.xsl:209-240 "
+               "back template with default ack/annex targets); A28 "
+               "extract_acknowledgements/extract_back_sections gates",
+    doc="Acknowledgement and annex sections through both sinks: typed "
+        "back divs with nested section divs in TEI (the GROBID shape "
+        "the stylesheet expects), ack/sec and back/sec in JATS per the "
+        "default acknowledgement_target/annex_target params. Element "
+        "histogram matched against the span-arithmetic prediction.",
+)
+def q196_back_sections_jats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    pos = (F.col("token_seq") - 1) * 10
+    spans = toks.withColumn("_n", n).withColumn(
+        "region",
+        F.when((pos >= F.col("_n") * 7) & (pos < F.col("_n") * 8),
+               "acknowledgement")
+        .when((pos >= F.col("_n") * 8) & (pos < F.col("_n") * 9), "annex"),
+    ).filter(F.col("region").isNotNull())
+    w_span = W.partitionBy("doc_id", "region").orderBy("token_seq")
+    parts = spans.withColumn(
+        "entity_type",
+        F.when(F.row_number().over(w_span) <= 2, "heading").otherwise(
+            "paragraph"
+        ),
+    )
+    ents = parts.groupBy("doc_id", "region", "entity_type").agg(
+        F.min("token_seq").alias("token_start"),
+        F.max("token_seq").alias("token_end"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_seq", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text"),
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "entity_type",
+        "region",
+        "token_start",
+        "token_end",
+        "text",
+        F.lit(None).cast("string").alias("content_id"),
+    )
+    both = tei_with_jats(entities_to_tei(ents))
+    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")

@@ -178,6 +178,35 @@ def tei_to_jats_xml(tei_xml: str) -> str:
                 p.text = _all_text(child)
 
     back_out = ET.SubElement(article, "back")
+    # back template (tei-to-jats.xsl:209-240, default params
+    # acknowledgement_target='ack', annex_target='back'):
+    # div[@type=acknowledgement]'s child divs → ack/sec{title,p};
+    # div[@type=annex]'s child divs → sec directly in back
+    tei_back = tei.find(f"{_t('text')}/{_t('back')}")
+
+    def _sec_from_div(parent: ET.Element, div: ET.Element) -> None:
+        sec = ET.SubElement(parent, "sec")
+        head = div.find(_t("head"))
+        if head is not None:
+            ET.SubElement(sec, "title").text = _all_text(head)
+        for p in div.findall(_t("p")):
+            ET.SubElement(sec, "p").text = _all_text(p)
+
+    if tei_back is not None:
+        ack_divs = [
+            d for d in tei_back.findall(_t("div"))
+            if d.get("type") == "acknowledgement"
+        ]
+        if any(d.findall(_t("div")) for d in ack_divs):
+            ack = ET.SubElement(back_out, "ack")
+            for outer in ack_divs:
+                for div in outer.findall(_t("div")):
+                    _sec_from_div(ack, div)
+        for outer in tei_back.findall(_t("div")):
+            if outer.get("type") != "annex":
+                continue
+            for div in outer.findall(_t("div")):
+                _sec_from_div(back_out, div)
     for list_bibl in tei.iter(_t("listBibl")):
         ref_list = ET.SubElement(back_out, "ref-list")
         ref_list.set("id", "ref-list-1")

@@ -201,6 +201,21 @@ def _build_tei(entities: pd.DataFrame) -> str:
     back = ET.SubElement(text_el, f"{{{TEI_NS}}}back")
     ref_div = None
     current_div = None
+    # back sections (tei_document.py:133-141 + tei/document.py:122-129):
+    # acknowledgement sections land under back/div[@type=acknowledgement],
+    # everything else annex-like under back/div[@type=annex]; each heading
+    # opens a nested div (the GROBID-compatible shape the tei-to-jats
+    # stylesheet's back template expects: typed outer div > section divs)
+    back_typed_div: dict = {}
+    back_current_div: dict = {}
+
+    def get_back_typed_div(region: str) -> ET.Element:
+        if region not in back_typed_div:
+            d = ET.SubElement(back, f"{{{TEI_NS}}}div")
+            d.set("type", region)
+            back_typed_div[region] = d
+        return back_typed_div[region]
+
     last_formula = None  # open formula for a following equation_label
     analytic = None  # sourceDesc/biblStruct/analytic, created on demand
     # (marker_text → affiliations) per tei_document.py:68-75; the mock
@@ -256,12 +271,27 @@ def _build_tei(entities: pd.DataFrame) -> str:
                 else r.text
             )
         elif etype == "heading":
+            if region in ("acknowledgement", "annex"):
+                outer = get_back_typed_div(region)
+                sec = ET.SubElement(outer, f"{{{TEI_NS}}}div")
+                back_current_div[region] = sec
+                ET.SubElement(sec, f"{{{TEI_NS}}}head").text = r.text
+                continue
             current_div = ET.SubElement(body, f"{{{TEI_NS}}}div")
             head = ET.SubElement(current_div, f"{{{TEI_NS}}}head")
             if "section_label" in entities.columns and r.section_label:
                 head.set("n", r.section_label)
             head.text = r.text
         elif etype == "paragraph":
+            if region in ("acknowledgement", "annex"):
+                sec = back_current_div.get(region)
+                if sec is None:
+                    sec = ET.SubElement(
+                        get_back_typed_div(region), f"{{{TEI_NS}}}div"
+                    )
+                    back_current_div[region] = sec
+                ET.SubElement(sec, f"{{{TEI_NS}}}p").text = r.text
+                continue
             parent = current_div if current_div is not None else body
             p = ET.SubElement(parent, f"{{{TEI_NS}}}p")
             runs = getattr(r, "style_runs", None)
