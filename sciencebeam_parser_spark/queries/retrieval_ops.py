@@ -1,0 +1,463 @@
+"""Retrieval & linkage operators: BM25 keyword search, blocked record
+linkage (entity resolution), triangle counting, and perceptual-hash
+image dedup.
+
+These extend the similarity/dedup family (text_ops) with the remaining
+search-shaped workloads a 100 TB corpus platform runs:
+
+* BM25 — the lexical-retrieval baseline every RAG/eval pipeline scores
+  against; expressed as pure aggregates + one broadcast stats row, so the
+  corpus scan is one map-side pass.
+* Record linkage — dedup across *structured* records (vs text near-dup):
+  blocking keys bound the candidate quadratic, features (edit distance,
+  attribute agreement) score each candidate pair, a threshold decides —
+  the Fellegi-Sunter shape with deterministic integer weights.
+* Triangle counting — the standard graph-shape statistic next to
+  PageRank/components (graph_ops); oriented edge-edge join, never
+  all-triples.
+* aHash dedup — near-duplicate *images* via 64-bit average-hash
+  signatures, band-bucketed so candidate generation is an equi-join
+  (the MinHash-LSH pattern transplanted to hamming space).
+
+All arithmetic is integer or structurally-pinned double (shared expression
+text between Spark and the DuckDB oracle), per the repo's hash discipline.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.queries.text_ops import _words, _WORDS_SQL
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "join")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B75 = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_term_sql(t: str) -> str:
+    """Per-term BM25 score with every float literal CAST to DOUBLE (bare
+    decimal literals parse as DECIMAL in both engines, whose arithmetic
+    is not IEEE); identical text feeds Spark's F.expr and the oracle, so
+    the doubles match bit-for-bit."""
+    return (
+        f"ln(1 + (n_docs - df_{t} + CAST(0.5 AS DOUBLE))"
+        f" / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * (tf_{t} * CAST(2.2 AS DOUBLE))"
+        f" / (tf_{t} + {_BM25_K1} * (CAST(0.25 AS DOUBLE)"
+        f" + {_BM25_B75} * dl * n_docs / CAST(total_dl AS DOUBLE)))"
+    )
+
+
+_BM25_SCORE_SQL = " + ".join(f"({_bm25_term_sql(t)})" for t in _BM25_TERMS)
+
+
+@register(
+    "q197_bm25_topk",
+    oracle=f"""
+    WITH wd AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len([x FOR x IN w IF x = '{t}']) AS BIGINT)"
+                   f" AS tf_{t}" for t in _BM25_TERMS
+               )}
+        FROM wd
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total_dl,
+               {", ".join(
+                   f"CAST(count(CASE WHEN tf_{t} > 0 THEN 1 END) AS BIGINT)"
+                   f" AS df_{t}" for t in _BM25_TERMS
+               )}
+        FROM tf
+    ),
+    scored AS (
+        SELECT doc_id, dl, tf_dup, tf_vector, tf_join,
+               round({_BM25_SCORE_SQL}, 4) AS score
+        FROM tf CROSS JOIN stats
+    )
+    SELECT doc_id, dl, tf_dup, tf_vector, tf_join, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+    """,
+    survey_ref="north-star retrieval: BM25 lexical search over the corpus "
+               "(the RAG/eval baseline next to q65 dense top-k and q188 "
+               "chunking) — §2B aggregations + broadcast join",
+    doc="BM25 top-10 for a 3-term query (k1=1.2, b=0.75): term "
+        "frequencies and doc length are one map-side projection; N, "
+        "avgdl and per-term document frequencies are ONE broadcast stats "
+        "row (no second corpus shuffle); the score is a shared-text "
+        "double expression so both engines produce identical bits. At "
+        "100 TB this is scan + broadcast + TakeOrdered — no all-pairs, "
+        "no inverted index needed until the query *count* grows, at "
+        "which point the tf relation IS the posting-list build.",
+)
+def q197_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = _words("text")
+    def _count_eq(term: str):
+        # one-arg lambda per term (a default-arg two-arg lambda would make
+        # F.filter pass the element index as the second argument)
+        return F.size(F.filter(F.col("w"), lambda x: x == term))
+
+    tf_cols = [
+        _count_eq(t).cast("long").alias(f"tf_{t}") for t in _BM25_TERMS
+    ]
+    tf = docs.select(F.col("doc_id"), w.alias("w")).select(
+        "doc_id", F.size("w").cast("long").alias("dl"), *tf_cols
+    )
+    stats = tf.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).cast("long").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        F.round(F.expr(_BM25_SCORE_SQL), 4).alias("score"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (no global sort);
+    # row_number then runs on the 10 surviving rows only
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked record linkage (entity resolution)
+# --------------------------------------------------------------------------
+
+@register(
+    "q201_record_linkage",
+    oracle="""
+    WITH rec AS (
+        SELECT p_partkey, p_name, p_brand, p_size,
+               string_split(p_name, ' ')[2] AS blk_noun
+        FROM part
+    ),
+    cand AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS name_dist,
+               (a.p_brand = b.p_brand) AS brand_match
+        FROM rec a JOIN rec b
+          ON b.blk_noun = a.blk_noun AND b.p_size = a.p_size
+         AND b.p_partkey > a.p_partkey
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(name_dist AS BIGINT) AS name_dist, brand_match,
+           CAST(CASE WHEN brand_match THEN 4 ELSE 0 END
+                + CASE WHEN name_dist <= 3 THEN 3
+                       WHEN name_dist <= 5 THEN 1 ELSE 0 END
+                AS BIGINT) AS score
+    FROM cand
+    WHERE (CASE WHEN brand_match THEN 4 ELSE 0 END
+           + CASE WHEN name_dist <= 3 THEN 3
+                  WHEN name_dist <= 5 THEN 1 ELSE 0 END) >= 5
+    """,
+    survey_ref="north-star structured dedup: record linkage with blocking "
+               "+ feature scoring (Fellegi-Sunter shape, deterministic "
+               "integer weights) — §2B self-join + levenshtein",
+    doc="Entity resolution over part records: blocking on (noun, size) "
+        "bounds the candidate join (never all-pairs — the same inverted-"
+        "index discipline as MinHash-LSH), then each candidate pair is "
+        "scored on edit distance and brand agreement with integer "
+        "weights; threshold picks the linked pairs. Block sizes stay "
+        "O(parts/blocks) at any scale, and skewed blocks fall to AQE "
+        "skew-join handling.",
+)
+def q201_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    rec = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.split("p_name", " ")[1].alias("blk_noun"),
+    )
+    a = rec.alias("a")
+    b = rec.alias("b")
+    cand = a.join(
+        b,
+        (F.col("b.blk_noun") == F.col("a.blk_noun"))
+        & (F.col("b.p_size") == F.col("a.p_size"))
+        & (F.col("b.p_partkey") > F.col("a.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        .cast("long")
+        .alias("name_dist"),
+        (F.col("a.p_brand") == F.col("b.p_brand")).alias("brand_match"),
+    )
+    score = (
+        F.when(F.col("brand_match"), 4).otherwise(0)
+        + F.when(F.col("name_dist") <= 3, 3)
+        .when(F.col("name_dist") <= 5, 1)
+        .otherwise(0)
+    ).cast("long")
+    return cand.withColumn("score", score).filter(F.col("score") >= 5)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting
+# --------------------------------------------------------------------------
+
+_TRI_STRIDE = 97
+
+_TRI_EDGES_SQL = f"""
+    stats AS (SELECT count(*) AS n FROM documents),
+    directed AS (
+        SELECT d.doc_id AS src,
+               (d.doc_id + k.k * {_TRI_STRIDE}) % s.n AS dst
+        FROM documents d
+        CROSS JOIN stats s
+        CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3) k
+        WHERE (d.doc_id + k.k * {_TRI_STRIDE}) % s.n <> d.doc_id
+    ),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM directed
+    )
+"""
+
+
+@register(
+    "q202_triangle_count",
+    oracle="WITH " + _TRI_EDGES_SQL + """,
+    tri AS (
+        SELECT count(*) AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY v
+    ),
+    triads AS (SELECT sum(d * (d - 1) / 2) AS n_open FROM deg)
+    SELECT (SELECT CAST(n AS BIGINT) FROM stats) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+           round(3.0 * (SELECT n_tri FROM tri)
+                 / (SELECT n_open FROM triads), 6) AS transitivity
+    """,
+    survey_ref="engine-general graph statistic beside q177 PageRank and "
+               "q110 components: triangle count / transitivity over the "
+               "same deterministic citation graph — §2B self-joins",
+    doc="Triangle counting on the synthetic citation graph (same "
+        "stride-97 edges as q177): edges canonicalized a<b, then the "
+        "oriented edge-edge-edge join counts each triangle exactly once "
+        "— the compact-forward algorithm whose join fan-out is bounded "
+        "by max degree, never all-triples. Transitivity = 3T / open "
+        "triads from the degree relation. At scale the edge relation "
+        "partitions on the join key and the heaviest nodes fall to AQE "
+        "skew handling.",
+)
+def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.agg(F.count("*").alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    directed = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.col("k") * _TRI_STRIDE) % F.col("n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = directed.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    triads = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_open")
+    )
+    n_nodes = stats.select(F.col("n").cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    out = (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(tri.select(F.col("n_tri").cast("long").alias("n_triangles")))
+        .crossJoin(triads)
+    )
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_open"), 6
+        ).alias("transitivity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup
+# --------------------------------------------------------------------------
+
+_AHASH_HAMMING_MAX = 4
+
+# byte-histogram aHash restated in SQL: per character position, bucket =
+# ord % 64 (documents.text is ASCII, so bytes == chars); bit i = parity
+# of bucket i's count (calibrated on this corpus: planted near-dups sit
+# at hamming <= 4, random pairs median 13 — mean-threshold bits
+# degenerate to all-pairs when payloads share a global distribution);
+# four 16-bit bands for overflow-free XOR.
+_AHASH_SIG_SQL = """
+    media AS (
+        SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, text
+        FROM documents
+    ),
+    bytes AS (
+        SELECT media_id,
+               ord(substr(text, CAST(i AS INT) + 1, 1)) % 64 AS bkt
+        FROM media, unnest(range(0, len(text))) AS t(i)
+    ),
+    totals AS (
+        SELECT media_id, CAST(count(*) AS BIGINT) AS total
+        FROM bytes GROUP BY media_id
+    ),
+    hist AS (
+        SELECT media_id, bkt, CAST(count(*) AS BIGINT) AS n
+        FROM bytes GROUP BY media_id, bkt
+    ),
+    bits AS (
+        SELECT t.media_id, g.i AS bit_i,
+               CAST(COALESCE(h.n, 0) % 2 AS INT) AS bit
+        FROM totals t
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        LEFT JOIN hist h ON h.media_id = t.media_id AND h.bkt = g.i
+    ),
+    bands AS (
+        SELECT media_id, CAST(bit_i // 16 AS INT) AS band_idx,
+               CAST(sum(bit << (bit_i % 16)) AS BIGINT) AS band_val
+        FROM bits GROUP BY media_id, bit_i // 16
+    )
+"""
+
+
+@register(
+    "q206_image_ahash_dedup",
+    oracle="WITH " + _AHASH_SIG_SQL + f""",
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+         AND b.media_id > a.media_id
+    ),
+    sig AS (
+        SELECT media_id,
+               max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig x ON x.media_id = c.id_a
+    JOIN sig y ON y.media_id = c.id_b
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {_AHASH_HAMMING_MAX}
+    """,
+    survey_ref="north-star multimodal dedup: perceptual-hash near-dup "
+               "over a binary media column (aHash signature from the "
+               "operators/multimodal.py kernel, LSH-banded hamming join "
+               "— MinHash-LSH transplanted to bit space)",
+    doc="Image near-dedup via average-hash: the mapInPandas kernel "
+        "(ahash_images) signs each binary payload with 64 bits packed "
+        "as four 16-bit bands; candidate pairs come from an equi-join "
+        "on (band_idx, band_val) — any intact band buckets the pair, "
+        "never an all-pairs scan — and survive iff XOR popcount across "
+        "bands stays under the hamming threshold. The production "
+        "kernel swaps byte histograms for decoded-pixel 8x8 averages; "
+        "plumbing, banding, and verification are identical.",
+)
+def q206_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.multimodal import ahash_images
+
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    sig = ahash_images(media).select(
+        "media_id",
+        *[F.col("bands")[j].alias(f"b{j}") for j in range(4)],
+    )
+    bands = None
+    for j in range(4):
+        part = sig.select(
+            "media_id",
+            F.lit(j).alias("band_idx"),
+            F.col(f"b{j}").alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.band_idx") == F.col("a.band_idx"))
+            & (F.col("b.band_val") == F.col("a.band_val"))
+            & (F.col("b.media_id") > F.col("a.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    x = sig.alias("x")
+    y = sig.alias("y")
+    hamming = sum(
+        F.bit_count(F.expr(f"x.b{j} ^ y.b{j}")) for j in range(4)
+    ).cast("long")
+    return (
+        cand.join(x, cand.id_a == F.col("x.media_id"))
+        .join(y, cand.id_b == F.col("y.media_id"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+    )

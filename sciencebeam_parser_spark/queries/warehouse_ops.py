@@ -1,0 +1,576 @@
+"""Warehouse/layout operators: mergeable distinct sketches, bloom-filter
+join pruning, SCD2 dimension history, column profiling, data-quality
+checks, and Z-order clustering keys.
+
+These round out the engine surface a 100 TB deployment leans on between
+queries: cardinality estimation without a shuffle-heavy distinct
+(HyperLogLog registers merge with ``max`` — the partial-aggregate shape),
+semi-join pruning that ships a few KB of bloom bits instead of the dim
+table, slowly-changing-dimension snapshots, table profiling / constraint
+audits that guard every ingest, and multi-dimensional clustering keys that
+make min/max file skipping work for two-column predicates.
+
+Everything is md5/bit-arithmetic deterministic so the DuckDB oracles
+reproduce results bit-for-bit (the repo-wide hash discipline,
+text_ops._md5_long).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+
+# --------------------------------------------------------------------------
+# HyperLogLog (m=64, md5-derived hash) — deterministic, engine-portable
+# --------------------------------------------------------------------------
+
+# 60-bit md5 hash of the key; low 6 bits pick the register, the remaining
+# 54 bits feed the leading-zero rank. rho = 55 - len(bin(rest)) because
+# floor(log2(rest)) = len(bin(rest)) - 1; rest = 0 means all 54 bits are
+# zero -> rho = 55.
+_HLL_RHO_SQL = (
+    "CASE WHEN rest = 0 THEN 55 "
+    "ELSE 55 - length(bin(rest)) END"
+)
+
+# Registers fold into an integer-scaled harmonic sum: 2^(-r) scaled by
+# 2^55 keeps every term an exact BIGINT (max 64 * 2^55 = 2^61), so the
+# only float op is the final division — bit-identical on any IEEE engine.
+# alpha_64 = 0.709 (the standard constant for m=64); small-range
+# correction E <= 2.5m with empty registers switches to linear counting.
+# literals: 0.709 is CAST to DOUBLE explicitly (Spark and DuckDB both
+# parse bare decimal literals as DECIMAL, whose arithmetic differs);
+# 2^55 is written in e-notation so neither engine sees a DECIMAL(18).
+_HLL_RAW_SQL = (
+    "(CAST(0.709 AS DOUBLE) * 4096 * 3.6028797018963968e16 / intsum)"
+)
+_HLL_EST_SQL = (
+    f"CASE WHEN {_HLL_RAW_SQL} <= 160 AND zeros > 0 "
+    "THEN 64 * ln(64 / CAST(zeros AS DOUBLE)) "
+    f"ELSE {_HLL_RAW_SQL} END"
+)
+
+
+@register(
+    "q198_hll_distinct_sketch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, user_id FROM events
+        UNION ALL
+        SELECT '__all__' AS event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM tagged
+    ),
+    split AS (
+        SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM hashed
+    ),
+    regs AS (
+        SELECT event_type, bucket, max({_HLL_RHO_SQL}) AS r
+        FROM split GROUP BY event_type, bucket
+    ),
+    folded AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets_used,
+               sum(1::BIGINT << (55 - r))
+                   + (64 - count(*)) * (1::BIGINT << 55) AS intsum,
+               64 - count(*) AS zeros
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        FROM tagged GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_buckets_used,
+           round({_HLL_EST_SQL}, 3) AS estimate,
+           e.exact
+    FROM folded f JOIN exact e ON e.event_type = f.event_type
+    """,
+    survey_ref="north-star corpus statistics: mergeable distinct sketch "
+               "(HyperLogLog; complements the KMV sketch q115) — §2B "
+               "approx_count_distinct row, restated deterministically",
+    doc="Deterministic HyperLogLog (m=64, md5 hash): per-event-type "
+        "registers plus a merged '__all__' row proving register "
+        "mergeability (max over buckets == sketch of the union — the "
+        "partial-aggregate shape that makes distinct counts one map-side "
+        "pass at 100 TB). Integer-scaled harmonic sum keeps the fold "
+        "exact; the only float ops are one division and the linear-"
+        "counting branch, identical on any IEEE engine.",
+)
+def q198_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select("event_type", "user_id").unionByName(
+        ev.select(F.lit("__all__").alias("event_type"), "user_id")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    split = tagged.select(
+        "event_type", (h % 64).alias("bucket"), (h / 64).cast("long").alias("rest")
+    )
+    regs = split.groupBy("event_type", "bucket").agg(
+        F.max(F.expr(_HLL_RHO_SQL)).alias("r")
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets_used"),
+        (
+            F.sum(F.expr("CAST(1 AS BIGINT) << (55 - r)"))
+            + (64 - F.count("*")) * F.lit(1 << 55)
+        ).cast("long").alias("intsum"),
+        (64 - F.count("*")).cast("long").alias("zeros"),
+    )
+    exact = tagged.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_buckets_used",
+            F.round(F.expr(_HLL_EST_SQL), 3).alias("estimate"),
+            "exact",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_pos(key, i: int):
+    """Hash position i of a key in the m-bit filter (md5-derived)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{i}' || ':' || CAST({expr} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "q199_bloom_join_prune",
+    oracle=f"""
+    WITH dim AS (
+        SELECT s_suppkey AS k FROM supplier WHERE s_acctbal >= 8000
+    ),
+    bloom AS (
+        SELECT DISTINCT pos FROM (
+            SELECT {_bloom_pos_sql('k', 0)} AS pos FROM dim
+            UNION ALL SELECT {_bloom_pos_sql('k', 1)} FROM dim
+            UNION ALL SELECT {_bloom_pos_sql('k', 2)} FROM dim
+        )
+    ),
+    fact AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    probes AS (
+        SELECT k, {_bloom_pos_sql('k', 0)} AS pos FROM fact
+        UNION ALL SELECT k, {_bloom_pos_sql('k', 1)} FROM fact
+        UNION ALL SELECT k, {_bloom_pos_sql('k', 2)} FROM fact
+    ),
+    cand AS (
+        SELECT p.k
+        FROM probes p JOIN bloom b ON b.pos = p.pos
+        GROUP BY p.k HAVING count(*) = {_BLOOM_K}
+    ),
+    truth AS (SELECT k FROM fact WHERE k IN (SELECT k FROM dim))
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+        (SELECT CAST(count(*) AS BIGINT) FROM bloom) AS n_bits_set,
+        (SELECT CAST(count(*) AS BIGINT) FROM fact) AS n_fact_keys,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_match,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) -
+            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos
+    """,
+    survey_ref="§2B joins (semi-join pruning) — runtime-filter form: the "
+               "engine ships an {_BLOOM_M}-bit filter, not the dim table "
+               "(Spark's own runtime bloom pushdown, restated "
+               "deterministically so the oracle can replay it)",
+    doc="Bloom-filter semi-join pruning: k=3 md5-derived bit positions "
+        "per dim key; a fact key survives iff all three bits are set. "
+        "The filter is a few KB regardless of fact size — at 100 TB the "
+        "bits broadcast to every executor and prune the scan before the "
+        "shuffle, while the true semi-join runs only on the surviving "
+        "candidates. Reports candidate/true/false-positive counts; the "
+        "false positives ARE the sketch's documented error, verified "
+        "exactly by the oracle.",
+)
+def q199_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    dim = sup.filter(F.col("s_acctbal") >= 8000).select(
+        F.col("s_suppkey").alias("k")
+    )
+    bloom = None
+    for i in range(_BLOOM_K):
+        part = dim.select(_bloom_pos(F.col("k"), i).alias("pos"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    bloom = bloom.distinct()
+    fact = li.select(F.col("l_suppkey").alias("k")).distinct()
+    probes = None
+    for i in range(_BLOOM_K):
+        part = fact.select("k", _bloom_pos(F.col("k"), i).alias("pos"))
+        probes = part if probes is None else probes.unionByName(part)
+    cand = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("k")
+    )
+    truth = fact.join(F.broadcast(dim), "k", "left_semi")
+    counts = [
+        dim.agg(F.count("*").cast("long").alias("n_dim_keys")),
+        bloom.agg(F.count("*").cast("long").alias("n_bits_set")),
+        fact.agg(F.count("*").cast("long").alias("n_fact_keys")),
+        cand.agg(F.count("*").cast("long").alias("n_candidates")),
+        truth.agg(F.count("*").cast("long").alias("n_true_match")),
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    return row.withColumn(
+        "n_false_pos", (F.col("n_candidates") - F.col("n_true_match")).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension history
+# --------------------------------------------------------------------------
+
+@register(
+    "q200_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM ordered
+        WHERE prev_p IS NULL OR o_orderpriority <> prev_p
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w AS effective_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_ref="§2B windows (lag/lead) — SCD Type-2 dimension build, the "
+               "standard warehouse snapshot-to-history operator",
+    doc="Slowly-changing-dimension (Type 2) history from an event-ordered "
+        "fact: change detection via lag, validity intervals via lead, "
+        "version numbers and a current flag — two windows over one "
+        "shuffle on the dimension key. Partitioned by customer, so "
+        "history builds are embarrassingly parallel at any scale.",
+)
+def q200_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+    changes = ordered.filter(
+        F.col("prev_p").isNull()
+        | (F.col("o_orderpriority") != F.col("prev_p"))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling + data-quality checks
+# --------------------------------------------------------------------------
+
+@register(
+    "q203_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(min(CAST(o_orderkey AS DOUBLE)), 4) AS min_num,
+           round(max(CAST(o_orderkey AS DOUBLE)), 4) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(CAST(o_custkey AS DOUBLE)), 4),
+           round(max(CAST(o_custkey AS DOUBLE)), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           round(CAST(min(length(o_orderstatus)) AS DOUBLE), 4),
+           round(CAST(max(length(o_orderstatus)) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           round(CAST(min(length(o_orderpriority)) AS DOUBLE), 4),
+           round(CAST(max(length(o_orderpriority)) AS DOUBLE), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           round(CAST(epoch(o_orderdate_min) AS DOUBLE), 4),
+           round(CAST(epoch(o_orderdate_max) AS DOUBLE), 4)
+    FROM (SELECT *, min(o_orderdate) OVER () AS o_orderdate_min,
+                    max(o_orderdate) OVER () AS o_orderdate_max
+          FROM orders)
+    GROUP BY o_orderdate_min, o_orderdate_max
+    """,
+    survey_ref="engine-general table profiling (the describe/ANALYZE "
+               "surface a warehouse runs before planning; feeds CBO "
+               "statistics) — §2B aggregations",
+    doc="Column profiler over `orders`: one row per column with row/null/"
+        "distinct counts and numeric min/max (strings profile their "
+        "lengths, timestamps their epoch range). One pass per column "
+        "group, all map-side partial aggregates — the statistics "
+        "collection that drives join reordering and file skipping.",
+)
+def q203_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax_num, n_rows_alias="n_rows"):
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_nulls"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.round(minmax_num[0], 4).alias("min_num"),
+            F.round(minmax_num[1], 4).alias("max_num"),
+        )
+
+    num = lambda c: (  # noqa: E731
+        F.min(F.col(c).cast("double")),
+        F.max(F.col(c).cast("double")),
+    )
+    strlen = lambda c: (  # noqa: E731
+        F.min(F.length(c)).cast("double"),
+        F.max(F.length(c)).cast("double"),
+    )
+    ts = lambda c: (  # noqa: E731
+        F.min(F.unix_timestamp(c)).cast("double"),
+        F.max(F.unix_timestamp(c)).cast("double"),
+    )
+    parts = [
+        prof("o_orderkey", num("o_orderkey")),
+        prof("o_custkey", num("o_custkey")),
+        prof("o_totalprice", num("o_totalprice")),
+        prof("o_orderstatus", strlen("o_orderstatus")),
+        prof("o_orderpriority", strlen("o_orderpriority")),
+        prof("o_orderdate", ts("o_orderdate")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q204_dq_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orders' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_customers',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_negative_price',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_totalprice < 0
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST(count(*) AS BIGINT)
+    FROM events WHERE user_id IS NULL
+    """,
+    survey_ref="engine-general data-quality constraint audit (referential "
+               "integrity / pk uniqueness / value ranges — the checks "
+               "every ingest gate runs) — §2B anti-join + aggregations",
+    doc="Constraint audit: referential integrity via anti-joins (orphan "
+        "lineitems/orders), primary-key uniqueness via grouped counts, "
+        "value-range and null checks as pure filters. One row per check "
+        "with its violation count — anti-joins broadcast the key side "
+        "when small, and every check is map-parallel at 100 TB.",
+)
+def q204_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def row(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    orphan_ord = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n"))
+    )
+    neg_price = orders.filter(F.col("o_totalprice") < 0).agg(
+        F.count("*").alias("n")
+    )
+    qty_range = li.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(F.count("*").alias("n"))
+    null_user = ev.filter(F.col("user_id").isNull()).agg(
+        F.count("*").alias("n")
+    )
+    parts = [
+        row("lineitem_orphan_orders", orphan_li),
+        row("orders_orphan_customers", orphan_ord),
+        row("orders_duplicate_pk", dup_pk),
+        row("orders_negative_price", neg_price),
+        row("lineitem_qty_range", qty_range),
+        row("events_null_user", null_user),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering keys
+# --------------------------------------------------------------------------
+
+def _spread_bits_sql(col: str) -> str:
+    """Morton spread of a 16-bit value onto even bit positions (the
+    magic-number interleave; identical text feeds Spark and DuckDB)."""
+    e = f"({col} & 65535)"
+    e = f"(({e} | ({e} << 8)) & 16711935)"
+    e = f"(({e} | ({e} << 4)) & 252645135)"
+    e = f"(({e} | ({e} << 2)) & 858993459)"
+    e = f"(({e} | ({e} << 1)) & 1431655765)"
+    return e
+
+
+_ZVAL_SQL = (
+    f"({_spread_bits_sql('xb')} | ({_spread_bits_sql('yb')} << 1))"
+)
+
+
+@register(
+    "q205_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               o_custkey & 65535 AS xb,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) & 65535 AS yb
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, xb, yb, {_ZVAL_SQL} AS zval FROM keyed
+    ),
+    filed AS (
+        SELECT *, ntile(16) OVER (ORDER BY zval, o_orderkey) AS file_id
+        FROM z
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(xb) AS BIGINT) AS min_cust,
+           CAST(max(xb) AS BIGINT) AS max_cust,
+           CAST(min(yb) AS BIGINT) AS min_day,
+           CAST(max(yb) AS BIGINT) AS max_day,
+           CAST(min(zval) AS BIGINT) AS min_z,
+           CAST(max(zval) AS BIGINT) AS max_z
+    FROM filed GROUP BY file_id
+    """,
+    survey_ref="engine-general multi-dimensional clustering (Z-order / "
+               "Morton keys for min-max file skipping on two-column "
+               "predicates) — §2B sorts + scalar math",
+    doc="Z-order clustering: interleave the bits of (custkey, order-day) "
+        "into a Morton key via the magic-number spread (pure bitwise "
+        "codegen, no UDF), range-bucket rows into 16 'files', and report "
+        "per-file min/max of both dimensions — the skipping statistics. "
+        "Z-clustered files have narrow ranges in BOTH columns, so a "
+        "predicate on either prunes files; at scale the ntile becomes "
+        "repartitionByRange(zval) and the stats land in the parquet "
+        "footer for free.",
+)
+def q205_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.expr("o_custkey & 65535").alias("xb"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535"
+        ).alias("yb"),
+    )
+    z = keyed.withColumn("zval", F.expr(_ZVAL_SQL))
+    filed = z.withColumn(
+        "file_id", F.ntile(16).over(W.orderBy("zval", "o_orderkey"))
+    )
+    return filed.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("xb").cast("long").alias("min_cust"),
+        F.max("xb").cast("long").alias("max_cust"),
+        F.min("yb").cast("long").alias("min_day"),
+        F.max("yb").cast("long").alias("max_day"),
+        F.min("zval").cast("long").alias("min_z"),
+        F.max("zval").cast("long").alias("max_z"),
+    )

@@ -1,0 +1,230 @@
+"""Unit tests for the warehouse/layout and retrieval operator families
+(warehouse_ops.py, retrieval_ops.py): HLL register math, bloom-filter
+membership semantics, SCD2 interval construction, Z-order interleaving,
+BM25 score math, record-linkage blocking, triangle counting on a known
+graph, and parity-aHash banding.
+
+Constructed-fixture style (no testdata dependency) per the repo's test
+strategy.
+"""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestHllMath:
+    def test_rho_matches_python(self, spark):
+        # rho = leading zeros of the 54-bit field + 1
+        from sciencebeam_parser_spark.queries.warehouse_ops import _HLL_RHO_SQL
+
+        rows = spark.createDataFrame(
+            [(0,), (1,), (2,), (3,), (2**53,), (2**54 - 1,)], "rest long"
+        ).select(F.expr(_HLL_RHO_SQL).alias("rho"), "rest").collect()
+        for r in rows:
+            if r.rest == 0:
+                assert r.rho == 55
+            else:
+                assert r.rho == 54 - (r.rest.bit_length() - 1)
+
+    def test_estimate_small_range_branch(self, spark):
+        # all 64 registers empty but some rows: zeros>0 and raw small ->
+        # linear counting 64*ln(64/zeros)
+        from sciencebeam_parser_spark.queries.warehouse_ops import _HLL_EST_SQL
+
+        df = spark.createDataFrame(
+            [(63 * (1 << 55) + (1 << 54), 63)], "intsum long, zeros long"
+        )
+        est = df.select(F.expr(_HLL_EST_SQL).alias("e")).collect()[0].e
+        assert est == pytest.approx(64 * math.log(64 / 63), rel=1e-12)
+
+    def test_register_merge_is_union_sketch(self, spark):
+        # sketch(A) merged with sketch(B) via max == sketch(A u B)
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q198_hll_distinct_sketch,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        ev = spark.createDataFrame(
+            [("a", i) for i in range(40)] + [("b", i) for i in range(20, 60)],
+            "event_type string, user_id long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: ev  # noqa: ARG005
+            out = {
+                r.event_type: r
+                for r in q198_hll_distinct_sketch(spark, "unused").collect()
+            }
+        finally:
+            mod.table = orig
+        assert out["__all__"].exact == 60
+        # the merged estimate is within HLL's ~1.3/sqrt(64) error band
+        assert abs(out["__all__"].estimate - 60) / 60 < 0.5
+        assert out["a"].exact == 40 and out["b"].exact == 40
+
+
+class TestBloomSemantics:
+    def test_no_false_negatives(self, spark):
+        # every true dim key must be a candidate (bloom property)
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q199_bloom_join_prune,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        sup = spark.createDataFrame(
+            [(i, f"s{i}", 0, 9000.0 if i % 3 == 0 else 10.0) for i in range(30)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+        li = spark.createDataFrame(
+            [(1, 1, i, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for i in range(30)],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: {"supplier": sup, "lineitem": li}[n]  # noqa: ARG005
+            row = q199_bloom_join_prune(spark, "unused").collect()[0]
+        finally:
+            mod.table = orig
+        assert row.n_true_match == 10
+        assert row.n_candidates >= row.n_true_match  # no false negatives
+        assert row.n_false_pos == row.n_candidates - row.n_true_match
+
+
+class TestScd2:
+    def test_intervals_chain(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q200_scd2_history,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+        from datetime import datetime
+
+        d = datetime
+        orders = spark.createDataFrame(
+            [
+                (1, 7, "O", 1.0, d(2024, 1, 1), "1-URGENT"),
+                (2, 7, "O", 1.0, d(2024, 2, 1), "1-URGENT"),  # no change
+                (3, 7, "O", 1.0, d(2024, 3, 1), "3-MEDIUM"),  # change
+                (4, 7, "O", 1.0, d(2024, 4, 1), "1-URGENT"),  # change back
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d_, n: orders  # noqa: ARG005
+            rows = sorted(
+                q200_scd2_history(spark, "unused").collect(),
+                key=lambda r: r.version,
+            )
+        finally:
+            mod.table = orig
+        assert [r.priority for r in rows] == ["1-URGENT", "3-MEDIUM", "1-URGENT"]
+        # intervals chain: effective_to of v equals effective_from of v+1
+        assert rows[0].effective_to == rows[1].effective_from
+        assert rows[1].effective_to == rows[2].effective_from
+        assert rows[2].is_current and rows[2].effective_to is None
+
+
+class TestZorder:
+    def test_interleave_known_values(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import _ZVAL_SQL
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (65535, 65535), (5, 3)], "xb long, yb long"
+        )
+        rows = {
+            (r.xb, r.yb): r.z
+            for r in df.select("xb", "yb", F.expr(_ZVAL_SQL).alias("z")).collect()
+        }
+
+        def morton(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        for (x, y), z in rows.items():
+            assert z == morton(x, y)
+
+
+class TestBm25:
+    def test_score_matches_reference_formula(self, spark):
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            _BM25_SCORE_SQL,
+        )
+
+        # one doc, hand-computed BM25 (k1=1.2, b=0.75)
+        df = spark.createDataFrame(
+            [(2, 0, 1, 100, 10, 3, 7, 1000)],
+            "tf_dup long, tf_vector long, tf_join long, n_docs long,"
+            " df_dup long, df_vector long, df_join long, total_dl long",
+        ).withColumn("dl", F.lit(12).cast("long"))
+        got = df.select(F.expr(_BM25_SCORE_SQL).alias("s")).collect()[0].s
+
+        def term(tf, df_, n=100, dl=12, avgdl=10.0):
+            idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+            return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+        want = term(2, 10) + term(0, 3) + term(1, 7)
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        # K4 has 4 triangles, 6 edges, transitivity 1.0
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q202_triangle_count,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+
+        # stride-97 on 4 nodes: dst = (v + k*97) % 4 for k=1..3 ->
+        # offsets 1,2,3 -> complete graph K4
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "s", 1) for i in range(4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: docs  # noqa: ARG005
+            row = q202_triangle_count(spark, "unused").collect()[0]
+        finally:
+            mod.table = orig
+        assert row.n_nodes == 4 and row.n_edges == 6
+        assert row.n_triangles == 4
+        assert row.transitivity == pytest.approx(1.0)
+
+
+class TestAhash:
+    def test_parity_bits_and_bands(self, spark):
+        from sciencebeam_parser_spark.operators.multimodal import ahash_images
+
+        media = spark.createDataFrame(
+            [("a", bytes([0, 0, 1])), ("b", bytes([0, 0, 1])), ("c", bytes([5]))],
+            "media_id string, content binary",
+        )
+        rows = {r.media_id: r for r in ahash_images(media).collect()}
+        # byte 0 appears twice (even -> bit 0 clear), byte 1 once -> bit 1
+        assert rows["a"].bands == [2, 0, 0, 0]
+        assert rows["a"].bands == rows["b"].bands  # identical payloads
+        assert rows["c"].bands == [32, 0, 0, 0]  # bit 5
+        assert rows["a"].n_bytes == 3
+
+    def test_single_byte_edit_flips_few_bits(self, spark):
+        from sciencebeam_parser_spark.operators.multimodal import ahash_images
+
+        base = bytes(range(64)) * 3
+        edited = bytes([1]) + base[1:]  # byte 0 -> 1
+        media = spark.createDataFrame(
+            [("x", base), ("y", edited)], "media_id string, content binary"
+        )
+        rows = {r.media_id: r.bands for r in ahash_images(media).collect()}
+        ham = sum(
+            bin(a ^ b).count("1") for a, b in zip(rows["x"], rows["y"])
+        )
+        assert ham == 2  # parities of buckets 0 and 1 flip
