@@ -423,21 +423,35 @@ def q206_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
     )
-    sig = ahash_images(media).select(
-        "media_id",
-        *[F.col("bands")[j].alias(f"b{j}") for j in range(4)],
-    )
-    bands = None
-    for j in range(4):
-        part = sig.select(
+    # localCheckpoint: the signature relation is referenced on both sides
+    # of the band join — without it every reference re-executes the
+    # Python kernel over the full corpus (measured 10 plan copies)
+    sig = (
+        ahash_images(media)
+        .select(
             "media_id",
-            F.lit(j).alias("band_idx"),
-            F.col(f"b{j}").alias("band_val"),
+            *[F.col("bands")[j].alias(f"b{j}") for j in range(4)],
         )
-        bands = part if bands is None else bands.unionByName(part)
+        .localCheckpoint()
+    )
+    # each band row carries the full signature, so ONE equi-join yields
+    # candidate pairs with both sides' bits in hand — no second join
+    bands = sig.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = sum(
+        F.bit_count(F.expr(f"a.b{j} ^ b.b{j}")) for j in range(4)
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("b.band_idx") == F.col("a.band_idx"))
@@ -447,17 +461,8 @@ def q206_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    x = sig.alias("x")
-    y = sig.alias("y")
-    hamming = sum(
-        F.bit_count(F.expr(f"x.b{j} ^ y.b{j}")) for j in range(4)
-    ).cast("long")
-    return (
-        cand.join(x, cand.id_a == F.col("x.media_id"))
-        .join(y, cand.id_b == F.col("y.media_id"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
     )

@@ -303,3 +303,62 @@ class TestRound4bPlanShapes:
     def test_corrupt_record_handling_map_only(self, spark):
         plan = plan_of(spark, "q189_corrupt_record_handling")
         assert "Exchange" not in plan
+
+
+class TestRound4cPlanShapes:
+    def test_bm25_stats_broadcast_and_topk(self, spark):
+        # corpus stats are ONE broadcast row; top-10 compiles to
+        # TakeOrderedAndProject (no global sort of scores)
+        plan = plan_of(spark, "q197_bm25_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bloom_prune_broadcasts_the_bits(self, spark):
+        # both the bit-set join and the truth semi-join broadcast the
+        # tiny side — the fact relation never shuffles
+        plan = plan_of(spark, "q199_bloom_join_prune")
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_scd2_single_shuffle(self, spark):
+        # both windows share the (custkey) partitioning — one Exchange
+        plan = plan_of(spark, "q200_scd2_history")
+        assert plan.count("Exchange") == 1
+
+    def test_record_linkage_is_equi_join(self, spark):
+        # blocking keys make the candidate join a hash/merge equi-join,
+        # never a cartesian scan of all part pairs
+        plan = plan_of(spark, "q201_record_linkage")
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+
+    def test_triangle_joins_are_equi(self, spark):
+        # the edge-edge joins must be hash joins (the 1-row stats / 3-row
+        # k crossJoins legitimately plan as bounded broadcast nested loops)
+        plan = plan_of(spark, "q202_triangle_count")
+        assert "CartesianProduct" not in plan
+        assert plan.count("ShuffledHashJoin") + plan.count(
+            "SortMergeJoin"
+        ) + plan.count("BroadcastHashJoin") >= 2
+
+    def test_ahash_dedup_single_kernel_execution(self, spark):
+        # the signature kernel is localCheckpoint'ed: the band self-join
+        # must NOT re-execute the Python stage (it appeared 10x before),
+        # and candidate generation is an equi-join, never cartesian
+        plan = plan_of(spark, "q206_image_ahash_dedup")
+        assert "CartesianProduct" not in plan
+        assert plan.count("MapInPandas") == 0  # materialized upstream
+
+    def test_zorder_interleave_is_jvm_side(self, spark):
+        # the Morton spread is pure bitwise arithmetic — no UDF, no
+        # python boundary, and the scan reads only the 3 needed columns
+        plan = plan_of(spark, "q205_zorder_layout")
+        assert "Python" not in plan and "MapInPandas" not in plan
+        scan_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "o_totalprice" not in scan_schema
+
+    def test_hll_registers_are_partial_aggregates(self, spark):
+        # register max per bucket partial-aggregates map-side before the
+        # single shuffle per grouping
+        plan = plan_of(spark, "q198_hll_distinct_sketch")
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
