@@ -417,3 +417,113 @@ def q181_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negs.join(neg_docs, "neg_id").select(
         "anchor_id", "k", "neg_id", "neg_source", "neg_n_chars"
     )
+
+
+_Q210_RUNS = 0
+
+
+@register(
+    "q210_stream_stream_outer_join",
+    # left-outer emission rule: an unmatched click emits null-extended
+    # only once the global watermark (max event time - 1h delay) passes
+    # the end of its match window (click_ts + 30min) — the same
+    # append-mode discipline as q140's session-window oracle. The
+    # availableNow run finalizes state in the trailing no-data batch, so
+    # the rule below is exactly what the stream emits.
+    oracle="""
+    WITH maxts AS (SELECT max(ts) AS m FROM events),
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               c.click_ts, p.purchase_ts
+        FROM clicks c
+        JOIN purchases p
+          ON p.user_id = c.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'
+    )
+    SELECT click_id, purchase_id, user_id, click_ts, purchase_ts
+    FROM matched
+    UNION ALL
+    SELECT c.click_id, NULL AS purchase_id, c.user_id,
+           c.click_ts, NULL AS purchase_ts
+    FROM clicks c CROSS JOIN maxts mx
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.click_id = c.click_id)
+      AND c.click_ts + INTERVAL '30 minutes'
+          < mx.m - INTERVAL '1 hour'
+    """,
+    survey_ref="§2B streaming completion: stream-STREAM left OUTER join "
+               "(q179 covered inner) — null-extended unmatched rows "
+               "under watermark-bounded state eviction",
+    doc="Stream-stream LEFT OUTER join: clicks with no purchase in "
+        "[click, click+30min) emit null-extended — but only after the "
+        "watermark proves no match can still arrive, which is the "
+        "eviction point of the click's join state. The time-range "
+        "condition bounds both state buffers; unmatched rows surface in "
+        "the trailing no-data micro-batch. The oracle applies the exact "
+        "emission rule (match-window end < max event time - delay), so "
+        "stream/batch parity is hash-checked, not assumed.",
+)
+def q210_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _events_stream,
+        _finish_memory_sink,
+        _start_bounded_stream,
+    )
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            p_user_id = c_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts < click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    global _Q210_RUNS
+    _Q210_RUNS += 1
+    name = f"q210_mem_{_Q210_RUNS}"
+    writer = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+    return _finish_memory_sink(spark, name)

@@ -466,3 +466,265 @@ def q206_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_bucket_sql(i: int, expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{i}' || ':' || {expr}), 1, 15)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q209_count_min_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+        SELECT w AS word FROM documents,
+             unnest({_WORDS_SQL}) AS t(w)
+    ),
+    exact AS (SELECT word, CAST(count(*) AS BIGINT) AS exact FROM occ
+              GROUP BY word),
+    top AS (
+        SELECT word, exact FROM exact
+        ORDER BY exact DESC, word LIMIT 15
+    ),
+    cms AS (
+        SELECT i, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS i, {_cms_bucket_sql(i, 'word')} AS bucket"
+                f" FROM occ" for i in range(_CMS_D)
+            )}
+        ) GROUP BY i, bucket
+    ),
+    probes AS (
+        SELECT t.word, t.exact, g.i,
+               CASE g.i
+                   {" ".join(
+                       f"WHEN {i} THEN {_cms_bucket_sql(i, 't.word')}"
+                       for i in range(_CMS_D)
+                   )}
+               END AS bucket
+        FROM top t CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i) g
+    )
+    SELECT p.word, p.exact,
+           CAST(min(c.n) AS BIGINT) AS estimate,
+           CAST(min(c.n) - p.exact AS BIGINT) AS overestimate
+    FROM probes p JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.word, p.exact
+    """,
+    survey_ref="north-star corpus statistics: Count-Min sketch frequency "
+               "estimates for heavy hitters (completes the sketch family "
+               "beside q115 KMV and q198 HLL) — §2B aggregations",
+    doc="Count-Min sketch (d=4 rows x w=512 md5 buckets) over the corpus "
+        "token stream: the sketch is d tiny aggregations that merge by "
+        "addition (one map-side pass at any scale); heavy-hitter "
+        "estimates take the min over rows and can only OVER-estimate — "
+        "the oracle verifies estimate >= exact per word, with the exact "
+        "overestimate accounted. The 15 true top words probe the sketch "
+        "through a broadcast join.",
+)
+def q209_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(_words("text")).alias("word"))
+    exact = occ.groupBy("word").agg(F.count("*").cast("long").alias("exact"))
+    top = exact.orderBy(F.desc("exact"), "word").limit(15)
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cms = None
+    for i in range(_CMS_D):
+        part = occ.select(
+            F.lit(i).alias("i"), bucket(i, F.col("word")).alias("bucket")
+        )
+        cms = part if cms is None else cms.unionByName(part)
+    cms = cms.groupBy("i", "bucket").agg(F.count("*").cast("long").alias("n"))
+    ks = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
+    probes = top.crossJoin(F.broadcast(ks)).withColumn(
+        "bucket",
+        F.when(F.lit(False), F.lit(0)).otherwise(
+            # CASE over i, mirroring the oracle's per-row hash choice
+            F.coalesce(
+                *[
+                    F.when(F.col("i") == i, bucket(i, F.col("word")))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("word", "exact")
+        .agg(F.min("n").cast("long").alias("estimate"))
+        .withColumn(
+            "overestimate", (F.col("estimate") - F.col("exact")).cast("long")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style)
+# --------------------------------------------------------------------------
+
+_SETSIM_NUM = 3  # jaccard threshold tau = 3/5 = 0.6, kept rational so
+_SETSIM_DEN = 5  # prefix lengths and the verify predicate stay integer
+
+
+@register(
+    "q211_setsim_prefix_join",
+    # prefix length |s| - ceil(tau*|s|) + 1 with ceil(3n/5) = (3n+4)//5 —
+    # integer arithmetic, no float knife edges; candidates must share a
+    # PREFIX token (rarest-first global order), which is the tightest
+    # filter that cannot miss a pair at the threshold
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, w AS token
+        FROM documents, unnest({_WORDS_SQL}) AS t(w)
+    ),
+    freq AS (
+        SELECT token, count(*) AS df,
+               row_number() OVER (ORDER BY count(*), token) AS rnk
+        FROM dt GROUP BY token
+    ),
+    sized AS (
+        SELECT d.doc_id, d.token, f.rnk,
+               count(*) OVER (PARTITION BY d.doc_id) AS set_size,
+               row_number() OVER (
+                   PARTITION BY d.doc_id ORDER BY f.rnk) AS pos
+        FROM dt d JOIN freq f ON f.token = d.token
+    ),
+    prefix AS (
+        SELECT doc_id, token, set_size FROM sized
+        WHERE pos <= set_size
+              - (({_SETSIM_NUM} * set_size + {_SETSIM_DEN} - 1)
+                 // {_SETSIM_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b
+        FROM prefix a JOIN prefix b
+          ON b.token = a.token AND b.doc_id > a.doc_id
+    ),
+    overlap AS (
+        SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN dt ta ON ta.doc_id = c.id_a
+        JOIN dt tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b, c.size_a, c.size_b
+    )
+    SELECT id_a, id_b,
+           CAST(size_a AS BIGINT) AS size_a,
+           CAST(size_b AS BIGINT) AS size_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (size_a + size_b - n_shared), 4) AS jaccard
+    FROM overlap
+    WHERE n_shared * {_SETSIM_DEN}
+          >= {_SETSIM_NUM} * (size_a + size_b - n_shared)
+    """,
+    survey_ref="north-star dedup: set-similarity join with prefix "
+               "filtering (PPJoin family) — the exact-threshold "
+               "complement to MinHash-LSH's probabilistic candidates",
+    doc="Exact Jaccard>=0.6 set-similarity join via prefix filtering: "
+        "tokens rank rarest-first globally; each doc indexes only its "
+        "PREFIX (set_size - ceil(tau*set_size) + 1 rarest tokens) — any "
+        "pair at the threshold must share a prefix token, so the "
+        "candidate join touches the small prefix relation, not the full "
+        "inverted index. Verification counts shared tokens only for "
+        "candidates, and the threshold predicate is integer cross-"
+        "multiplication (tau = 3/5). Unlike LSH this misses nothing; "
+        "unlike the naive shared-token join its index is a fraction "
+        "(1 - tau) of the corpus tokens.",
+)
+def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(_words("text")).alias("token")
+    ).distinct()
+    freq = dt.groupBy("token").agg(F.count("*").alias("df"))
+    freq = freq.withColumn(
+        "rnk", F.row_number().over(W.orderBy("df", "token"))
+    ).select("token", "rnk")
+    sized = (
+        dt.join(F.broadcast(freq), "token")
+        .withColumn(
+            "set_size", F.count("*").over(W.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("rnk")),
+        )
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.floor(
+            (_SETSIM_NUM * F.col("set_size") + (_SETSIM_DEN - 1))
+            / _SETSIM_DEN
+        )
+        + 1
+    )
+    prefix = sized.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "token", "set_size"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.token") == F.col("a.token"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .distinct()
+    )
+    ta = dt.alias("ta")
+    tb = dt.alias("tb")
+    overlap = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("tb.token") == F.col("ta.token")),
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    union_size = F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    return (
+        overlap.filter(
+            F.col("n_shared") * _SETSIM_DEN >= _SETSIM_NUM * union_size
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / union_size, 4
+            ).alias("jaccard"),
+        )
+    )

@@ -574,3 +574,123 @@ def q205_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").cast("long").alias("min_z"),
         F.max("zval").cast("long").alias("max_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (change data feed) + incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+@register(
+    "q207_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+        -- price bump is +10 exactly: a multiplicative bump lands on .005
+        -- halves where Spark (BigDecimal HALF_UP) and DuckDB (std::round
+        -- of x*100) disagree; adding an integer never re-rounds
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN round(o_totalprice, 2) + 10
+                    ELSE round(o_totalprice, 2) END AS price
+        FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.price AS old_price, n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON n.k = o.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price
+    """,
+    survey_ref="engine-general change-data-feed: snapshot diff into "
+               "insert/update/delete rows (the Delta/Iceberg CDF shape "
+               "beside q178's MERGE upsert) — §2B full-outer join",
+    doc="Change data feed between two table snapshots: one full-outer "
+        "join on the key classifies every row as insert (new only), "
+        "delete (old only), or update (both, value changed); unchanged "
+        "rows drop out. The join shuffles both snapshots once on the "
+        "key — at 100 TB both sides partition identically, so "
+        "co-located (bucketed) snapshots diff with zero extra Exchange. "
+        "Snapshots are deterministic key-mod slices of orders with a "
+        "price bump on every third key.",
+)
+def q207_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.round("o_totalprice", 2) + 10,
+        )
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("n.k") == F.col("o.k"), "full_outer")
+    return joined.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("o.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.price").alias("old_price"),
+        F.col("n.price").alias("new_price"),
+    )
+
+
+@register(
+    "q208_incremental_agg",
+    # the oracle is the FULL recompute: passing the hash check proves the
+    # base+delta partial-aggregate merge equals recomputation from scratch
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    survey_ref="engine-general incremental view maintenance: merge a "
+               "delta's partial aggregates into a materialized base "
+               "(the algebraic-aggregate contract that makes streaming "
+               "and batch agree) — §2B aggregations",
+    doc="Incremental aggregate maintenance: the events feed splits into "
+        "a materialized base (80%) and a late delta (20%); each side "
+        "aggregates independently and the MERGE is a re-aggregation of "
+        "the two partials (counts add, sums add) — never a rescan of "
+        "the base fact. The oracle recomputes from scratch, so the hash "
+        "match IS the proof that merge == recompute. At 100 TB this is "
+        "the only affordable shape for daily-updated corpus statistics.",
+)
+def q208_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )
+    return merged

@@ -228,3 +228,137 @@ class TestAhash:
             bin(a ^ b).count("1") for a, b in zip(rows["x"], rows["y"])
         )
         assert ham == 2  # parities of buckets 0 and 1 flip
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q207_snapshot_diff,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+        from datetime import datetime
+
+        orders = spark.createDataFrame(
+            [(k, 1, "O", 100.0 + k, datetime(2024, 1, 1), "1-URGENT")
+             for k in range(1, 31)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: orders  # noqa: ARG005
+            rows = q207_snapshot_diff(spark, "unused").collect()
+        finally:
+            mod.table = orig
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.change_type, set()).add(r.o_orderkey)
+        # inserts: %7==0 and %10!=0 -> {7,14,21,28}; deletes: %10==0 and
+        # %7!=0 -> {10,20,30}; updates: in both and %3==0 (excl. 21,30)
+        assert by_type["insert"] == {7, 14, 21, 28}
+        assert by_type["delete"] == {10, 20, 30}
+        assert by_type["update"] == {k for k in range(1, 31)
+                                     if k % 3 == 0 and k % 7 and k % 10}
+        for r in rows:
+            if r.change_type == "update":
+                assert r.new_price == r.old_price + 10
+
+
+class TestIncrementalAgg:
+    def test_merge_equals_recompute(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q208_incremental_agg,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+        from datetime import datetime
+
+        ev = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, i % 24), i % 5, "t", float(i), "{}")
+             for i in range(100)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: ev  # noqa: ARG005
+            merged = {
+                (r.user_id, r.event_type): (r.n_events, r.total_value)
+                for r in q208_incremental_agg(spark, "unused").collect()
+            }
+        finally:
+            mod.table = orig
+        full = {
+            (r.user_id, r.event_type): (r.n, r.tv)
+            for r in ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+            .collect()
+        }
+        assert merged == full
+
+
+class TestCountMin:
+    def test_never_underestimates(self, spark):
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q209_count_min_heavy_hitters,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+
+        docs = spark.createDataFrame(
+            [(i, ("alpha " * 5 + "beta " * 3 + f"w{i} w{i+1}"), "en", "s", 1)
+             for i in range(40)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: docs  # noqa: ARG005
+            rows = q209_count_min_heavy_hitters(spark, "unused").collect()
+        finally:
+            mod.table = orig
+        assert len(rows) == 15
+        top = {r.word: r for r in rows}
+        assert top["alpha"].exact == 200 and top["beta"].exact == 120
+        for r in rows:
+            assert r.estimate >= r.exact  # CMS can only overestimate
+            assert r.overestimate == r.estimate - r.exact
+
+
+class TestSetSimPrefixJoin:
+    def test_complete_vs_bruteforce(self, spark):
+        # prefix filtering must find EVERY pair at the threshold —
+        # compare against brute-force jaccard over all pairs
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q211_setsim_prefix_join,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+        import itertools
+
+        texts = {
+            1: "a b c d e",
+            2: "a b c d f",      # j(1,2)=4/6=0.667 >= 0.6
+            3: "a b c d e",      # j(1,3)=1.0
+            4: "x y z w v",
+            5: "x y z w q u",    # j(4,5)=4/7=0.57 < 0.6
+            6: "m n",
+            7: "m n",            # j=1.0
+        }
+        docs = spark.createDataFrame(
+            [(k, v, "en", "s", len(v)) for k, v in texts.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: docs  # noqa: ARG005
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in q211_setsim_prefix_join(spark, "unused").collect()
+            }
+        finally:
+            mod.table = orig
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 5 >= 3 * union:
+                want[(a, b)] = round(inter / union, 4)
+        assert got == want
