@@ -728,3 +728,156 @@ def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-means (integer arithmetic, unrolled iterations)
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_DIM = 64
+
+_KM_QV_SQL = """
+    qv AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                FOR x IN embedding] AS q
+        FROM embeddings
+    )
+"""
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT vec_id, q, cid FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum([
+                           (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+                           FOR i IN range(1, {_KM_DIM + 1})]), c.cid
+                   ) AS rn
+            FROM qv v CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign: str, out: str) -> str:
+    return f"""
+    {out}_u AS (
+        SELECT cid, CAST(i AS INT) AS i,
+               sum(q[CAST(i AS INT)]) AS s, count(*) AS n
+        FROM {assign}, unnest(range(1, {_KM_DIM + 1})) t(i)
+        GROUP BY cid, i
+    ),
+    {out} AS (
+        SELECT cid,
+               list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY i) AS c
+        FROM {out}_u GROUP BY cid
+    )"""
+
+
+@register(
+    "q212_kmeans_integer",
+    # Lloyd's algorithm, 2 unrolled iterations, k=4, init = the first k
+    # vectors. Coordinates quantize to integers (floor(x*1000)) so every
+    # distance is an exact int64 and every centroid update is
+    # floor(int-sum / count) — one float division per dim whose floor is
+    # engine-identical. Float k-means is NOT restatable (mean order +
+    # iteration compounding); this is, bit for bit.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + ", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < "
+    + str(_KM_K)
+    + "),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + """
+    SELECT a.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(c.csum) AS BIGINT) AS centroid_sum
+    FROM a2 a
+    JOIN (SELECT cid, list_sum(c) AS csum FROM c2 GROUP BY cid, c) c
+      ON c.cid = a.cid
+    GROUP BY a.cid
+    """,
+    survey_ref="engine-general iterative ML: Lloyd's k-means over the "
+               "embedding table (the MLlib-style clustering loop beside "
+               "q177 PageRank and q93 IVF, whose coarse quantizer this "
+               "IS at production scale) — §2B joins + aggregations",
+    doc="Deterministic k-means (k=4, 2 unrolled Lloyd iterations) on "
+        "1e-3-quantized integer coordinates: assignment is a broadcast "
+        "crossJoin against the k-row centroid relation with exact int64 "
+        "distances (min by (dist, cid) — ties resolve to the lowest "
+        "centroid id on any engine); the update re-derives centroids "
+        "from per-(cluster, dim) integer sums. Each iteration is one "
+        "shuffle on the cluster key; centroids stay broadcast-sized at "
+        "any corpus scale. The same loop seeds q93's IVF index.",
+)
+def q212_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint()
+    cent = qv.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    assign = None
+    for _ in range(2):
+        dist = F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            qv.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid")
+        )
+        upd = assign.select(
+            "cid", F.posexplode("q").alias("pos", "val")
+        ).groupBy("cid", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        cent = upd.select(
+            "cid",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("cv"),
+        ).groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st["cv"],
+            ).alias("c")
+        )
+    csum = cent.select(
+        "cid",
+        F.aggregate(
+            "c", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("csum"),
+    )
+    return (
+        assign.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .join(F.broadcast(csum), F.col("cluster_id") == F.col("cid"))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("csum").cast("long").alias("centroid_sum"),
+        )
+    )

@@ -362,3 +362,44 @@ class TestSetSimPrefixJoin:
             if inter * 5 >= 3 * union:
                 want[(a, b)] = round(inter / union, 4)
         assert got == want
+
+
+class TestKmeansInteger:
+    def test_separated_clusters_converge(self, spark):
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q212_kmeans_integer,
+            _KM_DIM,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+
+        # 4 well-separated blobs of 5 vectors each; vec_id 0..3 are one
+        # seed per blob, so Lloyd's must recover the blobs exactly
+        def vec(center, jitter):
+            v = [0.0] * _KM_DIM
+            v[center] = 0.4
+            v[(center + 1) % _KM_DIM] = jitter
+            return v
+
+        rows = []
+        vid = 0
+        for blob in range(4):
+            for j in range(5):
+                rows.append((vid if j == 0 else 100 + blob * 5 + j,
+                             vec(blob * 10, 0.01 * j), blob))
+                if j == 0:
+                    vid += 1
+        emb = spark.createDataFrame(
+            [(i, v, l) for (i, v, l) in rows],
+            "vec_id long, embedding array<float>, label int",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: emb  # noqa: ARG005
+            out = sorted(
+                q212_kmeans_integer(spark, "unused").collect(),
+                key=lambda r: r.cluster_id,
+            )
+        finally:
+            mod.table = orig
+        assert [r.cluster_id for r in out] == [0, 1, 2, 3]
+        assert all(r.n_members == 5 for r in out)
