@@ -694,3 +694,222 @@ def q208_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# Mergeable equi-width histogram sketch + quantile estimation
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 128
+
+# bin index and interpolated quantile share EXACT expression text between
+# engines (the only floats: one subtraction/division pair per row for the
+# bin, one fused interpolation per quantile).
+_HIST_BIN_SQL = (
+    f"least({_HIST_BINS - 1}, CAST(floor((l_extendedprice - lo)"
+    f" / (hi - lo) * {_HIST_BINS}) AS BIGINT))"
+)
+
+
+def _hist_quantile_sql(p: str) -> str:
+    """Interpolated quantile from cumulative bin counts: find the first
+    bin whose cumulative count reaches p*n, then linearly interpolate
+    inside it from the bin's preceding cumulative count."""
+    return (
+        f"lo + (qbin_{p} + (CAST({p} AS DOUBLE) / 100 * n_total"
+        f" - cum_before_{p}) / bin_n_{p}) * ((hi - lo) / {_HIST_BINS})"
+    )
+
+
+@register(
+    "q213_histogram_quantile_sketch",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT l_returnflag, {_HIST_BIN_SQL} AS bin
+        FROM lineitem CROSS JOIN bounds
+    ),
+    partials AS (
+        SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY l_returnflag, bin
+    ),
+    merged AS (
+        SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM partials GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, n,
+               sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               COALESCE(sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+        FROM merged
+    ),
+    picks AS (
+        SELECT
+          {", ".join(
+            f'''min(CASE WHEN c * 100 >= {p} * n_total THEN bin END)
+                  AS qbin_{p},
+              min(CASE WHEN c * 100 >= {p} * n_total THEN cb END)
+                  AS cum_before_{p},
+              min(CASE WHEN c * 100 >= {p} * n_total THEN n END)
+                  AS bin_n_{p}''' for p in (50, 90, 99)
+          )},
+          CAST(count(*) AS BIGINT) AS n_bins_used
+        FROM cum CROSS JOIN bounds
+    )
+    SELECT n_bins_used,
+           (SELECT n_total FROM bounds) AS n_total,
+           {", ".join(
+               f"round({_hist_quantile_sql(str(p))}, 4) AS p{p}_est"
+               for p in (50, 90, 99)
+           )}
+    FROM picks CROSS JOIN bounds
+    """,
+    survey_ref="engine-general ordered-statistic sketch: mergeable "
+               "equi-width histogram with interpolated quantiles (the "
+               "approx-percentile shape beside q47's exact sort-based "
+               "percentiles; completes the sketch family with q115 KMV, "
+               "q198 HLL, q209 CMS)",
+    doc="Histogram quantile sketch: 128 equi-width bins over the global "
+        "[min, max]; per-group partial histograms merge by ADDING bin "
+        "counts (shown by merging the per-returnflag partials into the "
+        "global sketch), then p50/p90/p99 interpolate inside the "
+        "covering bin from cumulative counts. One map-side pass + a "
+        "128-row fold at any scale — the two-pass exact percentile "
+        "needs a sort per group; the sketch needs neither sort nor "
+        "second pass, with error bounded by bin width.",
+)
+def q213_histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_returnflag", F.expr(_HIST_BIN_SQL).alias("bin")
+    )
+    partials = binned.groupBy("l_returnflag", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    merged = partials.groupBy("bin").agg(F.sum("n").cast("long").alias("n"))
+    w = W.orderBy("bin")
+    cum = merged.select(
+        "bin",
+        "n",
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("c"),
+        F.coalesce(
+            F.sum("n").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cb"),
+    )
+    pick_cols = []
+    for p in (50, 90, 99):
+        hit = F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("bin"))
+        pick_cols += [
+            F.min(hit).alias(f"qbin_{p}"),
+            F.min(
+                F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("cb"))
+            ).alias(f"cum_before_{p}"),
+            F.min(
+                F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("n"))
+            ).alias(f"bin_n_{p}"),
+        ]
+    picks = cum.crossJoin(F.broadcast(bounds)).agg(
+        *pick_cols, F.count("*").cast("long").alias("n_bins_used")
+    )
+    out = picks.crossJoin(F.broadcast(bounds))
+    return out.select(
+        "n_bins_used",
+        "n_total",
+        *[
+            F.round(F.expr(_hist_quantile_sql(str(p))), 4).alias(f"p{p}_est")
+            for p in (50, 90, 99)
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup (join-free candidate generation)
+# --------------------------------------------------------------------------
+
+@register(
+    "q214_sorted_neighborhood_dedup",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_name, p_brand,
+               lag(p_partkey, 1) OVER w AS prev1_key,
+               lag(p_name, 1) OVER w AS prev1_name,
+               lag(p_brand, 1) OVER w AS prev1_brand,
+               lag(p_partkey, 2) OVER w AS prev2_key,
+               lag(p_name, 2) OVER w AS prev2_name,
+               lag(p_brand, 2) OVER w AS prev2_brand
+        FROM part
+        WINDOW w AS (ORDER BY p_name, p_partkey)
+    ),
+    cand AS (
+        SELECT prev1_key AS id_a, p_partkey AS id_b,
+               prev1_name AS name_a, p_name AS name_b,
+               levenshtein(prev1_name, p_name) AS name_dist,
+               (prev1_brand = p_brand) AS brand_match
+        FROM ranked WHERE prev1_key IS NOT NULL
+        UNION ALL
+        SELECT prev2_key, p_partkey, prev2_name, p_name,
+               levenshtein(prev2_name, p_name),
+               (prev2_brand = p_brand)
+        FROM ranked WHERE prev2_key IS NOT NULL
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(name_dist AS BIGINT) AS name_dist, brand_match
+    FROM cand
+    WHERE name_dist <= 5 AND brand_match
+    """,
+    survey_ref="north-star structured dedup: sorted-neighborhood method "
+               "— the window-based alternative to q201's blocking "
+               "(candidates from sort adjacency, NO join at all)",
+    doc="Sorted-neighborhood dedup: records sort once on the match key "
+        "(name), and candidates are each row against its 2 sort "
+        "predecessors via lag — a pure window, no join, no blocking "
+        "table. Matches = close edit distance + brand agreement. At "
+        "scale this is repartitionByRange + sortWithinPartitions with "
+        "w-1 boundary rows replicated to the next partition; the "
+        "candidate count is exactly (w-1)*n regardless of skew — the "
+        "property blocking can't guarantee when a block explodes.",
+)
+def q214_sorted_neighborhood_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    w = W.orderBy("p_name", "p_partkey")
+    ranked = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.lag("p_partkey", 1).over(w).alias("prev1_key"),
+        F.lag("p_name", 1).over(w).alias("prev1_name"),
+        F.lag("p_brand", 1).over(w).alias("prev1_brand"),
+        F.lag("p_partkey", 2).over(w).alias("prev2_key"),
+        F.lag("p_name", 2).over(w).alias("prev2_name"),
+        F.lag("p_brand", 2).over(w).alias("prev2_brand"),
+    )
+
+    def side(i: int) -> DataFrame:
+        return ranked.filter(F.col(f"prev{i}_key").isNotNull()).select(
+            F.col(f"prev{i}_key").alias("id_a"),
+            F.col("p_partkey").alias("id_b"),
+            F.col(f"prev{i}_name").alias("name_a"),
+            F.col("p_name").alias("name_b"),
+            F.levenshtein(F.col(f"prev{i}_name"), F.col("p_name"))
+            .cast("long")
+            .alias("name_dist"),
+            (F.col(f"prev{i}_brand") == F.col("p_brand")).alias("brand_match"),
+        )
+
+    cand = side(1).unionByName(side(2))
+    return cand.filter((F.col("name_dist") <= 5) & F.col("brand_match"))

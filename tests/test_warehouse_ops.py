@@ -403,3 +403,64 @@ class TestKmeansInteger:
             mod.table = orig
         assert [r.cluster_id for r in out] == [0, 1, 2, 3]
         assert all(r.n_members == 5 for r in out)
+
+
+class TestHistogramQuantile:
+    def test_uniform_data_quantiles(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q213_histogram_quantile_sketch,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        # l_extendedprice uniform 0..1000 in steps of 1 -> p50 ~ 500,
+        # p90 ~ 900, p99 ~ 990 within one bin width (1000/128 ~ 7.8)
+        li = spark.createDataFrame(
+            [(1, 1, 1, 1, 1.0, float(i), 0.0, 0.0, "N", "O")
+             for i in range(1001)],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: li  # noqa: ARG005
+            row = q213_histogram_quantile_sketch(spark, "unused").collect()[0]
+        finally:
+            mod.table = orig
+        assert row.n_total == 1001
+        binw = 1000 / 128
+        assert abs(row.p50_est - 500) <= binw
+        assert abs(row.p90_est - 900) <= binw
+        assert abs(row.p99_est - 990) <= binw
+
+
+class TestSortedNeighborhood:
+    def test_adjacent_names_match(self, spark):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q214_sorted_neighborhood_dedup,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        part = spark.createDataFrame(
+            [
+                (1, "blue bolt", "B1", "t", 1, 1.0),
+                (2, "blue bolts", "B1", "t", 1, 1.0),      # adjacent, lev 1
+                (3, "blue widgetry", "B1", "t", 1, 1.0),   # lev > 5 to both
+                (4, "red anvil", "B2", "t", 1, 1.0),
+                (5, "red anvil", "B9", "t", 1, 1.0),       # lev 0, brand off
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: part  # noqa: ARG005
+            got = {
+                (r.id_a, r.id_b)
+                for r in q214_sorted_neighborhood_dedup(spark, "unused").collect()
+            }
+        finally:
+            mod.table = orig
+        # (1,2) matches: adjacent in sort, lev 1, same brand.
+        # (4,5) does not: brand differs. (2,3): lev too large.
+        assert got == {(1, 2)}
