@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import register, table
-from sciencebeam_parser_spark.queries.text_ops import _words, _WORDS_SQL
+from sciencebeam_parser_spark.queries.text_ops import (
+    _MINHASH_SH_SQL,
+    _words,
+    _WORDS_SQL,
+)
 
 # --------------------------------------------------------------------------
 # BM25 keyword retrieval
@@ -594,10 +598,9 @@ _SETSIM_DEN = 5  # prefix lengths and the verify predicate stay integer
     # integer arithmetic, no float knife edges; candidates must share a
     # PREFIX token (rarest-first global order), which is the tightest
     # filter that cannot miss a pair at the threshold
-    oracle=f"""
-    WITH dt AS (
-        SELECT DISTINCT doc_id, w AS token
-        FROM documents, unnest({_WORDS_SQL}) AS t(w)
+    oracle="WITH " + _MINHASH_SH_SQL + f""",
+    dt AS (
+        SELECT doc_id, shingle AS token FROM sh
     ),
     freq AS (
         SELECT token, count(*) AS df,
@@ -643,21 +646,26 @@ _SETSIM_DEN = 5  # prefix lengths and the verify predicate stay integer
     survey_ref="north-star dedup: set-similarity join with prefix "
                "filtering (PPJoin family) — the exact-threshold "
                "complement to MinHash-LSH's probabilistic candidates",
-    doc="Exact Jaccard>=0.6 set-similarity join via prefix filtering: "
-        "tokens rank rarest-first globally; each doc indexes only its "
-        "PREFIX (set_size - ceil(tau*set_size) + 1 rarest tokens) — any "
-        "pair at the threshold must share a prefix token, so the "
-        "candidate join touches the small prefix relation, not the full "
-        "inverted index. Verification counts shared tokens only for "
-        "candidates, and the threshold predicate is integer cross-"
-        "multiplication (tau = 3/5). Unlike LSH this misses nothing; "
-        "unlike the naive shared-token join its index is a fraction "
-        "(1 - tau) of the corpus tokens.",
+    doc="Exact Jaccard>=0.6 set-similarity join over 3-gram SHINGLE "
+        "sets via prefix filtering: shingles rank rarest-first globally; "
+        "each doc indexes only its PREFIX (set_size - ceil(tau*set_size) "
+        "+ 1 rarest shingles) — any pair at the threshold must share a "
+        "prefix shingle, so the candidate join touches the small prefix "
+        "relation, not the full inverted index. Verification counts "
+        "shared shingles only for candidates; the threshold predicate is "
+        "integer cross-multiplication (tau = 3/5). Unlike LSH this "
+        "misses nothing. Shingles, not words, are the unit deliberately: "
+        "prefix filtering prunes in proportion to token-universe "
+        "sparsity, and word sets over a small vocabulary are degenerate "
+        "(every doc shares its rare words; measured 7.1M word-set pairs "
+        "vs a handful of shingle-set pairs on the same corpus).",
 )
 def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import _shingle_array
+
     docs = table(spark, sf_dir, "documents")
     dt = docs.select(
-        "doc_id", F.explode(_words("text")).alias("token")
+        "doc_id", F.explode(_shingle_array("text")).alias("token")
     ).distinct()
     freq = dt.groupBy("token").agg(F.count("*").alias("df"))
     freq = freq.withColumn(

@@ -333,13 +333,13 @@ class TestSetSimPrefixJoin:
         import itertools
 
         texts = {
-            1: "a b c d e",
-            2: "a b c d f",      # j(1,2)=4/6=0.667 >= 0.6
-            3: "a b c d e",      # j(1,3)=1.0
-            4: "x y z w v",
-            5: "x y z w q u",    # j(4,5)=4/7=0.57 < 0.6
-            6: "m n",
-            7: "m n",            # j=1.0
+            1: "a b c d e f",
+            2: "a b c d e g",     # shingle j = 3/5 = 0.6 >= 0.6
+            3: "a b c d e f",     # j(1,3)=1.0
+            4: "x y z w v u",
+            5: "x y q w v u",     # shingle j = 2/6 < 0.6
+            6: "m n",             # <3 words: no shingles, dropped
+            7: "m n",
         }
         docs = spark.createDataFrame(
             [(k, v, "en", "s", len(v)) for k, v in texts.items()],
@@ -354,13 +354,21 @@ class TestSetSimPrefixJoin:
             }
         finally:
             mod.table = orig
+
+        def shingles(t):
+            ws = t.split()
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
         want = {}
         for a, b in itertools.combinations(sorted(texts), 2):
-            sa, sb = set(texts[a].split()), set(texts[b].split())
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
             inter = len(sa & sb)
             union = len(sa | sb)
             if inter * 5 >= 3 * union:
                 want[(a, b)] = round(inter / union, 4)
+        assert (1, 2) in want and (1, 3) in want  # fixture sanity
         assert got == want
 
 
