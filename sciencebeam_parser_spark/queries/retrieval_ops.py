@@ -787,6 +787,63 @@ def _km_update_sql(assign: str, out: str) -> str:
     )"""
 
 
+def _km_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<long>) — 1e-3-quantized integer coordinates,
+    localCheckpoint'ed (referenced by every Lloyd iteration)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint()
+
+
+def _km_sq_dist(qcol: str = "q", ccol: str = "c"):
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_train(qv: DataFrame, k: int, iters: int = 2):
+    """Lloyd's loop: returns (final assignment (vec_id, q, cid), final
+    centroids (cid, c)). Init = the first k vectors by vec_id."""
+    cent = qv.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    assign = None
+    for _ in range(iters):
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            qv.crossJoin(F.broadcast(cent))
+            .withColumn("dist", _km_sq_dist())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid")
+        )
+        upd = assign.select(
+            "cid", F.posexplode("q").alias("pos", "val")
+        ).groupBy("cid", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        cent = upd.select(
+            "cid",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("cv"),
+        ).groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st["cv"],
+            ).alias("c")
+        )
+    return assign, cent
+
+
 @register(
     "q212_kmeans_integer",
     # Lloyd's algorithm, 2 unrolled iterations, k=4, init = the first k
@@ -830,49 +887,8 @@ def _km_update_sql(assign: str, out: str) -> str:
         "any corpus scale. The same loop seeds q93's IVF index.",
 )
 def q212_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    qv = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
-        ).alias("q"),
-    ).localCheckpoint()
-    cent = qv.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("c")
-    )
-    assign = None
-    for _ in range(2):
-        dist = F.aggregate(
-            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
-        assign = (
-            qv.crossJoin(F.broadcast(cent))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "q", "cid")
-        )
-        upd = assign.select(
-            "cid", F.posexplode("q").alias("pos", "val")
-        ).groupBy("cid", "pos").agg(
-            F.sum("val").alias("s"), F.count("*").alias("n")
-        )
-        cent = upd.select(
-            "cid",
-            "pos",
-            F.floor(F.col("s").cast("double") / F.col("n"))
-            .cast("long")
-            .alias("cv"),
-        ).groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda st: st["cv"],
-            ).alias("c")
-        )
+    qv = _km_quantize(spark, sf_dir)
+    assign, cent = _km_train(qv, _KM_K, iters=2)
     csum = cent.select(
         "cid",
         F.aggregate(
@@ -887,5 +903,123 @@ def q212_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             "n_members",
             F.col("csum").cast("long").alias("centroid_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Trained IVF index: k-means coarse quantizer -> probe -> exact top-k
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+
+def _ivf_probe_sql(qset: str, cent: str, out: str, nprobe: int) -> str:
+    return f"""
+    {out} AS (
+        SELECT qid, cid FROM (
+            SELECT s.qid, c.cid,
+                   row_number() OVER (
+                       PARTITION BY s.qid
+                       ORDER BY list_sum([
+                           (s.qq[i] - c.c[i]) * (s.qq[i] - c.c[i])
+                           FOR i IN range(1, {_KM_DIM + 1})]), c.cid
+                   ) AS rn
+            FROM {qset} s CROSS JOIN {cent} c
+        ) WHERE rn <= {nprobe}
+    )"""
+
+
+@register(
+    "q215_ivf_trained_index",
+    # the full train->index->query ANN pipeline in one deterministic DAG:
+    # the q212 Lloyd loop (k=8 here) trains the coarse quantizer, every
+    # vector lands in its final cluster, queries probe their 2 nearest
+    # clusters, and exact integer distances rank the candidates.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + ","
+    + _km_assign_sql("c2", "a3")
+    + f""",
+    qset AS (
+        SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % 100 = 0
+    ),
+    {_ivf_probe_sql("qset", "c2", "probe", _IVF_NPROBE)},
+    cand AS (
+        SELECT p.qid, a.vec_id, a.q
+        FROM probe p JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id,
+               list_sum([(c.q[i] - s.qq[i]) * (c.q[i] - s.qq[i])
+                         FOR i IN range(1, {_KM_DIM + 1})]) AS dist
+        FROM cand c JOIN qset s ON s.qid = c.qid
+    )
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           CAST(dist AS BIGINT) AS dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_IVF_TOPK}
+    """,
+    survey_ref="north-star similarity search capstone: the trained IVF "
+               "pipeline (k-means coarse quantizer -> cluster index -> "
+               "nprobe search) that q93's fixed-centroid IVF assumes "
+               "exists — train/index/query as ONE deterministic DAG",
+    doc="Trained-IVF ANN end-to-end: Lloyd's k-means (k=8, 2 iterations, "
+        "integer arithmetic) trains the coarse quantizer; every vector "
+        "joins its final cluster (the inverted file); each sampled query "
+        "probes its nprobe=2 nearest centroids and ranks ONLY those "
+        "clusters' members by exact int64 distance — the candidate scan "
+        "is nprobe/k of the corpus. Centroids stay broadcast-sized; the "
+        "inverted file partitions on cluster id, so each query's probe "
+        "touches bounded partitions at any corpus scale.",
+)
+def q215_ivf_trained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    _, cent = _km_train(qv, _IVF_K, iters=2)
+    cent = cent.localCheckpoint()  # reused: final assignment + probes
+    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    a3 = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _km_sq_dist())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid")
+    )
+    qset = qv.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    wq = W.partitionBy("qid").orderBy("dist", "cid")
+    probe = (
+        qset.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _km_sq_dist("qq", "c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = probe.join(a3, "cid").filter(F.col("vec_id") != F.col("qid"))
+    scored = cand.join(qset, "qid").withColumn(
+        "dist", _km_sq_dist("q", "qq")
+    )
+    wr = W.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rnk",
+            "vec_id",
+            F.col("dist").cast("long").alias("dist"),
         )
     )

@@ -472,3 +472,47 @@ class TestSortedNeighborhood:
         # (1,2) matches: adjacent in sort, lev 1, same brand.
         # (4,5) does not: brand differs. (2,3): lev too large.
         assert got == {(1, 2)}
+
+
+class TestIvfTrainedIndex:
+    def test_probe_results_are_exact_within_clusters(self, spark):
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q215_ivf_trained_index,
+            _KM_DIM,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+
+        # 8 separated blobs; queries (vec_id 0 and 100) sit inside blobs,
+        # so their top-k must be exactly their blob's other members
+        def vec(center, jitter):
+            v = [0.0] * _KM_DIM
+            v[center] = 0.4
+            v[(center + 1) % _KM_DIM] = jitter
+            return v
+
+        rows = []
+        for blob in range(8):
+            rows.append((blob, vec(blob * 8, 0.0), blob))       # seeds 0..7
+            for j in range(1, 5):
+                rows.append((100 + blob * 10 + j, vec(blob * 8, 0.01 * j), blob))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: emb  # noqa: ARG005
+            out = q215_ivf_trained_index(spark, "unused").collect()
+        finally:
+            mod.table = orig
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        # queries = vec_id % 100 == 0 -> {0, 100}; wait: 100+blob*10+j for
+        # blob 0 j in 1..4 -> 101..104; only vec 0 matches % 100 == 0
+        assert set(by_q) == {0}
+        # top hits are blob 0's members 101..104 in jitter order
+        ranked = sorted(by_q[0], key=lambda r: r.rnk)
+        assert [r.vec_id for r in ranked][:4] == [101, 102, 103, 104]
+        assert all(
+            a.dist <= b.dist for a, b in zip(ranked, ranked[1:])
+        )
