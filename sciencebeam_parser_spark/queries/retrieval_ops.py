@@ -1,6 +1,7 @@
 """Retrieval & linkage operators: BM25 keyword search, blocked record
-linkage (entity resolution), triangle counting, and perceptual-hash
-image dedup.
+linkage (entity resolution), triangle counting, perceptual-hash image
+dedup, Count-Min heavy hitters, prefix-filtered set-similarity join,
+deterministic integer k-means, and the trained-IVF ANN pipeline.
 
 These extend the similarity/dedup family (text_ops) with the remaining
 search-shaped workloads a 100 TB corpus platform runs:
@@ -12,12 +13,22 @@ search-shaped workloads a 100 TB corpus platform runs:
   blocking keys bound the candidate quadratic, features (edit distance,
   attribute agreement) score each candidate pair, a threshold decides —
   the Fellegi-Sunter shape with deterministic integer weights.
+* Sorted-neighborhood (warehouse_ops q214) and prefix filtering (q211)
+  are the two classic alternatives to blocking: sort adjacency bounds
+  candidates at (w-1)*n under any skew; prefix filtering is LOSSLESS at
+  an exact Jaccard threshold, pruning by token-universe sparsity.
 * Triangle counting — the standard graph-shape statistic next to
   PageRank/components (graph_ops); oriented edge-edge join, never
   all-triples.
-* aHash dedup — near-duplicate *images* via 64-bit average-hash
-  signatures, band-bucketed so candidate generation is an equi-join
-  (the MinHash-LSH pattern transplanted to hamming space).
+* aHash dedup — near-duplicate *images* via 64-bit parity signatures,
+  band-bucketed so candidate generation is an equi-join (MinHash-LSH
+  transplanted to hamming space).
+* Count-Min — the frequency sketch beside KMV (q115) and HLL (q198):
+  d tiny aggregations that merge by addition; estimates only ever
+  overestimate, and the oracle accounts the error exactly.
+* Integer k-means + trained IVF — the iterative-ML loop (bit-exact via
+  quantized coordinates) and the ANN index it trains: cluster inverted
+  file, nprobe probing, exact ranking of probed members only.
 
 All arithmetic is integer or structurally-pinned double (shared expression
 text between Spark and the DuckDB oracle), per the repo's hash discipline.

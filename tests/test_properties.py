@@ -372,3 +372,157 @@ class TestSnapshotUpsertProperty:
             if k % 5 == 0:  # update wins, inserts missing keys
                 want[k] = (round(bal + 100, 2), "UPDATED", "update")
         assert got == want
+
+
+class TestPrefixFilterCompleteness:
+    """q211's prefix filter must be LOSSLESS: every pair at the Jaccard
+    threshold appears, for arbitrary corpora — the property that
+    distinguishes it from LSH candidates."""
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("abcdefgh"), min_size=3, max_size=8
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_matches_bruteforce(self, spark, word_lists):
+        import itertools
+
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q211_setsim_prefix_join,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+
+        texts = {i: " ".join(ws) for i, ws in enumerate(word_lists)}
+        docs = spark.createDataFrame(
+            [(k, v, "en", "s", len(v)) for k, v in texts.items()],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: docs  # noqa: ARG005
+            got = {
+                (r.id_a, r.id_b)
+                for r in q211_setsim_prefix_join(spark, "unused").collect()
+            }
+        finally:
+            mod.table = orig
+
+        def shingles(t):
+            ws = t.split()
+            return {
+                " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+            }
+
+        want = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            inter, union = len(sa & sb), len(sa | sb)
+            if inter * 5 >= 3 * union:
+                want.add((a, b))
+        assert got == want
+
+
+class TestCountMinProperty:
+    """CMS estimates can only overestimate, and are exact when no bucket
+    collides — both hold for arbitrary word multisets."""
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_overestimate_only(self, spark, words):
+        from sciencebeam_parser_spark.queries.retrieval_ops import (
+            q209_count_min_heavy_hitters,
+        )
+        import sciencebeam_parser_spark.queries.retrieval_ops as mod
+        from collections import Counter
+
+        docs = spark.createDataFrame(
+            [(0, " ".join(words), "en", "s", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: docs  # noqa: ARG005
+            rows = q209_count_min_heavy_hitters(spark, "unused").collect()
+        finally:
+            mod.table = orig
+        exact = Counter(words)
+        for r in rows:
+            assert r.exact == exact[r.word]
+            assert r.estimate >= r.exact
+            assert r.overestimate == r.estimate - r.exact
+
+
+class TestScd2Property:
+    """SCD2 intervals tile each customer's timeline: version numbers are
+    dense from 1, intervals chain exactly, one current row per key."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_intervals_tile(self, spark, priorities):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q200_scd2_history,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        orders = spark.createDataFrame(
+            [
+                (i, 1, "O", 1.0, base + timedelta(days=i), p)
+                for i, p in enumerate(priorities)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: orders  # noqa: ARG005
+            rows = sorted(
+                q200_scd2_history(spark, "unused").collect(),
+                key=lambda r: r.version,
+            )
+        finally:
+            mod.table = orig
+        # change count: first + each adjacent differing pair
+        n_changes = 1 + sum(
+            1 for a, b in zip(priorities, priorities[1:]) if a != b
+        )
+        assert [r.version for r in rows] == list(range(1, n_changes + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.effective_to == b.effective_from
+            assert not a.is_current
+        assert rows[-1].is_current and rows[-1].effective_to is None
