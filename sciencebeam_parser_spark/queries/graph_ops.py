@@ -216,6 +216,61 @@ def q178_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _click_purchase_streams(spark, sf_dir: str, *, with_value: bool):
+    """The click / purchase readStream pair shared by the stream-stream
+    join queries (q179 inner, q210 left-outer): both sides watermarked
+    1 hour; the purchase side optionally carries a rounded value."""
+    from sciencebeam_parser_spark.queries.events_ops import _events_stream
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchase_cols = [
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ]
+    if with_value:
+        purchase_cols.append(F.round("value", 2).alias("purchase_value"))
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(*purchase_cols)
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks, purchases
+
+
+_CLICK_PURCHASE_JOIN_COND = """
+    p_user_id = c_user_id
+    AND purchase_ts >= click_ts
+    AND purchase_ts < click_ts + INTERVAL 30 MINUTES
+"""
+
+
+def _run_append_sink(spark, joined, name: str):
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _finish_memory_sink,
+        _start_bounded_stream,
+    )
+
+    writer = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+    return _finish_memory_sink(spark, name)
+
+
 _Q179_RUNS = 0
 
 
@@ -249,42 +304,9 @@ _Q179_RUNS = 0
         "hash-matches the batch interval-join twin.",
 )
 def q179_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sciencebeam_parser_spark.queries.events_ops import (
-        _events_stream,
-        _finish_memory_sink,
-        _start_bounded_stream,
-    )
-
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.round("value", 2).alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir, with_value=True)
     joined = clicks.join(
-        purchases,
-        F.expr(
-            """
-            p_user_id = c_user_id
-            AND purchase_ts >= click_ts
-            AND purchase_ts < click_ts + INTERVAL 30 MINUTES
-            """
-        ),
+        purchases, F.expr(_CLICK_PURCHASE_JOIN_COND)
     ).select(
         "click_id",
         "purchase_id",
@@ -295,15 +317,7 @@ def q179_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     global _Q179_RUNS
     _Q179_RUNS += 1
-    name = f"q179_mem_{_Q179_RUNS}"
-    writer = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-    )
-    _start_bounded_stream(spark, writer)
-    return _finish_memory_sink(spark, name)
+    return _run_append_sink(spark, joined, f"q179_mem_{_Q179_RUNS}")
 
 
 @register(
@@ -431,7 +445,16 @@ _Q210_RUNS = 0
     # availableNow run finalizes state in the trailing no-data batch, so
     # the rule below is exactly what the stream emits.
     oracle="""
-    WITH maxts AS (SELECT max(ts) AS m FROM events),
+    WITH maxts AS (
+        -- the GLOBAL watermark under Spark's default min policy is the
+        -- minimum of the per-stream maxima (each minus the 1h delay) —
+        -- NOT max(ts) over all events: the events table also has 'view'
+        -- rows that advance neither stream's watermark
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) AS m
+    ),
     clicks AS (
         SELECT event_id AS click_id, user_id, ts AS click_ts
         FROM events WHERE event_type = 'click'
@@ -473,42 +496,11 @@ _Q210_RUNS = 0
         "stream/batch parity is hash-checked, not assumed.",
 )
 def q210_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sciencebeam_parser_spark.queries.events_ops import (
-        _events_stream,
-        _finish_memory_sink,
-        _start_bounded_stream,
-    )
-
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
+    clicks, purchases = _click_purchase_streams(
+        spark, sf_dir, with_value=False
     )
     joined = clicks.join(
-        purchases,
-        F.expr(
-            """
-            p_user_id = c_user_id
-            AND purchase_ts >= click_ts
-            AND purchase_ts < click_ts + INTERVAL 30 MINUTES
-            """
-        ),
-        "left_outer",
+        purchases, F.expr(_CLICK_PURCHASE_JOIN_COND), "left_outer"
     ).select(
         "click_id",
         "purchase_id",
@@ -518,12 +510,4 @@ def q210_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     global _Q210_RUNS
     _Q210_RUNS += 1
-    name = f"q210_mem_{_Q210_RUNS}"
-    writer = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-    )
-    _start_bounded_stream(spark, writer)
-    return _finish_memory_sink(spark, name)
+    return _run_append_sink(spark, joined, f"q210_mem_{_Q210_RUNS}")

@@ -366,9 +366,11 @@ _AHASH_SIG_SQL = """
                ord(substr(text, CAST(i AS INT) + 1, 1)) % 64 AS bkt
         FROM media, unnest(range(0, len(text))) AS t(i)
     ),
+    -- totals come from media, NOT a bytes aggregate: an empty payload has
+    -- no bytes rows but the kernel still signs it (bands [0,0,0,0]), so
+    -- the oracle must carry it too or the band join diverges
     totals AS (
-        SELECT media_id, CAST(count(*) AS BIGINT) AS total
-        FROM bytes GROUP BY media_id
+        SELECT media_id, CAST(len(text) AS BIGINT) AS total FROM media
     ),
     hist AS (
         SELECT media_id, bkt, CAST(count(*) AS BIGINT) AS n
@@ -575,14 +577,12 @@ def q209_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
     probes = top.crossJoin(F.broadcast(ks)).withColumn(
         "bucket",
-        F.when(F.lit(False), F.lit(0)).otherwise(
-            # CASE over i, mirroring the oracle's per-row hash choice
-            F.coalesce(
-                *[
-                    F.when(F.col("i") == i, bucket(i, F.col("word")))
-                    for i in range(_CMS_D)
-                ]
-            )
+        # CASE over i, mirroring the oracle's per-row hash choice
+        F.coalesce(
+            *[
+                F.when(F.col("i") == i, bucket(i, F.col("word")))
+                for i in range(_CMS_D)
+            ]
         ),
     )
     return (

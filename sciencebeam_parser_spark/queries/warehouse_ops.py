@@ -110,8 +110,13 @@ def q198_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
     )
+    # shiftright, NOT `/`: Spark's `/` goes through double (53-bit
+    # mantissa), which rounds 60-bit hashes and breaks parity with the
+    # oracle's exact `h // 64` near powers of two
     split = tagged.select(
-        "event_type", (h % 64).alias("bucket"), (h / 64).cast("long").alias("rest")
+        "event_type",
+        (h % 64).alias("bucket"),
+        F.shiftright(h, 6).alias("rest"),
     )
     regs = split.groupBy("event_type", "bucket").agg(
         F.max(F.expr(_HLL_RHO_SQL)).alias("r")
@@ -202,7 +207,7 @@ def _bloom_pos_sql(expr: str, i: int) -> str:
             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos
     """,
     survey_ref="§2B joins (semi-join pruning) — runtime-filter form: the "
-               "engine ships an {_BLOOM_M}-bit filter, not the dim table "
+               f"engine ships an {_BLOOM_M}-bit filter, not the dim table "
                "(Spark's own runtime bloom pushdown, restated "
                "deterministically so the oracle can replay it)",
     doc="Bloom-filter semi-join pruning: k=3 md5-derived bit positions "
@@ -365,7 +370,7 @@ def q200_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q203_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
 
-    def prof(col: str, minmax_num, n_rows_alias="n_rows"):
+    def prof(col: str, minmax_num):
         return orders.agg(
             F.lit(col).alias("column_name"),
             F.count("*").cast("long").alias("n_rows"),
@@ -756,7 +761,8 @@ def _hist_quantile_sql(p: str) -> str:
                   AS qbin_{p},
               min(CASE WHEN c * 100 >= {p} * n_total THEN cb END)
                   AS cum_before_{p},
-              min(CASE WHEN c * 100 >= {p} * n_total THEN n END)
+              min(CASE WHEN c * 100 >= {p} * n_total THEN c END)
+                - min(CASE WHEN c * 100 >= {p} * n_total THEN cb END)
                   AS bin_n_{p}''' for p in (50, 90, 99)
           )},
           CAST(count(*) AS BIGINT) AS n_bins_used
@@ -811,14 +817,18 @@ def q213_histogram_quantile_sketch(
     )
     pick_cols = []
     for p in (50, 90, 99):
-        hit = F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("bin"))
+        # the condition selects a SUFFIX of bins and bin/c/cb are all
+        # monotone in bin, so the suffix-min of each is its value AT the
+        # covering bin; the covering bin's own count is c - cb there
+        # (min over the suffix of the raw n would pick the smallest later
+        # bin instead — wrong under skew)
+        cond = F.col("c") * 100 >= p * F.col("n_total")
         pick_cols += [
-            F.min(hit).alias(f"qbin_{p}"),
-            F.min(
-                F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("cb"))
-            ).alias(f"cum_before_{p}"),
-            F.min(
-                F.when(F.col("c") * 100 >= p * F.col("n_total"), F.col("n"))
+            F.min(F.when(cond, F.col("bin"))).alias(f"qbin_{p}"),
+            F.min(F.when(cond, F.col("cb"))).alias(f"cum_before_{p}"),
+            (
+                F.min(F.when(cond, F.col("c")))
+                - F.min(F.when(cond, F.col("cb")))
             ).alias(f"bin_n_{p}"),
         ]
     picks = cum.crossJoin(F.broadcast(bounds)).agg(

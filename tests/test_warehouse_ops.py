@@ -516,3 +516,38 @@ class TestIvfTrainedIndex:
         assert all(
             a.dist <= b.dist for a, b in zip(ranked, ranked[1:])
         )
+
+
+class TestHistogramSkewRegression:
+    def test_covering_bin_count_not_suffix_min(self, spark):
+        # regression: bin_n must be the COVERING bin's count (c - cb
+        # there), not min(n) over all later bins — a tiny tail bin used
+        # to shrink the denominator and throw the interpolation far past
+        # the covering bin
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q213_histogram_quantile_sketch,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        # 999 rows at value ~0 (bin 0), 1 row at 1000 (last bin): p50
+        # falls in bin 0 whose count is 999; the tail bin has count 1
+        rows = [(1, 1, 1, 1, 1.0, 0.0 + i * 1e-9, 0.0, 0.0, "N", "O")
+                for i in range(999)]
+        rows.append((1, 1, 1, 1, 1.0, 1000.0, 0.0, 0.0, "N", "O"))
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: li  # noqa: ARG005
+            row = q213_histogram_quantile_sketch(spark, "unused").collect()[0]
+        finally:
+            mod.table = orig
+        binw = 1000 / 128
+        # p50 and p90 both land in bin 0; with the bug the denominator
+        # was 1 and the estimate flew past 3900
+        assert 0 <= row.p50_est <= binw
+        assert 0 <= row.p90_est <= binw
