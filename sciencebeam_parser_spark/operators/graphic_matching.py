@@ -459,13 +459,17 @@ def match_graphics_by_text(
             .filter(F.length("_key") > 0)
         )
 
-    # {key: id} dict semantics — last candidate wins per (prio, key)
-    w_last = W.partitionBy("doc_id", "_prio", "_key").orderBy(
-        F.desc("content_id")
-    )
+    # key-collision rule: FIRST candidate by content_id wins per
+    # (prio, key) — the canonical deterministic pick, and the rule the
+    # q132 oracle states (ORDER BY content_id ASC, rn = 1). The
+    # reference's dict overwrite would keep the last-inserted candidate
+    # instead; that insertion order is an implementation detail (and
+    # string-descending ids would misorder 'b9' vs 'b10' anyway), so both
+    # engines pin the minimum id.
+    w_first = W.partitionBy("doc_id", "_prio", "_key").orderBy("content_id")
     cand_keys = (
         stacked(candidates, label_col)
-        .withColumn("_rn", F.row_number().over(w_last))
+        .withColumn("_rn", F.row_number().over(w_first))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "_prio", "_key", "content_id")
     )

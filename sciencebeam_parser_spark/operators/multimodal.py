@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import hashlib
 from typing import Iterable, Iterator
-from uuid import uuid4
 
 import pandas as pd
 
@@ -276,14 +275,19 @@ def detect_layout_boxes(
     """
     from sciencebeam_parser_spark.utils import executor_singleton
 
-    _key = f"cv_model:{uuid4().hex}"
+    # stable singleton key derived from the kernel's identity — a per-call
+    # uuid key would mint a fresh cache entry (and, with a real model,
+    # a fresh model load retained forever) on EVERY invocation per worker,
+    # the opposite of the once-per-worker contract
+    kernel = detector_fn or (_fake_detect if use_fake_detector else None)
+    _key = "cv_model:{}".format(
+        getattr(kernel, "__qualname__", None)
+        or getattr(kernel, "__name__", None)
+        or "none"
+    )
 
     def detect(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = executor_singleton(
-            _key,
-            lambda: detector_fn
-            or (_fake_detect if use_fake_detector else None),
-        )
+        fn = executor_singleton(_key, lambda: kernel)
         if fn is None:
             raise NotImplementedError(
                 "CV layout model not available in this environment (STUB); "

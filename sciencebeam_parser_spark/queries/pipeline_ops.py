@@ -46,7 +46,8 @@ def _shared_cascade(spark: SparkSession, sf_dir: str):
     localCheckpoint'ed once per (session, sf_dir)."""
     from sciencebeam_parser_spark.plans.cascade import run_fulltext_cascade
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     hit = _CASCADE_MEMO.get(key)
     if hit is None:
         toks, labels = _mock_labeled_tokens(spark, sf_dir)
@@ -54,7 +55,12 @@ def _shared_cascade(spark: SparkSession, sf_dir: str):
         labels = labels.localCheckpoint()
         ents = run_fulltext_cascade(toks, labels).localCheckpoint()
         hit = (toks, labels, ents)
-        _CASCADE_MEMO.clear()  # drop stale sessions' entries
+        # evict ONLY dead sessions' entries: a blanket clear() would also
+        # drop this session's other-sf_dir cascades (tests + bench in one
+        # process alternate datasets), re-paying the materialization each
+        # switch and stranding the evicted checkpoint blocks
+        for k in [k for k in _CASCADE_MEMO if k[0] != app_id]:
+            del _CASCADE_MEMO[k]
         _CASCADE_MEMO[key] = hit
     return hit
 
@@ -1498,40 +1504,9 @@ def q130_tei_structure_roundtrip(
 def q131_jats_structure_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import xml.etree.ElementTree as ET
-    from collections import Counter
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
     toks, labels, ents = _shared_cascade(spark, sf_dir)
     both = tei_with_jats(entities_to_tei(ents))
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("element", T.StringType()),
-            T.StructField("n_elements", T.LongType()),
-        ]
-    )
-
-    def count_elements(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, xml in zip(pdf["doc_id"], pdf["jats_xml"]):
-                counts = Counter(
-                    el.tag.rsplit("}", 1)[-1]
-                    for el in ET.fromstring(xml).iter()
-                )
-                rows.extend((doc_id, tag, n) for tag, n in counts.items())
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "element", "n_elements"]
-                )
-
-    return both.select("doc_id", "jats_xml").mapInPandas(
-        count_elements, schema=schema
-    )
+    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
 
 
 def _q165_ann_oracle(n_planes: int = 6, dim: int = 8) -> str:
@@ -1672,7 +1647,11 @@ def q165_multimodal_ann_pipeline(
     )
 
 
-_STRUCT_REF_SQL = _TOKENS_CTE + """,
+# reference-island machinery shared by the structured-reference oracles
+# (back-region gate, label/reference tagging, island numbering, per-
+# reference row numbering) — ONE copy so the q166/q167 and q195 oracle
+# families cannot drift
+_REF_ISLANDS_SQL = _TOKENS_CTE + """,
     base AS (
         SELECT doc_id, token_seq, token,
                count(*) OVER (PARTITION BY doc_id) AS n
@@ -1701,7 +1680,10 @@ _STRUCT_REF_SQL = _TOKENS_CTE + """,
                row_number() OVER (
                    PARTITION BY doc_id, rg ORDER BY token_seq) AS rn
         FROM grouped WHERE rs_tag = '<reference>'
-    ),
+    ),"""
+
+
+_STRUCT_REF_SQL = _REF_ISLANDS_SQL + """
     fielded AS (
         SELECT *, CASE WHEN regexp_matches(token, '^[0-9]+$')
                        THEN 'external_identifier'
@@ -2009,36 +1991,7 @@ def q167_structured_reference_jats(
     return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
 
 
-_IMPRINT_REF_SQL = _TOKENS_CTE + """,
-    base AS (
-        SELECT doc_id, token_seq, token,
-               count(*) OVER (PARTITION BY doc_id) AS n
-        FROM tokens
-    ),
-    back AS (
-        SELECT doc_id, token_seq, token,
-               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<label>'
-                    ELSE '<reference>' END AS rs_tag
-        FROM base WHERE (token_seq - 1) * 10 >= n * 7
-    ),
-    flagged AS (
-        SELECT *, CASE WHEN lag(rs_tag) OVER w IS NULL
-                         OR rs_tag <> lag(rs_tag) OVER w THEN 1 ELSE 0
-                  END AS b
-        FROM back WINDOW w AS (PARTITION BY doc_id ORDER BY token_seq)
-    ),
-    grouped AS (
-        SELECT *, sum(b) OVER (
-            PARTITION BY doc_id ORDER BY token_seq
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rg
-        FROM flagged
-    ),
-    ref_toks AS (
-        SELECT doc_id, rg, token_seq, token,
-               row_number() OVER (
-                   PARTITION BY doc_id, rg ORDER BY token_seq) AS rn
-        FROM grouped WHERE rs_tag = '<reference>'
-    ),
+_IMPRINT_REF_SQL = _REF_ISLANDS_SQL + """
     fielded AS (
         SELECT *, CASE WHEN rn <= 2 THEN 'title'
                        WHEN len(token) >= 8 THEN 'journal'

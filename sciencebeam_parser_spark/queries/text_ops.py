@@ -34,12 +34,16 @@ def _words(col: str = "text") -> Column:
 
 
 # lambda-free form (single-arrow list_filter lambdas are deprecated in
-# newer DuckDB): stripping non-alnum runs from both ends before splitting
-# yields the same word list with no empty entries — verified equal to the
-# list_filter form on every document at sf0.001/0.01/0.1.
+# newer DuckDB): edge-strip + split, then a comprehension-IF drops empty
+# entries. The IF is NOT redundant: for text with no alphanumerics at all
+# (empty/whitespace/punctuation-only), split of the stripped empty string
+# yields [''] — length 1 — while Spark's _words() yields []; the filter
+# restores [] so the engines agree on every input, not just the current
+# corpus.
 _WORDS_SQL = (
-    "string_split_regex(regexp_replace(trim(lower(text)),"
+    "[x FOR x IN string_split_regex(regexp_replace(trim(lower(text)),"
     " '(^[^a-z0-9]+)|([^a-z0-9]+$)', '', 'g'), '[^a-z0-9]+')"
+    " IF x <> '']"
 )
 
 
