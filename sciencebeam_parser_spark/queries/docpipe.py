@@ -762,11 +762,15 @@ def q103_header_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, token_seq, token,
            substr(shape, 1, 1)
-           -- two-arg indexed lambda: kept deliberately — comprehensions
-           -- have no index form and RE2 has no backrefs to collapse runs;
-           -- driver-green since r1, so the syntax is proven accepted
-           || array_to_string(list_filter(string_split(mid, ''),
-                  (c, i) -> i = 1 OR string_split(mid, '')[i - 1] <> c), '')
+           -- run collapse via comprehension over an index range (RE2 has
+           -- no backrefs to collapse runs): free of the deprecated
+           -- two-arg arrow lambda; COALESCE because array_to_string of
+           -- the empty list is NULL in DuckDB (empty mid -> empty range)
+           || COALESCE(array_to_string(
+                  [string_split(mid, '')[i]
+                   FOR i IN range(1, len(mid) + 1)
+                   IF i = 1 OR string_split(mid, '')[i - 1]
+                             <> string_split(mid, '')[i]], ''), '')
            || CASE WHEN len(shape) >= 3
                        THEN substr(shape, len(shape) - 1, 2)
                    WHEN len(shape) = 2 THEN substr(shape, 2, 1)
@@ -777,7 +781,7 @@ def q103_header_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                "citation/name data generators)",
     doc="Word-shape per token: digit→d, upper→X, lower→x, punctuation "
         "kept; first char + dedup-collapsed middle + last-two suffix. "
-        "Collapse via index-lambda array filter — portable to RE2 engines "
+        "Collapse via an index-range comprehension — portable to RE2 engines "
         "(no backreferences).",
 )
 def q104_word_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,9 +1246,11 @@ _WORD_SHAPE_SQL = """
     ws AS (
         SELECT doc_id, line_id, token_seq,
                substr(shape, 1, 1)
-               || array_to_string(list_filter(string_split(mid, ''),
-                      (c, i) -> i = 1 OR string_split(mid, '')[i - 1] <> c),
-                      '')
+               || COALESCE(array_to_string(
+                      [string_split(mid, '')[i]
+                       FOR i IN range(1, len(mid) + 1)
+                       IF i = 1 OR string_split(mid, '')[i - 1]
+                                 <> string_split(mid, '')[i]], ''), '')
                || CASE WHEN len(shape) >= 3
                            THEN substr(shape, len(shape) - 1, 2)
                        WHEN len(shape) = 2 THEN substr(shape, 2, 1)

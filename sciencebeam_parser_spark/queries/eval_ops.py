@@ -542,8 +542,8 @@ def q193_minhash_accuracy_eval(
     cleaned AS (
         SELECT doc_id, url, scheme, host, path,
                array_to_string(
-                   list_filter(string_split(query, '&'),
-                               x -> NOT (x LIKE 'utm_%')), '&') AS clean_q
+                   [x FOR x IN string_split(query, '&')
+                    IF NOT (x LIKE 'utm_%')], '&') AS clean_q
         FROM parts
     )
     SELECT doc_id, url,
