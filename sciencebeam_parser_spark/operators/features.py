@@ -78,6 +78,50 @@ def punctuation_type_feature(text: Column) -> Column:
     return expr.when(text.rlike(IS_PUNCT_PATTERN), "PUNCT").otherwise("NOPUNCT")
 
 
+def bool_str_feature(c: Column) -> Column:
+    """'1'/'0' string boolean (null → '0') — the data_line bool encoding
+    shared by every per-model feature generator."""
+    return F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")
+
+
+def cap_with_digit_override(text: Column) -> Column:
+    """Capitalisation class with the ALLDIGIT→NOCAPS override
+    (models/data.py: all-digit tokens report NOCAPS, not their case)."""
+    return F.when(digit_feature(text) == "ALLDIGIT", "NOCAPS").otherwise(
+        capitalisation_feature(text)
+    )
+
+
+def font_statuses(prev_missing: Column, prev_family: Column,
+                  cur_family: Column, prev_size: Column,
+                  cur_size: Column) -> tuple:
+    """(font_status, font_size_status) vs the previous unit —
+    get_token_font_status / get_token_font_size_feature
+    (models/data.py:131-154). One definition for all generators: the
+    reference compares families with Python == (None == None is SAME),
+    hence eqNullSafe; only a missing previous unit forces NEWFONT, and
+    missing/zero sizes on either side report HIGHERFONT."""
+    font_status = (
+        F.when(prev_missing, "NEWFONT")
+        .when(cur_family.eqNullSafe(prev_family), "SAMEFONT")
+        .otherwise("NEWFONT")
+    )
+    font_size_status = (
+        F.when(
+            prev_missing
+            | prev_size.isNull()
+            | (prev_size == 0.0)
+            | cur_size.isNull()
+            | (cur_size == 0.0)
+            | (prev_size < cur_size),
+            "HIGHERFONT",
+        )
+        .when(prev_size > cur_size, "LOWERFONT")
+        .otherwise("SAMEFONTSIZE")
+    )
+    return font_status, font_size_status
+
+
 def linear_scaling_bin(pos: Column, total: Column, bin_count: int) -> Column:
     """feature_linear_scaling_int (models/data.py:117-128): floor(pos/total*n),
     clamped to [0, n]."""
@@ -111,6 +155,10 @@ def add_token_features(tokens: DataFrame, *, position_bins: int = 10) -> DataFra
     prev_size = F.lag("font_size").over(w_doc)
     # lag of a non-null column: null ⇔ first token of the doc
     has_prev = F.lag("token_seq").over(w_doc).isNotNull()
+    _fs = font_statuses(
+        ~has_prev, prev_family, F.col("font_family"), prev_size,
+        F.col("font_size"),
+    )
 
     df = tokens.select(
         "*",
@@ -125,22 +173,8 @@ def add_token_features(tokens: DataFrame, *, position_bins: int = 10) -> DataFra
         # get_token_font_size_feature (models/data.py:131-154). Note the
         # reference compares families with Python == (None == None is SAME);
         # only a missing previous *token* forces NEWFONT.
-        F.when(~has_prev, "NEWFONT")
-        .when(F.col("font_family").eqNullSafe(prev_family), "SAMEFONT")
-        .otherwise("NEWFONT")
-        .alias("font_status"),
-        F.when(
-            ~has_prev
-            | prev_size.isNull()
-            | (prev_size == 0.0)
-            | F.col("font_size").isNull()
-            | (F.col("font_size") == 0.0)
-            | (prev_size < F.col("font_size")),
-            "HIGHERFONT",
-        )
-        .when(prev_size > F.col("font_size"), "LOWERFONT")
-        .otherwise("SAMEFONTSIZE")
-        .alias("font_size_status"),
+        _fs[0].alias("font_status"),
+        _fs[1].alias("font_size_status"),
         # doc-level font aggregates — RelativeFontSizeFeature
         # (models/data.py:263-295); nulls excluded by Spark aggs natively
         (F.col("font_size") == F.max("font_size").over(w_doc_all)).alias(
@@ -344,9 +378,7 @@ def segmentation_line_features(
         F.coalesce(F.col("_tok2"), F.lit("")) != "", F.col("_tok2")
     ).otherwise(tok1)
     digit = digit_feature(tok1)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(tok1)
-    )
+    cap = cap_with_digit_override(tok1)
     block_status = (
         F.when(F.col("line_index") == 0, "BLOCKSTART")
         .when(F.col("line_index") == F.col("line_count") - 1, "BLOCKEND")
@@ -366,30 +398,14 @@ def segmentation_line_features(
     # _sel is a min_by struct over a non-empty group, hence never null —
     # a null lagged struct therefore means "first line of the document"
     prev_missing = F.col("_prev").isNull()
-    font_status = (
-        F.when(prev_missing, "NEWFONT")
-        .when(
-            F.col("_sel.font_family").eqNullSafe(F.col("_prev.font_family")),
-            "SAMEFONT",
-        )
-        .otherwise("NEWFONT")
+    font_status, font_size_status = font_statuses(
+        prev_missing,
+        F.col("_prev.font_family"),
+        F.col("_sel.font_family"),
+        F.col("_prev.font_size"),
+        F.col("_sel.font_size"),
     )
-    prev_size = F.col("_prev.font_size")
-    cur_size = F.col("_sel.font_size")
-    font_size_status = (
-        F.when(
-            prev_missing
-            | prev_size.isNull()
-            | (prev_size == 0.0)
-            | cur_size.isNull()
-            | (cur_size == 0.0)
-            | (prev_size < cur_size),
-            "HIGHERFONT",
-        )
-        .when(prev_size > cur_size, "LOWERFONT")
-        .otherwise("SAMEFONTSIZE")
-    )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     raw_profile = F.regexp_replace("line_text", PUNCT_PROFILE_STRIP_RE, "")
     profile = F.when(raw_profile == "", "no").otherwise(raw_profile)
     whole_line = F.translate(F.trim("line_text"), " \t", _NBSP + _NBSP)
@@ -554,28 +570,16 @@ def header_token_features(tokens: DataFrame) -> DataFrame:
         .otherwise("BLOCKIN")
     )
     prev_missing = F.col("_prev_seq").isNull()
-    font_status = (
-        F.when(prev_missing, "NEWFONT")
-        .when(
-            F.col("font_family").eqNullSafe(F.col("_prev_family")), "SAMEFONT"
-        )
-        .otherwise("NEWFONT")
+    font_status, font_size_status = font_statuses(
+        prev_missing,
+        F.col("_prev_family"),
+        F.col("font_family"),
+        F.col("_prev_size"),
+        F.col("font_size"),
     )
-    ps, cs = F.col("_prev_size"), F.col("font_size")
-    font_size_status = (
-        F.when(
-            prev_missing | ps.isNull() | (ps == 0.0) | cs.isNull()
-            | (cs == 0.0) | (ps < cs),
-            "HIGHERFONT",
-        )
-        .when(ps > cs, "LOWERFONT")
-        .otherwise("SAMEFONTSIZE")
-    )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(t)
-    )
+    cap = cap_with_digit_override(t)
     feats = {
         "token_text": t,
         "lower_token_text": F.lower(t),
@@ -681,11 +685,9 @@ def citation_token_features(
         .when(F.col("_tok_idx") == 0, "LINESTART")
         .otherwise("LINEIN")
     )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(t)
-    )
+    cap = cap_with_digit_override(t)
     feats = {
         "token_text": t,
         "lower_token_text": F.col("_lower"),
@@ -824,11 +826,9 @@ def ref_segmenter_token_features(
         )
         .otherwise("BLOCKIN")
     )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(t)
-    )
+    cap = cap_with_digit_override(t)
     feats = {
         "token_text": t,
         "lower_token_text": F.lower(t),
@@ -920,11 +920,9 @@ def name_token_features(
         .join(fn, F.col("_lower") == F.col("_fn_term"), "left")
         .join(ln, F.col("_lower") == F.col("_ln_term"), "left")
     )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(t)
-    )
+    cap = cap_with_digit_override(t)
     feats = {
         "token_text": t,
         "lower_token_text": F.col("_lower"),
@@ -992,7 +990,7 @@ def affiliation_token_features(
         .join(fn, F.col("_lower") == F.col("_fn_term"), "left")
         .join(co, F.col("_lower") == F.col("_co_term"), "left")
     )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
     digit_v = F.when(digit == "CONTAINSDIGITS", "CONTAINDIGIT").otherwise(digit)
     cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
@@ -1091,28 +1089,16 @@ def fulltext_token_features(tokens: DataFrame) -> DataFrame:
         .otherwise("BLOCKIN")
     )
     prev_missing = F.col("_prev_seq").isNull()
-    font_status = (
-        F.when(prev_missing, "NEWFONT")
-        .when(
-            F.col("font_family").eqNullSafe(F.col("_prev_family")), "SAMEFONT"
-        )
-        .otherwise("NEWFONT")
+    font_status, font_size_status = font_statuses(
+        prev_missing,
+        F.col("_prev_family"),
+        F.col("font_family"),
+        F.col("_prev_size"),
+        F.col("font_size"),
     )
-    ps, cs = F.col("_prev_size"), F.col("font_size")
-    font_size_status = (
-        F.when(
-            prev_missing | ps.isNull() | (ps == 0.0) | cs.isNull()
-            | (cs == 0.0) | (ps < cs),
-            "HIGHERFONT",
-        )
-        .when(ps > cs, "LOWERFONT")
-        .otherwise("SAMEFONTSIZE")
-    )
-    bool_str = lambda c: F.when(F.coalesce(c, F.lit(False)), "1").otherwise("0")  # noqa: E731
+    bool_str = bool_str_feature
     digit = digit_feature(t)
-    cap = F.when(digit == "ALLDIGIT", "NOCAPS").otherwise(
-        capitalisation_feature(t)
-    )
+    cap = cap_with_digit_override(t)
     feats = {
         "token_text": t,
         "lower_token_text": F.lower(t),

@@ -54,10 +54,13 @@ def connected_components(
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "comp", F.col("doc_id")
     )
-    # per-vertex labels only ever DECREASE, so the label sum strictly
-    # decreases until the fixpoint — an O(1)-row aggregate detects
-    # convergence without the per-round join a row-diff check would need
-    prev_sum = None
+    # per-vertex labels only ever DECREASE, so any change moves the label
+    # multiset and an O(1)-row fingerprint aggregate detects convergence
+    # without the per-round join a row-diff check would need. The
+    # fingerprint hashes the label (xxhash64), NOT sum(comp): summing the
+    # raw column is NULL for string ids (TOKENS_SCHEMA doc_id IS a
+    # string), which used to terminate the loop after one round.
+    prev_fp = None
     for _ in range(max_iterations):
         # candidate label per vertex: min over self + neighbor labels
         neighbor_labels = (
@@ -70,8 +73,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)  # cut lineage: O(1) plan per round
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # bounded per-row term (crc32 mod p) so the ANSI-mode sum cannot
+        # overflow int64 even at billions of vertices
+        cur_fp = labels.agg(
+            F.sum(F.crc32(F.col("comp").cast("string")) % 1000000007)
+        ).collect()[0][0]
+        if cur_fp == prev_fp:
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     return labels.select("doc_id", F.col("comp").alias("component_id"))

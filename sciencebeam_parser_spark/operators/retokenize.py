@@ -91,9 +91,16 @@ def retokenize_tokens(tokens: DataFrame, *, normalize: bool = True) -> DataFrame
         "line_id",
         (F.row_number().over(w) - 1).cast("long").alias("token_seq"),
         F.col("_piece").alias("text"),
-        # the reference attaches inter-piece whitespace to the previous
-        # piece; a single space is the dominant case after normalization
-        F.col("whitespace"),
+        # retokenize_layout_token semantics: pieces split from one token
+        # are directly adjacent, so only the LAST kept piece inherits the
+        # source token's trailing whitespace — intermediate pieces get ''
+        # (a text+whitespace reconstruction must yield the original line,
+        # not inject a space after every piece)
+        F.when(
+            F.col("_pos")
+            == F.max("_pos").over(W.partitionBy("doc_id", "token_seq")),
+            F.col("whitespace"),
+        ).otherwise(F.lit("")).alias("whitespace"),
         "font_id",
         "font_family",
         "font_size",

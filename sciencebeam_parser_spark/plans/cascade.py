@@ -428,16 +428,46 @@ def run_fulltext_cascade(
             "target_content_id", F.lit(None).cast("string")
         )
 
-    # A18 — validity of references: a doc's citation model output must
-    # contain >=1 valid type, else the raw reference is demoted
+    # A18 — validity PER REFERENCE (citation/extract.py:67-74,165-179):
+    # a raw reference is valid iff the CITATION model produced >=1
+    # valid-type entity overlapping ITS token span — not "any model,
+    # anywhere in the doc" (a header-model title must not validate the
+    # references). Overlap, not containment: the mock citation model
+    # labels the whole back region, so a field run may straddle a
+    # reference boundary.
     if config.extract_references and config.extract_citation_fields:
-        valid_docs = (
-            entities.filter(F.col("entity_type").isin(*VALID_REFERENCE_TYPES))
-            .select("doc_id")
+        refs = entities.filter(
+            F.col("entity_type") == "raw_reference_text"
+        ).select(
+            F.col("doc_id").alias("_r_doc"),
+            F.col("token_start").alias("_r_start"),
+            F.col("token_end").alias("_r_end"),
+        )
+        fields = entities.filter(
+            (F.col("model_name") == "citation")
+            & F.col("entity_type").isin(*VALID_REFERENCE_TYPES)
+        ).select(
+            F.col("doc_id").alias("_f_doc"),
+            F.col("token_start").alias("_f_start"),
+            F.col("token_end").alias("_f_end"),
+        )
+        valid_refs = (
+            refs.join(
+                fields,
+                (F.col("_f_doc") == F.col("_r_doc"))
+                & (F.col("_f_start") <= F.col("_r_end"))
+                & (F.col("_f_end") >= F.col("_r_start")),
+            )
+            .select(
+                F.col("_r_doc").alias("doc_id"),
+                F.col("_r_start").alias("token_start"),
+            )
             .distinct()
             .withColumn("_has_valid_ref_fields", F.lit(True))
         )
-        entities = entities.join(valid_docs, "doc_id", "left").withColumn(
+        entities = entities.join(
+            valid_refs, ["doc_id", "token_start"], "left"
+        ).withColumn(
             "is_valid_reference",
             F.when(
                 F.col("entity_type") == "raw_reference_text",

@@ -284,7 +284,7 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
     # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
     # left join (provably empty on this vocabulary — no marker tags arise,
     # so target_content_id is NULL everywhere, exactly as Spark computes),
-    # and the per-doc validity gate.
+    # and the per-REFERENCE validity gate.
     oracle="WITH " + _CASCADE_TYPED_SQL + """
     with_ids AS (
         SELECT *, CASE WHEN entity_type = 'raw_reference_text'
@@ -306,18 +306,28 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
                  END AS content_id
         FROM typed
     ),
-    valid_docs AS (
-        SELECT DISTINCT doc_id FROM typed
-        WHERE entity_type IN ('title', 'journal', 'raw_authors',
-                              'raw_editors', 'external_identifier',
-                              'external_url')
+    valid_refs AS (
+        -- A18 is PER REFERENCE: >=1 valid-type CITATION entity whose
+        -- span overlaps this reference's span (overlap, not containment
+        -- — citation runs may straddle reference boundaries)
+        SELECT DISTINCT r.doc_id, r.token_start
+        FROM typed r JOIN typed f
+          ON f.doc_id = r.doc_id
+         AND f.model_name = 'citation'
+         AND f.entity_type IN ('title', 'journal', 'raw_authors',
+                               'raw_editors', 'external_identifier',
+                               'external_url')
+         AND f.token_start <= r.token_start + r.n_tokens - 1
+         AND f.token_start + f.n_tokens - 1 >= r.token_start
+        WHERE r.entity_type = 'raw_reference_text'
     )
     SELECT e.doc_id, e.model_name, e.entity_group, e.entity_type, e.region,
            e.n_tokens, e.content_id,
            CAST(NULL AS VARCHAR) AS target_content_id,
            CASE WHEN e.entity_type = 'raw_reference_text'
                 THEN (v.doc_id IS NOT NULL) END AS is_valid_reference
-    FROM with_ids e LEFT JOIN valid_docs v ON e.doc_id = v.doc_id
+    FROM with_ids e LEFT JOIN valid_refs v
+      ON v.doc_id = e.doc_id AND v.token_start = e.token_start
     """,
     survey_ref="§2A A28 cascade + A14/A15/A16/A17/A18/A19/A20",
     doc="The full mock-label fulltext cascade: segmentation filter → "

@@ -635,7 +635,11 @@ def q68_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(the rolling-hash window), engine-portable by construction.",
 )
 def q69_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # docs shorter than the 16-char window emit NO row — the oracle's
+    # empty range drops them, and Spark's sequence(1, len-15) would
+    # otherwise auto-step DOWNWARD for len < 16 ([1, 0, ...]) and build
+    # garbage grams from non-positive substr positions
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
     # both aggregates are per-document over the gram array → pure
     # projection (array_min / array_distinct), no explode, NO shuffle:
     # the 100 TB plan is a map-only scan

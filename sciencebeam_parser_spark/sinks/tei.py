@@ -189,7 +189,16 @@ def _build_persname_author(analytic: ET.Element, text: str) -> None:
 
 
 def _build_tei(entities: pd.DataFrame) -> str:
-    ents = entities.sort_values("token_start")
+    # deterministic multi-key sort: entities tied on token_start (e.g.
+    # citation + ref-segmenter runs over the same tokens) must serialize
+    # in a fixed order regardless of post-shuffle row order — pandas'
+    # default quicksort is unstable, so tie-break on the document-order
+    # seq and the unique entity_id where present (unit-test fixtures may
+    # carry a reduced column set)
+    sort_keys = [
+        c for c in ("token_start", "seq", "entity_id") if c in entities.columns
+    ]
+    ents = entities.sort_values(sort_keys, kind="stable")
     ET.register_namespace("", TEI_NS)
     tei = ET.Element(f"{{{TEI_NS}}}TEI")
     header = ET.SubElement(tei, f"{{{TEI_NS}}}teiHeader")

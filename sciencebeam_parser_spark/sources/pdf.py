@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-import uuid
 
 from sciencebeam_parser_spark.utils import executor_singleton
 
@@ -53,6 +52,20 @@ ALTO_XML_SCHEMA = T.StructType(
 )
 
 
+def _kernel_key(stage: str, fn) -> str:
+    """Stable executor-singleton key: one cached handle per (stage,
+    kernel identity) per worker. A per-call uuid key would mint — and
+    retain — a fresh sidecar handle on every invocation per worker,
+    defeating the process-reuse contract (A32) and leaking handles in
+    long-lived sessions."""
+    return "{}:{}".format(
+        stage,
+        getattr(fn, "__qualname__", None)
+        or getattr(fn, "__name__", None)
+        or "default",
+    )
+
+
 def pdf_to_alto(
     pdfs: DataFrame,
     *,
@@ -62,9 +75,7 @@ def pdf_to_alto(
     is an executor singleton (one persistent process per worker, the
     reference's process-reuse at wapiti_model_impl.py:111-121). STUB: inject
     ``pdfalto_fn``; the default raises at execution time."""
-    # per-plan key: workers reuse the handle across tasks of THIS job but
-    # separate jobs (e.g. different injected kernels) don't collide
-    _key = f"pdfalto:{uuid.uuid4().hex}"
+    _key = _kernel_key("pdfalto", pdfalto_fn)
 
     def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(
@@ -102,7 +113,7 @@ def render_pages(
     """A23: render selected (doc, page) rows to images. Input must already
     be page-pruned (A22) — the filter happens BEFORE this expensive stage.
     render_fn(content, page_number, dpi) -> png bytes. STUB by default."""
-    _key = f"pdf2image:{uuid.uuid4().hex}"
+    _key = _kernel_key("pdf2image", render_fn)
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(
@@ -144,7 +155,7 @@ def ocr_images(
     singleton (the reference lock-serializes ONE handle per process —
     tesserocr_ocr_model.py:32-71; here each Python worker owns one). STUB
     by default."""
-    _key = f"tesseract:{uuid.uuid4().hex}"
+    _key = _kernel_key("tesseract", ocr_fn)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(

@@ -83,3 +83,19 @@ class TestRetokenize:
     def test_remove_empty(self, spark):
         df = tokens_df(spark, [(0, "  ", 0.0, 1.0), (1, "x", 1.0, 1.0)])
         assert remove_empty_lines_and_blocks(df).count() == 1
+
+
+class TestPieceWhitespace:
+    def test_only_last_piece_inherits_whitespace(self, spark):
+        from sciencebeam_parser_spark.operators.retokenize import (
+            retokenize_tokens,
+        )
+
+        df = tokens_df(spark, [(0, "e.g", 100.0, 30.0)])
+        out = sorted(
+            retokenize_tokens(df).collect(), key=lambda r: r["token_seq"]
+        )
+        assert [r["text"] for r in out] == ["e", ".", "g"]
+        # reconstruction text+whitespace must equal the original "e.g "
+        assert "".join(r["text"] + r["whitespace"] for r in out) == "e.g "
+        assert [r["whitespace"] for r in out] == ["", "", " "]
