@@ -69,3 +69,26 @@ class TestSaltedJoin:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError):
             salted_join(df, df, "k", how="full")
+
+
+class TestStringIdComponents:
+    def test_chain_of_string_ids_converges(self, spark):
+        # regression: the convergence check used sum(comp), which is NULL
+        # for string labels and terminated after ONE propagation round —
+        # a 4-chain needs at least two rounds to reach the fixpoint
+        from sciencebeam_parser_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "src string, dst string",
+        )
+        comp = {
+            r.doc_id: r.component_id
+            for r in connected_components(
+                edges, src="src", dst="dst"
+            ).collect()
+        }
+        assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                        "x": "x", "y": "x"}
