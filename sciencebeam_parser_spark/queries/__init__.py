@@ -21,4 +21,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     eval_ops,
     warehouse_ops,
     retrieval_ops,
+    analysis_ops,
 )

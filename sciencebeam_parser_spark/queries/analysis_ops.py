@@ -1,0 +1,327 @@
+"""Corpus- and signal-analysis operators, round 5: Gopher-style repetition
+signals, PMI collocation mining, time-series gap-fill/resample, and
+embedding dimension statistics.
+
+These extend the north-star LLM-pipeline family with the remaining
+*measurement* steps a curation pipeline runs before and after filtering:
+
+* **repetition signals** (q216) — the Gopher/MassiveText duplicate-n-gram
+  heuristics (Rae et al. 2021 §A1.1): fraction of repeated word bigrams/
+  trigrams and the most-frequent-word mass per document. The n-gram
+  distinct/total ratios are PURE ARRAY PROJECTIONS (zip-of-slices n-grams
+  + array_distinct) — no explode, no shuffle; only the top-word mass needs
+  a (doc, word) hash aggregate, and that is map-side combinable.
+* **PMI collocations** (q217) — corpus-level pointwise mutual information
+  over adjacent word pairs: three hash aggregates over one exploded bigram
+  relation, a broadcast-sized join back, and a top-k that compiles to
+  TakeOrderedAndProject (no global sort materializes at any scale).
+* **gap-fill resample** (q218) — the time-series regularization step:
+  per-user hourly grid (sequence + explode), observations averaged into
+  their hour, then forward-fill expressed as the two-window "group of the
+  last non-null" trick — count(obs) running window assigns a group id,
+  max() per (user, group) broadcasts the group's single observation to
+  the gap rows. Both windows share one (user) shuffle; state per key is
+  bounded by the grid length, never the corpus.
+* **embedding dimension stats** (q219) — per-label per-dimension moment
+  profile (n / mean / population variance) of the embedding table: one
+  posexplode to (label, dim, value) and one map-side-combinable aggregate;
+  the fan-out is exactly d=|embedding| per row, so at 100 TB this stays a
+  single shuffle whose key space is |labels| × d.
+
+Engine anchor: the reference has no corpus-analysis layer (its unit is one
+document, app/parser.py:516-527); these are north-star additions the task
+brief lists as first-class.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.queries.curation_ops import _WORDPOS_CTE, _bigrams
+from sciencebeam_parser_spark.queries.text_ops import _words
+
+
+def _ngram_array(arr, n: int):
+    """Word n-grams as a pure array projection (generalizes
+    text_ops._shingle_array to any n): zip the word array against its
+    n-1 shifted slices. Null for documents with fewer than n words."""
+    size = F.size(arr)
+    width = size - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(arr, i + 1, width).alias(f"g{i}") for i in range(n)]
+    )
+    return F.when(
+        size >= n,
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(n)])),
+    ).otherwise(F.lit(None).cast("array<string>"))
+
+
+@register(
+    "q216_gopher_repetition",
+    oracle="WITH " + _WORDPOS_CTE + """,
+    trigrams AS (
+        SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        FROM wordpos a
+        JOIN wordpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN wordpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    wordstats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(max(c) AS BIGINT) AS top_word_count
+        FROM (
+            SELECT doc_id, w, count(*) AS c FROM wordpos GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    ),
+    bistats AS (
+        SELECT doc_id,
+               count(*) AS n_bi,
+               count(DISTINCT w1 || ' ' || w2) AS d_bi
+        FROM bigrams GROUP BY doc_id
+    ),
+    tristats AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+        FROM trigrams GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           round(1.0 * w.top_word_count / w.n_words, 4) AS top_word_frac,
+           round(1.0 - 1.0 * b.d_bi / b.n_bi, 4) AS dup_bigram_frac,
+           round(1.0 - 1.0 * t.d_tri / t.n_tri, 4) AS dup_trigram_frac
+    FROM wordstats w
+    JOIN bistats b ON w.doc_id = b.doc_id
+    JOIN tristats t ON w.doc_id = t.doc_id
+    WHERE w.n_words >= 3
+    """,
+    survey_ref="north-star quality family: Gopher/MassiveText repetition "
+               "signals (duplicate n-gram fractions, top-word mass) — "
+               "array projections + one hash aggregate",
+    doc="Per-document repetition heuristics from the Gopher data pipeline: "
+        "fraction of repeated word bigrams/trigrams and the share of the "
+        "most frequent word. The n-gram ratios never leave the row "
+        "(zip-of-slices n-gram arrays + array_distinct), so at 100 TB the "
+        "only shuffle is the (doc_id, word) count for the top-word mass — "
+        "map-side combinable with bounded key width.",
+)
+def q216_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = _words()
+    # duplicate-n-gram fractions: pure projections, no shuffle
+    proj = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(_ngram_array(ws, 2)).alias("n_bi"),
+        F.size(F.array_distinct(_ngram_array(ws, 2))).alias("d_bi"),
+        F.size(_ngram_array(ws, 3)).alias("n_tri"),
+        F.size(F.array_distinct(_ngram_array(ws, 3))).alias("d_tri"),
+    ).filter(F.col("n_words") >= 3)
+    # top-word mass: the one aggregate (map-side combinable both levels)
+    top = (
+        docs.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("long").alias("top_word_count"))
+    )
+    return proj.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("top_word_count") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+        F.round(1.0 - F.col("d_bi") / F.col("n_bi"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(1.0 - F.col("d_tri") / F.col("n_tri"), 4).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+@register(
+    "q217_pmi_collocations",
+    oracle="WITH " + _WORDPOS_CTE + """,
+    lm AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY w1, w2
+    ),
+    leftc AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY w1),
+    rightc AS (SELECT w2, sum(c12) AS c2 FROM lm GROUP BY w2),
+    total AS (SELECT sum(c12) AS n FROM lm),
+    scored AS (
+        SELECT lm.w1, lm.w2, lm.c12,
+               round(log2(1.0 * lm.c12 * total.n / (leftc.c1 * rightc.c2)), 4)
+                   AS pmi
+        FROM lm
+        JOIN leftc ON lm.w1 = leftc.w1
+        JOIN rightc ON lm.w2 = rightc.w2
+        CROSS JOIN total
+        WHERE lm.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    survey_ref="north-star corpus-analysis family: PMI collocation mining "
+               "(adjacent-pair pointwise mutual information) — hash "
+               "aggregates + top-k (TakeOrderedAndProject)",
+    doc="Corpus-level collocations: PMI of adjacent word pairs with a "
+        "min-support gate (c12 >= 5), top-50 by rounded PMI with a full "
+        "lexicographic tiebreak. Three aggregates over one exploded "
+        "bigram relation; the unigram marginals are derived FROM the "
+        "bigram counts (no second corpus pass) and join back hash-keyed. "
+        "Ordering uses the ROUNDED score so the k-boundary is identical "
+        "on every engine.",
+)
+def q217_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _bigrams(spark, sf_dir)
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    leftc = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rightc = lm.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = lm.agg(F.sum("c12").alias("n"))
+    scored = (
+        lm.filter(F.col("c12") >= 5)
+        .join(leftc, "w1")
+        .join(rightc, "w2")
+        .crossJoin(F.broadcast(total))  # 1-row relation: safe forced broadcast
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2(F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
+
+
+@register(
+    "q218_gap_fill_resample",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               date_trunc('hour', ts) AS h,
+               round(avg(value), 4) AS v
+        FROM events
+        WHERE user_id % 10 = 0
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(min_h, max_h,
+                                               INTERVAL 1 HOUR)) AS h
+        FROM (
+            SELECT user_id, min(h) AS min_h, max(h) AS max_h
+            FROM obs GROUP BY user_id
+        )
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, o.v,
+               CAST(o.v IS NOT NULL AS BIGINT) AS is_observed,
+               count(o.v) OVER (PARTITION BY g.user_id ORDER BY g.h
+                                ROWS UNBOUNDED PRECEDING) AS grp
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id, h,
+           max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+           is_observed
+    FROM joined
+    """,
+    survey_ref="north-star time-series family: resample to a regular grid "
+               "+ forward fill (the two-window last-non-null trick); §2B "
+               "windows, generator functions",
+    doc="Regularize a sparse per-user value series onto an hourly grid "
+        "with last-observation-carried-forward: sequence() generates the "
+        "grid rows, a left join attaches observations, and the fill is "
+        "count(obs)-running-window group ids + a per-group max — no "
+        "ignore-nulls window (portable) and both windows plus the join "
+        "share ONE hash shuffle on user_id. State per key is the grid "
+        "length; keys partition freely at 100 TB.",
+)
+def q218_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("min_h"), F.max("h").alias("max_h"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(min_h, max_h, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.col("v").isNotNull().cast("long").alias("is_observed"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = joined.withColumn("grp", F.count("v").over(w_run))
+    return joined.select(
+        "user_id",
+        "h",
+        F.max("v").over(W.partitionBy("user_id", "grp")).alias("v_filled"),
+        "is_observed",
+    )
+
+
+@register(
+    "q219_embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(v AS DOUBLE) AS v
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS v,
+                   unnest(range(0, len(embedding))) AS dim
+            FROM embeddings
+        )
+    )
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(v) / count(*), 4) AS mean,
+           round(sum(v * v) / count(*)
+                 - (sum(v) / count(*)) * (sum(v) / count(*)), 4) AS var_pop
+    FROM flat
+    GROUP BY label, dim
+    """,
+    survey_ref="north-star embedding family: per-label per-dimension "
+               "moment profile (n/mean/population variance) — posexplode "
+               "+ one map-side-combinable aggregate",
+    doc="Moment profile of the embedding space per class label: each "
+        "vector fans out to exactly d=(dim count) rows, then ONE hash "
+        "aggregate on (label, dim) computes count/mean/variance from raw "
+        "sums (explicit sum/sum-of-squares so both engines run the "
+        "identical formula). Key space is |labels| x d — fixed, so the "
+        "shuffle never grows with the corpus; partial aggregation does "
+        "the heavy lifting map-side at 100 TB.",
+)
+def q219_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label", F.col("dim").cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("v") / F.count("*"), 4).alias("mean"),
+        F.round(
+            F.sum(F.col("v") * F.col("v")) / F.count("*")
+            - (F.sum("v") / F.count("*")) * (F.sum("v") / F.count("*")),
+            4,
+        ).alias("var_pop"),
+    )

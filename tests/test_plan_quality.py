@@ -362,3 +362,32 @@ class TestRound4cPlanShapes:
         plan = plan_of(spark, "q198_hll_distinct_sketch")
         assert "HashAggregate" in plan
         assert "CartesianProduct" not in plan
+
+    def test_gopher_repetition_projection_side_has_no_shuffle(self, spark):
+        # the dup-n-gram fractions are array projections; the only
+        # aggregates are the (doc_id, word) count pair, and the join back
+        # is on doc_id — no cartesian, no python boundary
+        plan = plan_of(spark, "q216_gopher_repetition")
+        assert "Python" not in plan and "CartesianProduct" not in plan
+
+    def test_pmi_topk_take_ordered(self, spark):
+        # top-50 by rounded PMI compiles to TakeOrderedAndProject; the
+        # 1-row total relation broadcasts
+        plan = plan_of(spark, "q217_pmi_collocations")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_gap_fill_windows_share_user_shuffle(self, spark):
+        # grid explode is map-side over the per-user bounds; the running
+        # count window and the group-max window both hash on user_id
+        plan = plan_of(spark, "q218_gap_fill_resample")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_embedding_dim_stats_partial_agg(self, spark):
+        # posexplode fans out map-side; ONE exchange pair for the
+        # (label, dim) aggregate — fixed key space, partial agg first
+        plan = plan_of(spark, "q219_embedding_dim_stats")
+        assert plan.count("Exchange") <= 2
+        assert "HashAggregate" in plan
+        assert "Python" not in plan
