@@ -325,3 +325,126 @@ def q219_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("var_pop"),
     )
+
+
+@register(
+    "q220_duplicate_span_removal",
+    oracle="WITH " + _WORDPOS_CTE + """,
+    grams AS (
+        SELECT a.doc_id, a.pos,
+               a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS g
+        FROM wordpos a
+        JOIN wordpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN wordpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        JOIN wordpos d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+        JOIN wordpos e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+    cov AS (
+        SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+        FROM (
+            SELECT gr.doc_id, unnest(range(gr.pos, gr.pos + 5)) AS p
+            FROM grams gr JOIN dup ON gr.g = dup.g
+        )
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.w
+        FROM wordpos w
+        LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.p
+        WHERE cov.p IS NULL
+    ),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+        FROM wordpos GROUP BY doc_id
+    ),
+    covn AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        FROM cov GROUP BY doc_id
+    ),
+    keptagg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words,
+           COALESCE(c.n_removed, 0) AS n_removed,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.clean_md5, md5('')) AS clean_md5
+    FROM stats s
+    LEFT JOIN covn c ON s.doc_id = c.doc_id
+    LEFT JOIN keptagg k ON s.doc_id = k.doc_id
+    """,
+    survey_ref="north-star dedup family: exact duplicated-span removal "
+               "(the suffix-array substring dedup of Lee et al. 2022, "
+               "'Deduplicating Training Data Makes Language Models "
+               "Better', re-expressed as an inverted word-5-gram index) — "
+               "finer-grained than the q163 segment dedup",
+    doc="Remove every word position covered by a 5-gram that occurs more "
+        "than once in the corpus (cross- OR in-document — the Lee et al. "
+        "criterion), then rebuild the cleaned text per document. The "
+        "suffix array becomes an inverted index: one hash aggregate finds "
+        "duplicated grams, a semi-join marks their occurrences, a bounded "
+        "x5 explode marks covered positions, and an anti-join keeps the "
+        "rest. Every join is equi-keyed on (gram) or (doc_id, pos); "
+        "reconstruction is a per-document sorted collect bounded by "
+        "document length — at 100 TB nothing here is quadratic and no "
+        "relation is forced to broadcast.",
+)
+def q220_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = _words()
+    wordpos = docs.select(
+        "doc_id", F.posexplode(ws).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
+    grams = docs.select(
+        "doc_id", F.posexplode(_ngram_array(ws, 5)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    cov = (
+        grams.join(dup, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("p"),
+        )
+        .distinct()
+    )
+    kept = wordpos.join(
+        cov,
+        (wordpos.doc_id == cov.doc_id) & (wordpos.pos == cov.p),
+        "left_anti",
+    )
+    stats = wordpos.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words")
+    )
+    covn = cov.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_removed")
+    )
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        stats.join(covn, "doc_id", "left")
+        .join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

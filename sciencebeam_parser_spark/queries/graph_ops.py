@@ -511,3 +511,76 @@ def q210_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     global _Q210_RUNS
     _Q210_RUNS += 1
     return _run_append_sink(spark, joined, f"q210_mem_{_Q210_RUNS}")
+
+
+def _bfs_round_sql(prev: str, out: str) -> str:
+    """One unrolled BFS frontier expansion (min-dist union)."""
+    return f"""
+    {out} AS (
+        SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT v, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS v, r.dist + 1 AS dist
+            FROM {prev} r JOIN edges e ON e.src = r.v
+        ) GROUP BY v
+    )"""
+
+
+@register(
+    "q222_bfs_khop",
+    oracle="WITH " + _PR_EDGES_CTE + f""",
+    r0 AS (
+        SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    {_bfs_round_sql('r0', 'r1')},
+    {_bfs_round_sql('r1', 'r2')},
+    {_bfs_round_sql('r2', 'r3')}
+    SELECT v AS doc_id, dist FROM r3
+    """,
+    survey_ref="north-star graph family: k-hop BFS reachability (frontier "
+               "expansion with min-dist), the third iterative-graph "
+               "pattern beside PageRank (q177) and label-propagation "
+               "components (q110)",
+    doc="3-hop breadth-first reachability from a seed set over the "
+        "deterministic stride graph (same edge relation as q177 — any "
+        "edge table plugs in, e.g. the q110 near-dup pair graph for "
+        "transitive contamination closure). Each round is ONE equi-join "
+        "frontier expansion plus a min-dist aggregate, lineage cut per "
+        "round; state is the visited set, never the edge set, so at "
+        "100 TB the loop is the standard Pregel shape with edges "
+        "pre-partitioned by src.",
+)
+def q222_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.agg(F.count("*").alias("n"))
+    edges = (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "src",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+            "n",
+        )
+        .select(
+            "src",
+            ((F.col("src") + F.col("k") * _PR_STRIDE) % F.col("n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    reached = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("v"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        expanded = reached.join(edges, reached.v == edges.src).select(
+            F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist")
+        )
+        reached = (
+            reached.unionByName(expanded)
+            .groupBy("v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return reached.select(F.col("v").alias("doc_id"), "dist")

@@ -923,3 +923,108 @@ def q214_sorted_neighborhood_dedup(
 
     cand = side(1).unionByName(side(2))
     return cand.filter((F.col("name_dist") <= 5) & F.col("brand_match"))
+
+
+@register(
+    "q221_hll_time_rollup",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    split AS (
+        SELECT event_type, day, h % 64 AS bucket, h // 64 AS rest FROM hashed
+    ),
+    daily_regs AS (
+        SELECT event_type, day, bucket, max({_HLL_RHO_SQL}) AS r
+        FROM split GROUP BY event_type, day, bucket
+    ),
+    merged AS (
+        SELECT event_type, bucket, max(r) AS r
+        FROM daily_regs GROUP BY event_type, bucket
+    ),
+    folded AS (
+        SELECT event_type,
+               sum(1::BIGINT << (55 - r))
+                   + (64 - count(*)) * (1::BIGINT << 55) AS intsum,
+               64 - count(*) AS zeros
+        FROM merged GROUP BY event_type
+    ),
+    days AS (
+        SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        FROM hashed GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT h) AS BIGINT) AS exact
+        FROM hashed GROUP BY event_type
+    )
+    SELECT f.event_type, d.n_days,
+           round({_HLL_EST_SQL}, 3) AS estimate,
+           e.exact
+    FROM folded f
+    JOIN days d ON d.event_type = f.event_type
+    JOIN exact e ON e.event_type = f.event_type
+    """,
+    survey_ref="north-star corpus statistics: sketch ROLLUP over time — "
+               "daily HLL registers merged to the full range with max(), "
+               "proving the pre-aggregated-sketch serving pattern "
+               "(complements q198's union-mergeability row)",
+    doc="The production shape for distinct counts at 100 TB: persist 64 "
+        "HLL registers per (event_type, day) — a few hundred bytes — and "
+        "answer any date-range distinct query by max-merging registers, "
+        "never rescanning raw events. Register merge is associative and "
+        "commutative, so the daily partials ARE the partial aggregate; "
+        "this query materializes the daily sketch table and folds it to "
+        "the full-range estimate next to the exact count. Both "
+        "aggregations are map-side combinable; the register table's key "
+        "space is |types| x |days| x 64 — fixed and tiny.",
+)
+def q221_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    hashed = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        h.alias("h"),
+    )
+    split = hashed.select(
+        "event_type",
+        "day",
+        (F.col("h") % 64).alias("bucket"),
+        F.shiftright("h", 6).alias("rest"),  # exact, not double division
+    )
+    daily_regs = split.groupBy("event_type", "day", "bucket").agg(
+        F.max(F.expr(_HLL_RHO_SQL)).alias("r")
+    )
+    merged = daily_regs.groupBy("event_type", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    folded = merged.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("CAST(1 AS BIGINT) << (55 - r)"))
+            + (64 - F.count("*")) * F.lit(1 << 55)
+        ).cast("long").alias("intsum"),
+        (64 - F.count("*")).cast("long").alias("zeros"),
+    )
+    days = hashed.groupBy("event_type").agg(
+        F.count_distinct("day").cast("long").alias("n_days")
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count_distinct("h").cast("long").alias("exact")
+    )
+    return (
+        folded.join(days, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.expr(_HLL_EST_SQL), 3).alias("estimate"),
+            "exact",
+        )
+    )

@@ -145,3 +145,84 @@ class TestEmbeddingDimStats:
         assert total == 500  # every vector contributes to every dim
         for r in rows:
             assert r["var_pop"] >= -1e-9  # population variance (up to rounding)
+
+
+class TestDuplicateSpanRemoval:
+    def test_matches_pure_python_model(self, spark):
+        """Recompute the Lee-et-al. span removal in pure Python over the
+        whole sf0.001 corpus and compare every per-doc stat."""
+        import hashlib
+        from collections import Counter
+
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+        gram_counts: Counter = Counter()
+        words_by_doc = {}
+        for doc_id, text in docs:
+            words = _py_words(text)
+            words_by_doc[doc_id] = words
+            for i in range(len(words) - 4):
+                gram_counts[" ".join(words[i : i + 5])] += 1
+        rows = {
+            r["doc_id"]: r
+            for r in REGISTRY["q220_duplicate_span_removal"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        checked_removed = 0
+        for doc_id, words in words_by_doc.items():
+            if not words:
+                assert doc_id not in rows
+                continue
+            covered = set()
+            for i in range(len(words) - 4):
+                if gram_counts[" ".join(words[i : i + 5])] > 1:
+                    covered.update(range(i, i + 5))
+            kept = [w for i, w in enumerate(words) if i not in covered]
+            r = rows[doc_id]
+            assert r["n_words"] == len(words)
+            assert r["n_removed"] == len(covered)
+            assert r["n_kept"] == len(words) - len(covered)
+            assert r["clean_md5"] == hashlib.md5(
+                " ".join(kept).encode()
+            ).hexdigest()
+            checked_removed += len(covered)
+        assert checked_removed > 0  # the corpus does contain repeated spans
+
+    def test_counts_are_consistent(self, spark):
+        for r in REGISTRY["q220_duplicate_span_removal"].build(spark, SF_DIR).collect():
+            assert r["n_removed"] + r["n_kept"] == r["n_words"]
+            assert r["n_removed"] >= 0
+
+
+class TestBfsKhop:
+    def test_matches_pure_python_bfs(self, spark):
+        rows = {
+            r["doc_id"]: r["dist"]
+            for r in REGISTRY["q222_bfs_khop"].build(spark, SF_DIR).collect()
+        }
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        adj = {
+            v: [
+                (v + k * 97) % n
+                for k in (1, 2, 3)
+                if (v + k * 97) % n != v
+            ]
+            for v in range(n)
+        }
+        dist = {v: 0 for v in range(n) if v % 97 == 0}
+        frontier = list(dist)
+        for d in (1, 2, 3):
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in dist:
+                        dist[u] = d
+                        nxt.append(u)
+            frontier = nxt
+        assert rows == dist

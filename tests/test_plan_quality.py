@@ -391,3 +391,23 @@ class TestRound4cPlanShapes:
         assert plan.count("Exchange") <= 2
         assert "HashAggregate" in plan
         assert "Python" not in plan
+
+    def test_span_removal_joins_are_equi(self, spark):
+        # gram dedup is a semi-join on the gram key; coverage anti-join is
+        # equi on (doc_id, pos) — nothing quadratic, no python boundary
+        plan = plan_of(spark, "q220_duplicate_span_removal")
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_hll_rollup_registers_partial_aggregate(self, spark):
+        # daily registers and the merge are both max() hash aggregates —
+        # partial map-side, tiny fixed key space
+        plan = plan_of(spark, "q221_hll_time_rollup")
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bfs_rounds_cut_lineage(self, spark):
+        # after 3 localCheckpoint'ed rounds the final plan must not
+        # re-derive the whole loop: the checkpoint scan is the leaf
+        plan = plan_of(spark, "q222_bfs_khop")
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

@@ -14,6 +14,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from sciencebeam_parser_spark.queries import REGISTRY
+
 
 class TestHllMath:
     def test_rho_matches_python(self, spark):
@@ -551,3 +553,47 @@ class TestHistogramSkewRegression:
         # was 1 and the estimate flew past 3900
         assert 0 <= row.p50_est <= binw
         assert 0 <= row.p90_est <= binw
+
+
+class TestHllTimeRollup:
+    def test_merge_equals_direct_sketch(self, spark):
+        """Associativity: the estimate folded from daily registers must
+        equal the estimate of a single sketch over the whole range —
+        recomputed here in pure Python from the same md5 hash."""
+        import hashlib
+
+        import duckdb
+
+        rows = {
+            r["event_type"]: r
+            for r in REGISTRY["q221_hll_time_rollup"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        con = duckdb.connect()
+        pairs = con.execute(
+            "SELECT DISTINCT event_type, user_id FROM "
+            "'/root/testdata/sf0.001/events.parquet'"
+        ).fetchall()
+        regs: dict[str, list[int]] = {}
+        exact: dict[str, set] = {}
+        for et, uid in pairs:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+            bucket, rest = h % 64, h >> 6
+            rho = 55 if rest == 0 else 55 - rest.bit_length()
+            regs.setdefault(et, [0] * 64)
+            regs[et][bucket] = max(regs[et][bucket], rho)
+            exact.setdefault(et, set()).add(h)
+        for et, r in rows.items():
+            rs = regs[et]
+            intsum = sum(1 << (55 - x) for x in rs if x > 0) + sum(
+                1 for x in rs if x == 0
+            ) * (1 << 55)
+            zeros = sum(1 for x in rs if x == 0)
+            est = 0.709 * 4096 * 3.6028797018963968e16 / intsum
+            if est <= 160 and zeros > 0:
+                import math
+
+                est = 64 * math.log(64 / zeros)
+            assert abs(r["estimate"] - round(est, 3)) < 1e-6
+            assert r["exact"] == len(exact[et])
