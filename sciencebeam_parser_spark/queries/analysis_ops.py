@@ -448,3 +448,140 @@ def q220_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (q223)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_VOCAB = 100
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One unrolled BPE merge round: adjacent-pair counts weighted by word
+    frequency, best (non-self) pair by (weight desc, a, b), then a
+    triple substring replace (space-delimited tokens, so plain replace()
+    is exact; three passes reach the fixpoint for distinct-symbol pairs —
+    see the q223 doc)."""
+    rep = (
+        "trim(replace(replace(replace(' ' || seq || ' ',"
+        " ' '||a||' '||b||' ', ' '||a||b||' '),"
+        " ' '||a||' '||b||' ', ' '||a||b||' '),"
+        " ' '||a||' '||b||' ', ' '||a||b||' '))"
+    )
+    return f"""
+    sy{r} AS (
+        SELECT word, cnt,
+               unnest(string_split(seq, ' ')) AS sym,
+               unnest(range(1, len(string_split(seq, ' ')) + 1)) AS pos
+        FROM {prev}
+    ),
+    p{r} AS (
+        SELECT x.sym AS a, y.sym AS b, sum(x.cnt) AS wsum
+        FROM sy{r} x JOIN sy{r} y ON x.word = y.word AND y.pos = x.pos + 1
+        WHERE x.sym <> y.sym
+        GROUP BY x.sym, y.sym
+    ),
+    b{r} AS (SELECT a, b FROM p{r} ORDER BY wsum DESC, a, b LIMIT 1),
+    v{r} AS (
+        SELECT word, cnt, {rep} AS seq
+        FROM {prev} CROSS JOIN b{r}
+    )"""
+
+
+@register(
+    "q223_bpe_merge_train",
+    oracle="WITH " + _WORDPOS_CTE + f""",
+    wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM wordpos GROUP BY w
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB}
+    ),
+    {",".join(_bpe_round_sql(f'v{r - 1}', r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT v.word, v.cnt, v.seq AS tokens,
+           CAST(len(string_split(v.seq, ' ')) AS BIGINT) AS n_tokens,
+           b1.a || '+' || b1.b AS merge1,
+           b2.a || '+' || b2.b AS merge2,
+           b3.a || '+' || b3.b AS merge3
+    FROM v{_BPE_ROUNDS} v CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+    """,
+    survey_ref="north-star tokenizer family: iterative BPE merge TRAINING "
+               "(3 unrolled rounds over the word-frequency table) — "
+               "completes q180's single-round pair counting",
+    doc="Byte-pair-encoding training as dataflow: ONE corpus pass builds "
+        "the (word, count) table — the map-side-combinable heavy step at "
+        "100 TB — then 3 merge rounds run on the top-100 vocabulary "
+        "(tiny, like every real BPE trainer: Sennrich et al. 2016 train "
+        "on the word histogram, not the corpus). Each round: adjacent "
+        "symbol pairs weighted by word count, best non-self pair by "
+        "(weight, then lexicographic), merge applied as a space-"
+        "delimited substring replace. Self-pairs (a,a) are excluded so "
+        "occurrences are token-disjoint, which makes replace-to-fixpoint "
+        "equal the greedy left-to-right BPE merge; three replace passes "
+        "reach the fixpoint (a pass only misses an occurrence whose "
+        "leading space was consumed by the previous match, and merging "
+        "that neighbor isolates it for the next pass). The 1-row best-"
+        "pair relation broadcasts; nothing in the loop ever reshuffles "
+        "the corpus.",
+)
+def q223_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab = (
+        wc.orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_VOCAB)
+        .select(
+            "word",
+            "cnt",
+            F.btrim(
+                F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("seq"),
+        )
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.col("seq"), " ")
+        pair = F.zip_with(
+            syms,
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pairs = (
+            vocab.select("cnt", F.explode(pair).alias("p"))
+            .filter(
+                F.col("p.b").isNotNull() & (F.col("p.a") != F.col("p.b"))
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("wsum"))
+        )
+        best = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).select("a", "b")
+        merges.append(
+            best.select(
+                F.concat_ws("+", "a", "b").alias(f"merge{r}")
+            )
+        )
+        pat = F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" "))
+        rep = F.concat(F.lit(" "), "a", F.col("b"), F.lit(" "))
+        padded = F.concat(F.lit(" "), "seq", F.lit(" "))
+        merged = F.replace(F.replace(F.replace(padded, pat, rep), pat, rep), pat, rep)
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", F.btrim(merged).alias("seq")
+        )
+    out = vocab.select(
+        "word",
+        "cnt",
+        F.col("seq").alias("tokens"),
+        F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+    )
+    for m in merges:
+        out = out.crossJoin(F.broadcast(m))
+    return out
