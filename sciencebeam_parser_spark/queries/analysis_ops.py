@@ -457,6 +457,16 @@ def q220_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 _BPE_VOCAB = 100
 
+# the triple space-delimited replace used by train (q223) and encode (q224):
+# both engines apply EXACTLY three passes, so they agree even on words where
+# alternating overlaps would need more passes to reach the true fixpoint
+_BPE_REP_SQL = (
+    "trim(replace(replace(replace(' ' || seq || ' ',"
+    " ' '||a||' '||b||' ', ' '||a||b||' '),"
+    " ' '||a||' '||b||' ', ' '||a||b||' '),"
+    " ' '||a||' '||b||' ', ' '||a||b||' '))"
+)
+
 
 def _bpe_round_sql(prev: str, r: int) -> str:
     """One unrolled BPE merge round: adjacent-pair counts weighted by word
@@ -464,12 +474,7 @@ def _bpe_round_sql(prev: str, r: int) -> str:
     triple substring replace (space-delimited tokens, so plain replace()
     is exact; three passes reach the fixpoint for distinct-symbol pairs —
     see the q223 doc)."""
-    rep = (
-        "trim(replace(replace(replace(' ' || seq || ' ',"
-        " ' '||a||' '||b||' ', ' '||a||b||' '),"
-        " ' '||a||' '||b||' ', ' '||a||b||' '),"
-        " ' '||a||' '||b||' ', ' '||a||b||' '))"
-    )
+    rep = _BPE_REP_SQL
     return f"""
     sy{r} AS (
         SELECT word, cnt,
@@ -530,25 +535,61 @@ def _bpe_round_sql(prev: str, r: int) -> str:
         "the corpus.",
 )
 def q223_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _word_counts(spark, sf_dir)
+    vocab, bests = _bpe_train(wc)
+    out = vocab.select(
+        "word",
+        "cnt",
+        F.col("seq").alias("tokens"),
+        F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+    )
+    for r, best in enumerate(bests, start=1):
+        out = out.crossJoin(
+            F.broadcast(
+                best.select(F.concat_ws("+", "a", "b").alias(f"merge{r}"))
+            )
+        )
+    return out
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (word, count) histogram — the single corpus-wide pass shared by
+    BPE train and encode; map-side combinable at any scale."""
     docs = table(spark, sf_dir, "documents")
-    wc = (
+    return (
         docs.select(F.explode(_words()).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def _char_seq(col):
+    """Word → space-delimited character sequence (the BPE start state)."""
+    return F.btrim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _apply_merge(seq_col):
+    """Triple space-delimited replace of the (a, b) pair in scope — the
+    Spark twin of _BPE_REP_SQL."""
+    pat = F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" "))
+    rep = F.concat(F.lit(" "), "a", F.col("b"), F.lit(" "))
+    padded = F.concat(F.lit(" "), seq_col, F.lit(" "))
+    return F.btrim(
+        F.replace(F.replace(F.replace(padded, pat, rep), pat, rep), pat, rep)
+    )
+
+
+def _bpe_train(wc: DataFrame):
+    """Run _BPE_ROUNDS merge rounds on the top-_BPE_VOCAB word histogram.
+    Returns (merged vocab with `seq`, [1-row (a, b) DataFrames in merge
+    order]). Every relation in the loop is vocabulary-sized."""
     vocab = (
         wc.orderBy(F.desc("cnt"), "word")
         .limit(_BPE_VOCAB)
-        .select(
-            "word",
-            "cnt",
-            F.btrim(
-                F.regexp_replace(F.col("word"), "(.)", "$1 ")
-            ).alias("seq"),
-        )
+        .select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
     )
-    merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    bests = []
+    for _ in range(_BPE_ROUNDS):
         syms = F.split(F.col("seq"), " ")
         pair = F.zip_with(
             syms,
@@ -564,24 +605,72 @@ def q223_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("wsum"))
         )
         best = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).select("a", "b")
-        merges.append(
-            best.select(
-                F.concat_ws("+", "a", "b").alias(f"merge{r}")
-            )
-        )
-        pat = F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" "))
-        rep = F.concat(F.lit(" "), "a", F.col("b"), F.lit(" "))
-        padded = F.concat(F.lit(" "), "seq", F.lit(" "))
-        merged = F.replace(F.replace(F.replace(padded, pat, rep), pat, rep), pat, rep)
+        bests.append(best)
         vocab = vocab.crossJoin(F.broadcast(best)).select(
-            "word", "cnt", F.btrim(merged).alias("seq")
+            "word", "cnt", _apply_merge(F.col("seq")).alias("seq")
         )
-    out = vocab.select(
+    return vocab, bests
+
+
+def _bpe_encode_sql(prev: str, r: int) -> str:
+    """One encode pass: apply the already-trained b{r} merge to every word."""
+    return f"""
+    e{r} AS (
+        SELECT word, cnt, {_BPE_REP_SQL} AS seq
+        FROM {prev} CROSS JOIN b{r}
+    )"""
+
+
+@register(
+    "q224_bpe_encode",
+    oracle="WITH " + _WORDPOS_CTE + f""",
+    wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM wordpos GROUP BY w
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB}
+    ),
+    {",".join(_bpe_round_sql(f'v{r - 1}', r) for r in range(1, _BPE_ROUNDS + 1))},
+    e0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wc
+    ),
+    {",".join(_bpe_encode_sql(f'e{r - 1}', r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT word, cnt, seq AS tokens,
+           CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(replace(word, ' ', '')) AS BIGINT) AS n_chars
+    FROM e{_BPE_ROUNDS}
+    """,
+    survey_ref="north-star tokenizer family: BPE ENCODE — apply the q223-"
+               "trained merge list to the full word-type table (the "
+               "tokenize-the-corpus step)",
+    doc="BPE encoding as dataflow, closing the train→encode loop with "
+        "q223: the trained merge list (each merge a 1-row broadcast "
+        "relation) is applied IN TRAINING ORDER to every distinct word "
+        "in the corpus — the word-TYPE table, which is what production "
+        "tokenizers cache (encode once per type, then join tokens back "
+        "to occurrences); at 100 TB the type table is millions of rows "
+        "while the corpus is trillions, so encoding never touches the "
+        "token stream. Each merge application is a codegen'd string "
+        "replace — a map over the type table with zero shuffles after "
+        "the one histogram aggregate.",
+)
+def q224_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _word_counts(spark, sf_dir)
+    _, bests = _bpe_train(wc)
+    enc = wc.select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
+    for best in bests:
+        enc = enc.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", _apply_merge(F.col("seq")).alias("seq")
+        )
+    return enc.select(
         "word",
         "cnt",
         F.col("seq").alias("tokens"),
         F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+        F.length(F.replace(F.col("word"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
     )
-    for m in merges:
-        out = out.crossJoin(F.broadcast(m))
-    return out

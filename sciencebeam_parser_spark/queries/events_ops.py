@@ -883,3 +883,104 @@ def q187_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+_EWMA_DEPTH = 8
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """SQL numerator/denominator sums for the truncated integer EWMA:
+    weight 2^(depth-k) for the k-th lag (k=1..depth), a lag that falls off
+    the start of the series contributes to neither sum."""
+    num = " + ".join(
+        f"CASE WHEN lag(n, {k}) OVER w IS NULL THEN 0 "
+        f"ELSE lag(n, {k}) OVER w * {1 << (_EWMA_DEPTH - k)} END"
+        for k in range(1, _EWMA_DEPTH + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(n, {k}) OVER w IS NULL THEN 0 "
+        f"ELSE {1 << (_EWMA_DEPTH - k)} END"
+        for k in range(1, _EWMA_DEPTH + 1)
+    )
+    return num, den
+
+
+@register(
+    "q225_ewma_spike",
+    # truncated exponentially-weighted moving average of the PAST 8 daily
+    # counts (weights 2^7..2^0 — halving, i.e. alpha=1/2), all in exact
+    # int64 arithmetic; the spike gate n > 2*EWMA is cross-multiplied
+    # (n*den > 2*num) so no float ever enters the comparison
+    oracle=(
+        lambda num_den=_ewma_terms_sql(): f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               CAST({num_den[0]} AS BIGINT) AS ewma_num,
+               CAST({num_den[1]} AS BIGINT) AS ewma_den
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, n, ewma_num, ewma_den,
+           CASE WHEN ewma_den = 0 THEN NULL
+                ELSE round(CAST(ewma_num AS DOUBLE) / ewma_den, 4)
+           END AS ewma,
+           CASE WHEN ewma_den > 0 AND n * ewma_den > 2 * ewma_num
+                THEN TRUE ELSE FALSE END AS is_spike
+    FROM scored
+    """
+    )(),
+    survey_ref="engine-general analytics/observability (beside q187 "
+               "z-scores): EWMA trend baseline + spike gate — the "
+               "ingest-volume monitor that adapts to drift, in exact "
+               "integer arithmetic",
+    doc="Truncated-EWMA spike detection over the per-type daily series: "
+        "weights halve over the last 8 observations (alpha=1/2 "
+        "exponential smoothing cut at depth 8), kept as an integer "
+        "numerator/denominator pair so the 2x-over-baseline gate is a "
+        "pure int64 cross-multiplication — bit-exact across engines, "
+        "unlike float-accumulated EWMA. One shuffle on event_type; "
+        "per-key window state is the 8-row lag buffer, bounded "
+        "regardless of series length. Complements q187 (global z-score) "
+        "with a drift-adaptive local baseline.",
+)
+def q225_ewma_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for k in range(1, _EWMA_DEPTH + 1):
+        lagged = F.lag("n", k).over(w)
+        weight = 1 << (_EWMA_DEPTH - k)
+        t_num = F.when(lagged.isNull(), F.lit(0)).otherwise(lagged * weight)
+        t_den = F.when(lagged.isNull(), F.lit(0)).otherwise(F.lit(weight))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n",
+        "ewma_num",
+        "ewma_den",
+        F.round(
+            F.try_divide(F.col("ewma_num").cast("double"), F.col("ewma_den")), 4
+        ).alias("ewma"),
+        (
+            (F.col("ewma_den") > 0)
+            & (F.col("n") * F.col("ewma_den") > 2 * F.col("ewma_num"))
+        ).alias("is_spike"),
+    )

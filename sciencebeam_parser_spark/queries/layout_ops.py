@@ -281,3 +281,73 @@ def q191_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
+
+
+@register(
+    "q227_dynamic_partition_pruning",
+    # the dim (top-3 purchase days) is RUNTIME-derived — no static filter
+    # can prune the fact scan at plan time; dynamic partition pruning
+    # injects the dim's day set into the fact's partition filter at
+    # execution (DynamicPruningExpression on the scan, pinned in
+    # test_plan_quality.py)
+    oracle="""
+    WITH fact AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+    ),
+    busiest AS (
+        SELECT day FROM (
+            SELECT day, count(*) AS n
+            FROM fact WHERE event_type = 'purchase'
+            GROUP BY day
+        ) ORDER BY n DESC, day LIMIT 3
+    )
+    SELECT f.day, f.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM fact f JOIN busiest b ON b.day = f.day
+    GROUP BY f.day, f.event_type
+    """,
+    survey_ref="§2B scans + §4 optimizer surface: DYNAMIC partition "
+               "pruning — the runtime half of q149's static pruning; at "
+               "100 TB the difference between scanning 3 day-partitions "
+               "and scanning the year",
+    doc="Day-partitioned fact table joined against a runtime-derived "
+        "dimension (the 3 busiest purchase days): the dim is an "
+        "aggregate, so no static predicate exists at plan time — "
+        "dynamic partition pruning broadcasts the dim's day set and "
+        "prunes fact partitions at execution, reusing the join's own "
+        "broadcast exchange. The fact write exercises the partitioned "
+        "sink; value sums are floor-cents int64 so the aggregate is "
+        "engine-exact.",
+)
+def q227_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    fact = spark.read.parquet(out_dir)
+    busiest = (
+        fact.filter(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "day")
+        .limit(3)
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(busiest), "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

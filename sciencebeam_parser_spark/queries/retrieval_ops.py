@@ -1034,3 +1034,142 @@ def q215_ivf_trained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: per-subspace k-means -> code assignment (q226)
+# --------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = _KM_DIM // _PQ_M
+_PQ_K = 4        # codebook entries per subspace
+
+
+def _pq_assign_sql(qvtab: str, cent: str, out: str, dim: int) -> str:
+    """Nearest-centroid assignment WITH the distance kept (the PQ
+    reconstruction error needs it); dim-parameterized twin of
+    _km_assign_sql."""
+    return f"""
+    {out} AS (
+        SELECT vec_id, q, cid, dist FROM (
+            SELECT vec_id, q, cid, dist,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM (
+                SELECT v.vec_id, v.q, c.cid,
+                       list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+                                 FOR i IN range(1, {dim + 1})]) AS dist
+                FROM {qvtab} v CROSS JOIN {cent} c
+            )
+        ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_sql(assign: str, out: str, dim: int) -> str:
+    return f"""
+    {out}_u AS (
+        SELECT cid, CAST(i AS INT) AS i,
+               sum(q[CAST(i AS INT)]) AS s, count(*) AS n
+        FROM {assign}, unnest(range(1, {dim + 1})) t(i)
+        GROUP BY cid, i
+    ),
+    {out} AS (
+        SELECT cid,
+               list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY i) AS c
+        FROM {out}_u GROUP BY cid
+    )"""
+
+
+def _pq_subspace_sql(m: int) -> str:
+    """Train (2 Lloyd rounds) + final assign for subspace m."""
+    lo = m * _PQ_SUBDIM + 1
+    hi = (m + 1) * _PQ_SUBDIM
+    return f"""
+    qv{m} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM qv),
+    cs{m}0 AS (SELECT vec_id AS cid, q AS c FROM qv{m} WHERE vec_id < {_PQ_K}),
+    {_pq_assign_sql(f'qv{m}', f'cs{m}0', f'as{m}1', _PQ_SUBDIM)},
+    {_pq_update_sql(f'as{m}1', f'cs{m}1', _PQ_SUBDIM)},
+    {_pq_assign_sql(f'qv{m}', f'cs{m}1', f'as{m}2', _PQ_SUBDIM)},
+    {_pq_update_sql(f'as{m}2', f'cs{m}2', _PQ_SUBDIM)},
+    {_pq_assign_sql(f'qv{m}', f'cs{m}2', f'as{m}3', _PQ_SUBDIM)}"""
+
+
+@register(
+    "q226_pq_codes",
+    # product quantization: the 64-dim integer vector splits into 4
+    # 16-dim subvectors; each subspace trains its own k=4 codebook with
+    # the q212 Lloyd loop (2 unrolled rounds, integer arithmetic), and a
+    # vector's code is its nearest codebook entry per subspace. The
+    # total reconstruction error is the exact int64 sum of per-subspace
+    # distances.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + ","
+    + ",".join(_pq_subspace_sql(m) for m in range(_PQ_M))
+    + """
+    SELECT a0.vec_id,
+           a0.cid AS code0, a1.cid AS code1,
+           a2.cid AS code2, a3.cid AS code3,
+           CAST(a0.dist + a1.dist + a2.dist + a3.dist AS BIGINT)
+               AS total_err
+    FROM as03 a0
+    JOIN as13 a1 ON a1.vec_id = a0.vec_id
+    JOIN as23 a2 ON a2.vec_id = a0.vec_id
+    JOIN as33 a3 ON a3.vec_id = a0.vec_id
+    """,
+    survey_ref="north-star similarity search: product-quantization "
+               "codebook training + encoding — the PQ half of a "
+               "FAISS-style IVF-PQ index beside q215's IVF half",
+    doc="Product quantization end-to-end: each of 4 subspaces trains an "
+        "independent k=4 codebook (deterministic integer Lloyd rounds, "
+        "same machinery as q212), then every vector is encoded as 4 "
+        "code ids + its exact int64 reconstruction error. Spark shape: "
+        "the 16 trained codebook rows union into ONE broadcast relation "
+        "keyed by subspace; vectors explode to (vec_id, subspace, "
+        "subvector) — bounded 4x fan-out — and a single broadcast join "
+        "+ per-(vec, subspace) top-1 window assigns all codes in one "
+        "shuffle. At 100 TB the codebooks stay KB-sized while vectors "
+        "compress 64 dims -> 4 bytes, which is the point of PQ.",
+)
+def q226_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    cents = []
+    for m in range(_PQ_M):
+        qm = qv.select(
+            "vec_id",
+            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q"),
+        )
+        _, cent = _km_train(qm, _PQ_K, iters=2)
+        cents.append(cent.select(F.lit(m).alias("m"), "cid", "c"))
+    cent_all = cents[0]
+    for c in cents[1:]:
+        cent_all = cent_all.unionByName(c)
+    cent_all = cent_all.localCheckpoint()  # 16 rows, reused by the join
+    subv = qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sq"),
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    assigned = (
+        subv.join(F.broadcast(cent_all), "m")
+        .withColumn("dist", _km_sq_dist("sq", "c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "dist")
+    )
+    code = lambda m: F.max(F.when(F.col("m") == m, F.col("cid")))  # noqa: E731
+    return assigned.groupBy("vec_id").agg(
+        code(0).alias("code0"),
+        code(1).alias("code1"),
+        code(2).alias("code2"),
+        code(3).alias("code3"),
+        F.sum("dist").cast("long").alias("total_err"),
+    )

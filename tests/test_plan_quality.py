@@ -411,3 +411,31 @@ class TestRound4cPlanShapes:
         # re-derive the whole loop: the checkpoint scan is the leaf
         plan = plan_of(spark, "q222_bfs_khop")
         assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+    def test_bpe_encode_no_corpus_reshuffle(self, spark):
+        # encode applies broadcast 1-row merges to the word-type table:
+        # no sort-merge join, no cartesian against anything corpus-sized
+        plan = plan_of(spark, "q224_bpe_encode")
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+
+    def test_ewma_single_shuffle(self, spark):
+        # daily agg + 8-lag window share the event_type hash partitioning:
+        # exactly one Exchange after the scan-side partial aggregate
+        plan = plan_of(spark, "q225_ewma_spike")
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "CartesianProduct" not in plan
+
+    def test_pq_codes_codebook_broadcast(self, spark):
+        # code assignment joins the 16-row codebook via broadcast; the
+        # only corpus-sized shuffle is the per-(vec, subspace) window
+        plan = plan_of(spark, "q226_pq_codes")
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dynamic_partition_pruning_fires(self, spark):
+        # the runtime-derived dim must prune the day-partitioned fact
+        # scan: DynamicPruning subquery present on the scan's
+        # PartitionFilters
+        plan = plan_of(spark, "q227_dynamic_partition_pruning")
+        assert "dynamicpruning" in plan.lower()
