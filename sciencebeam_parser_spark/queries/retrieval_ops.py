@@ -1173,3 +1173,184 @@ def q226_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         code(3).alias("code3"),
         F.sum("dist").cast("long").alias("total_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ search: coarse probe + asymmetric-distance PQ scoring (q228)
+# --------------------------------------------------------------------------
+
+
+def _pq_dtab_sql(m: int) -> str:
+    """Per-query distance table for subspace m: exact int64 distance from
+    the query's m-th subvector to each of the k codebook entries."""
+    off = m * _PQ_SUBDIM
+    return f"""
+    dt{m} AS (
+        SELECT s.qid, {m} AS m, c.cid,
+               list_sum([(s.q[{off} + i] - c.c[i]) * (s.q[{off} + i] - c.c[i])
+                         FOR i IN range(1, {_PQ_SUBDIM + 1})]) AS d
+        FROM qset s CROSS JOIN cs{m}2 c
+    )"""
+
+
+@register(
+    "q228_ivfpq_search",
+    # the FAISS IVF-PQ search pattern end-to-end, deterministic: the q215
+    # coarse quantizer (k=8, nprobe=2) restricts candidates to 2 clusters;
+    # the q226 PQ codebooks encode every vector as 4 codes; each query
+    # precomputes a 4x4 distance TABLE to the codebook entries and scores
+    # candidates by summing 4 table lookups (asymmetric distance, ADC)
+    # instead of 64 subtractions — all int64-exact.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + ","
+    + _km_assign_sql("c2", "a3")
+    + ","
+    + ",".join(_pq_subspace_sql(m) for m in range(_PQ_M))
+    + f""",
+    qset AS (SELECT vec_id AS qid, q FROM qv WHERE vec_id % 100 = 0),
+    qprobe AS (SELECT qid, q AS qq FROM qset),
+    {_ivf_probe_sql("qprobe", "c2", "probe", _IVF_NPROBE)},
+    {",".join(_pq_dtab_sql(m) for m in range(_PQ_M))},
+    dtab AS (SELECT * FROM dt0 UNION ALL SELECT * FROM dt1
+             UNION ALL SELECT * FROM dt2 UNION ALL SELECT * FROM dt3),
+    codes AS (
+        SELECT vec_id, 0 AS m, cid FROM as03
+        UNION ALL SELECT vec_id, 1, cid FROM as13
+        UNION ALL SELECT vec_id, 2, cid FROM as23
+        UNION ALL SELECT vec_id, 3, cid FROM as33
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probe p JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id, CAST(sum(d.d) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN dtab d ON d.qid = c.qid AND d.m = k.m AND d.cid = k.cid
+        GROUP BY c.qid, c.vec_id
+    )
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY adc_dist, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_IVF_TOPK}
+    """,
+    survey_ref="north-star similarity-search capstone: IVF-PQ search — "
+               "coarse probe (q215) + PQ asymmetric-distance scoring "
+               "(q226 codebooks), the index structure production ANN "
+               "actually runs at 100 TB",
+    doc="IVF-PQ approximate search: queries probe their nprobe=2 coarse "
+        "clusters, then rank ONLY those clusters' members by asymmetric "
+        "distance — each query precomputes a (subspace x code) distance "
+        "table to the 16 codebook entries, and a candidate's score is 4 "
+        "table lookups summed, never a touch of the raw 64-dim vector. "
+        "Spark shape: codebooks and coarse centroids are broadcast "
+        "KB-scale relations; the candidate set is nprobe/k of the "
+        "corpus; scoring is an equi-join of exploded (vec, subspace, "
+        "code) rows against the broadcast distance table followed by "
+        "one hash aggregate — no full-width vector ever shuffles after "
+        "encoding, which is exactly why PQ exists.",
+)
+def q228_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    # coarse quantizer + inverted file (the q215 path)
+    _, coarse = _km_train(qv, _IVF_K, iters=2)
+    coarse = coarse.localCheckpoint()
+    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    inv = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _km_sq_dist())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # per-subspace PQ codebooks (the q226 path)
+    cents = []
+    for m in range(_PQ_M):
+        qm = qv.select(
+            "vec_id",
+            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q"),
+        )
+        _, cent = _km_train(qm, _PQ_K, iters=2)
+        cents.append(cent.select(F.lit(m).alias("m"), "cid", "c"))
+    cent_all = cents[0]
+    for c in cents[1:]:
+        cent_all = cent_all.unionByName(c)
+    cent_all = cent_all.localCheckpoint()
+    subv = qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sq"),
+    )
+    wc_ = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    codes = (
+        subv.join(F.broadcast(cent_all), "m")
+        .withColumn("dist", _km_sq_dist("sq", "c"))
+        .withColumn("rn", F.row_number().over(wc_))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    # queries: probe + ADC distance table
+    qset = qv.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "q"
+    )
+    wq = W.partitionBy("qid").orderBy("dist", "cid")
+    probe = (
+        qset.withColumnRenamed("q", "qq")
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _km_sq_dist("qq", "c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    dtab = (
+        qset.crossJoin(F.broadcast(cent_all))
+        .withColumn(
+            "d",
+            _km_sq_dist_cols(
+                F.slice("q", F.col("m") * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM)),
+                F.col("c"),
+            ),
+        )
+        .select("qid", "m", F.col("cid").alias("code"), "d")
+    )
+    cand = probe.join(inv, "cid").filter(F.col("vec_id") != F.col("qid"))
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    wr = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"), "rnk", "vec_id", "adc_dist"
+        )
+    )
+
+
+def _km_sq_dist_cols(qcol, ccol):
+    """_km_sq_dist over explicit Column expressions (not names)."""
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -439,3 +439,10 @@ class TestRound4cPlanShapes:
         # PartitionFilters
         plan = plan_of(spark, "q227_dynamic_partition_pruning")
         assert "dynamicpruning" in plan.lower()
+
+    def test_ivfpq_adc_join_broadcast(self, spark):
+        # ADC scoring joins exploded codes against the broadcast distance
+        # table — equi broadcast join, no cartesian against the corpus
+        plan = plan_of(spark, "q228_ivfpq_search")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
