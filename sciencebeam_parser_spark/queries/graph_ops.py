@@ -584,3 +584,123 @@ def q222_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return reached.select(F.col("v").alias("doc_id"), "dist")
+
+
+def _lpa_round_sql(prev: str, r: int) -> str:
+    """One synchronous label-propagation round: each node adopts the most
+    frequent label among its undirected neighbors; ties break to the
+    smallest label, so the round is deterministic on any engine."""
+    return f"""
+    best{r} AS (
+        SELECT v, label FROM (
+            SELECT u.src AS v, l.label,
+                   row_number() OVER (
+                       PARTITION BY u.src
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM uedges u JOIN {prev} l ON l.v = u.dst
+            GROUP BY u.src, l.label
+        ) WHERE rn = 1
+    ),
+    l{r} AS (
+        SELECT p.v, COALESCE(b.label, p.label) AS label
+        FROM {prev} p LEFT JOIN best{r} b ON b.v = p.v
+    )"""
+
+
+@register(
+    "q229_label_propagation",
+    # synchronous LPA, 2 unrolled rounds on the undirected q177 citation
+    # graph; init label = node id. Majority vote with (count desc, label)
+    # tie-break makes every round deterministic — async/random-order LPA
+    # is not restatable across engines.
+    oracle="WITH "
+    + _PR_EDGES_CTE
+    + """,
+    uedges AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS (SELECT v, v AS label FROM nodes),
+    """
+    + _lpa_round_sql("l0", 1)
+    + ","
+    + _lpa_round_sql("l1", 2)
+    + """
+    SELECT v AS doc_id, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l2
+    """,
+    survey_ref="engine-general iterative graph algorithms (beside q110 "
+               "components, q177 PageRank, q202 triangles, q222 BFS): "
+               "community detection — the cluster-then-sample corpus "
+               "curation step",
+    doc="Label-propagation community detection (Raghavan et al. 2007), "
+        "synchronous variant: every node simultaneously adopts the "
+        "majority label of its undirected neighbors, ties to the "
+        "smallest label; 2 unrolled rounds from identity labels. Each "
+        "round is one groupBy((node, label)) shuffle + a per-node top-1 "
+        "window sharing the same partitioning, with labels "
+        "localCheckpoint'ed to cut lineage — the Pregel shape of q177 "
+        "with a mode() vote instead of a sum.",
+)
+def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.agg(F.count("*").alias("n"))
+    edges = (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "src",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+            "n",
+        )
+        .select(
+            "src",
+            ((F.col("src") + F.col("k") * _PR_STRIDE) % F.col("n")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    uedges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("label")
+    )
+    for _ in range(2):
+        votes = (
+            uedges.join(
+                labels.withColumnRenamed("v", "dst"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = W.partitionBy("src").orderBy(F.desc("cnt"), "label")
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("v"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .select(
+                "v",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    wsz = W.partitionBy("label")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("community"),
+        F.count("*").over(wsz).cast("long").alias("community_size"),
+    )

@@ -446,3 +446,10 @@ class TestRound4cPlanShapes:
         plan = plan_of(spark, "q228_ivfpq_search")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_lpa_rounds_cut_lineage(self, spark):
+        # 2 localCheckpoint'ed voting rounds: the final plan reads the
+        # checkpoint, not the whole unrolled loop
+        plan = plan_of(spark, "q229_label_propagation")
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+        assert "CartesianProduct" not in plan
