@@ -1,0 +1,222 @@
+"""Semantic tests for the round-5 operator families: BPE train/encode
+(q223/q224), integer EWMA spike gate (q225), product quantization
+(q226/q228), and label-propagation communities (q229).
+
+Each test checks the operator against an independent pure-Python model on
+a tiny hand-built input — the same strategy as the reference's unit suite
+(SURVEY §5), complementing the DuckDB oracles that run on the synthetic
+corpus."""
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from sciencebeam_parser_spark.queries import REGISTRY
+from sciencebeam_parser_spark.queries.analysis_ops import (
+    _apply_merge,
+    _bpe_train,
+    _char_seq,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_bpe_train(word_counts: dict[str, int], vocab: int, rounds: int):
+    """Reference BPE trainer: pair counts weighted by word frequency,
+    best (non-self) pair by (weight desc, a, b), greedy left-to-right
+    merge."""
+    top = sorted(word_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab]
+    seqs = {w: list(w) for w, _ in top}
+    merges = []
+    for _ in range(rounds):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            cnt = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                if a != b:
+                    pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return seqs, merges
+
+
+class TestBpe:
+    WORDS = {
+        "low": 5,
+        "lower": 2,
+        "lowest": 6,
+        "newer": 3,
+        "wider": 1,
+    }
+
+    def _wc_df(self, spark):
+        return spark.createDataFrame(
+            [(w, c) for w, c in self.WORDS.items()], "word string, cnt long"
+        )
+
+    def test_trained_merges_match_python_model(self, spark):
+        _, bests = _bpe_train(self._wc_df(spark))
+        got = [
+            (r["a"], r["b"])
+            for best in bests
+            for r in best.collect()
+        ]
+        _, want = _py_bpe_train(self.WORDS, 100, 3)
+        assert got == want
+
+    def test_merged_sequences_match_python_model(self, spark):
+        vocab, _ = _bpe_train(self._wc_df(spark))
+        got = {r["word"]: r["seq"].split(" ") for r in vocab.collect()}
+        want, _ = _py_bpe_train(self.WORDS, 100, 3)
+        assert got == want
+
+    def test_apply_merge_is_greedy_left_to_right(self, spark):
+        # alternating overlaps: 'l o l o l o' with merge (o, l) — greedy
+        # merges positions 2-3 and 4-5, leaving the leading l and the
+        # trailing o untouched
+        df = spark.createDataFrame(
+            [("l o l o l o", "o", "l")], "seq string, a string, b string"
+        )
+        out = df.select(_apply_merge(F.col("seq")).alias("m")).first()["m"]
+        assert out == "l ol ol o"
+
+    def test_char_seq_round_trip(self, spark):
+        df = spark.createDataFrame([("abc",)], "w string")
+        assert df.select(_char_seq(F.col("w")).alias("s")).first()["s"] == "a b c"
+
+    def test_encode_covers_all_words_and_preserves_chars(self, spark):
+        out = REGISTRY["q224_bpe_encode"].build(spark, SF_DIR).collect()
+        assert len(out) > 0
+        for r in out:
+            # token concatenation reproduces the word byte-for-byte
+            assert "".join(r["tokens"].split(" ")) == r["word"]
+            assert r["n_tokens"] >= 1
+            assert r["n_chars"] == len(r["word"])
+
+
+class TestEwmaSpike:
+    def test_ewma_weights_halve(self, spark):
+        rows = REGISTRY["q225_ewma_spike"].build(spark, SF_DIR).collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for series in by_type.values():
+            series.sort(key=lambda r: r["day"])
+            for i, r in enumerate(series):
+                hist = [s["n"] for s in series[max(0, i - 8):i]][::-1]
+                num = sum(n * (1 << (8 - k)) for k, n in enumerate(hist, 1))
+                den = sum((1 << (8 - k)) for k in range(1, len(hist) + 1))
+                assert r["ewma_num"] == num
+                assert r["ewma_den"] == den
+                if den:
+                    assert r["is_spike"] == (r["n"] * den > 2 * num)
+                else:
+                    assert r["is_spike"] is False
+
+    def test_first_row_has_no_baseline(self, spark):
+        rows = REGISTRY["q225_ewma_spike"].build(spark, SF_DIR).collect()
+        firsts = {}
+        for r in rows:
+            cur = firsts.get(r["event_type"])
+            if cur is None or r["day"] < cur["day"]:
+                firsts[r["event_type"]] = r
+        for r in firsts.values():
+            assert r["ewma_den"] == 0
+            assert r["ewma"] is None
+            assert r["is_spike"] is False
+
+
+class TestProductQuantization:
+    def test_codes_in_codebook_range(self, spark):
+        rows = REGISTRY["q226_pq_codes"].build(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        for r in rows:
+            for m in range(4):
+                assert 0 <= r[f"code{m}"] < 4
+            assert r["total_err"] >= 0
+
+    def test_codebook_seed_vectors_have_low_error(self, spark):
+        # after 2 Lloyd rounds centroids move, but the 4 seed vectors
+        # should still sit closer to SOME codebook entry than the corpus
+        # median — sanity that assignment distances are real distances
+        rows = REGISTRY["q226_pq_codes"].build(spark, SF_DIR).collect()
+        errs = sorted(r["total_err"] for r in rows)
+        median = errs[len(errs) // 2]
+        seeds = [r for r in rows if r["vec_id"] < 4]
+        assert seeds
+        assert min(r["total_err"] for r in seeds) <= median
+
+    def test_ivfpq_topk_shape(self, spark):
+        rows = REGISTRY["q228_ivfpq_search"].build(spark, SF_DIR).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in per_q.items():
+            rs.sort(key=lambda r: r["rnk"])
+            assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+            dists = [r["adc_dist"] for r in rs]
+            assert dists == sorted(dists)
+            assert all(r["vec_id"] != qid for r in rs)
+
+
+class TestLabelPropagation:
+    def test_two_triangles_converge_to_two_communities(self, spark):
+        # graph: triangle {0,1,2} + triangle {10,11,12}; LPA with min
+        # tie-break collapses each triangle to its smallest id
+        from sciencebeam_parser_spark.queries.graph_ops import (  # noqa: F401
+            q229_label_propagation,
+        )
+
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+        uedges = spark.createDataFrame(
+            edges + [(b, a) for a, b in edges], "src long, dst long"
+        )
+        labels = spark.createDataFrame(
+            [(v, v) for v in [0, 1, 2, 10, 11, 12]], "v long, label long"
+        )
+        from pyspark.sql import Window as W
+
+        for _ in range(2):
+            votes = (
+                uedges.join(labels.withColumnRenamed("v", "dst"), "dst")
+                .groupBy("src", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            w = W.partitionBy("src").orderBy(F.desc("cnt"), "label")
+            best = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("src").alias("v"), F.col("label").alias("nl"))
+            )
+            labels = labels.join(best, "v", "left").select(
+                "v", F.coalesce("nl", "label").alias("label")
+            )
+        got = {r["v"]: r["label"] for r in labels.collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    def test_corpus_communities_are_nontrivial(self, spark):
+        rows = REGISTRY["q229_label_propagation"].build(spark, SF_DIR).collect()
+        n = len(rows)
+        communities = {r["community"] for r in rows}
+        # propagation must have merged labels: fewer communities than nodes
+        assert 1 <= len(communities) < n
+        # size column is consistent
+        sizes = Counter(r["community"] for r in rows)
+        for r in rows:
+            assert r["community_size"] == sizes[r["community"]]
