@@ -22,4 +22,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     warehouse_ops,
     retrieval_ops,
     analysis_ops,
+    governance_ops,
 )
