@@ -984,3 +984,197 @@ def q225_ewma_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * F.col("ewma_den") > 2 * F.col("ewma_num"))
         ).alias("is_spike"),
     )
+
+
+@register(
+    "q232_event_transitions",
+    # first-order Markov transition matrix over per-user event sequences:
+    # lag() pairs consecutive events, one hash aggregate counts
+    # transitions, and the row-normalized probability joins back the
+    # per-prev totals (broadcast-sized: |event_type|^2 keys).
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (
+        SELECT prev_type, sum(n) AS tot FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           round(CAST(t.n AS DOUBLE) / o.tot, 4) AS p
+    FROM trans t JOIN totals o ON o.prev_type = t.prev_type
+    """,
+    survey_ref="engine-general clickstream analytics (beside q138 funnel, "
+               "q186 retention): first-order Markov transition matrix — "
+               "the path-analysis aggregate",
+    doc="Event-transition matrix: per-user sequences ordered by "
+        "(ts, event_id) pair consecutive events via lag, transitions "
+        "hash-aggregate to a |types|^2-row matrix, and per-row "
+        "probabilities normalize by the source state's total (broadcast "
+        "join — the matrix is tiny at any corpus size). One user_id "
+        "shuffle for the window, then map-side-combinable aggregates; "
+        "the deterministic (ts, event_id) tiebreak makes the lag "
+        "engine-exact.",
+)
+def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p"),
+    )
+
+
+@register(
+    "q234_rolling_distinct_users",
+    # 7-day rolling distinct users (the WAU curve): count distinct over a
+    # sliding date range is not a native window aggregate, so the scale
+    # shape is the offset-explode rewrite — each (day, user) pair fans
+    # out to the 7 report days it contributes to (bounded 7x map-side
+    # fan-out), then ONE distinct aggregate per report day. No range
+    # join, no per-day self-join.
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs),
+    fanned AS (
+        SELECT p.day + CAST(o.o AS INTEGER) AS report_day, p.user_id
+        FROM pairs p, unnest(range(0, 7)) o(o)
+    )
+    SELECT f.report_day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM fanned f
+    WHERE f.report_day IN (SELECT day FROM days)
+    GROUP BY f.report_day
+    """,
+    survey_ref="engine-general analytics: rolling-window distinct "
+               "(weekly-active-users) via the offset-explode rewrite — "
+               "the sliding count-distinct no engine supports natively",
+    doc="Rolling 7-day distinct users per day: (day, user) pairs "
+        "deduplicate once, then each pair explodes to the 7 report days "
+        "its user counts toward and one hash aggregate per report day "
+        "counts distinct users — the bounded-fan-out rewrite of a "
+        "sliding COUNT(DISTINCT) window, which neither Spark nor any "
+        "SQL engine evaluates natively over a RANGE frame. Report days "
+        "semi-join the observed-day set so trailing phantom days drop. "
+        "At 100 TB: fan-out is exactly 7x the deduped pair count and "
+        "every aggregate is map-side combinable.",
+)
+def q234_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    fanned = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add("day", F.col("o")).alias("report_day"), "user_id"
+    )
+    return (
+        fanned.join(
+            F.broadcast(days),
+            fanned.report_day == days.day,
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+_Q235_RUNS = 0
+
+
+@register(
+    "q235_streaming_chained_windows",
+    # TWO chained stateful operators in one streaming query (multi-
+    # stateful support, append mode): 5-minute tumbling counts re-
+    # aggregated into hourly totals, both stages incremental. The oracle
+    # applies the append-mode emission rule at each stage: a 5-min
+    # window feeds the hourly stage only once the watermark (= max event
+    # time, delay 0) passes its end, and an hourly window emits only
+    # once the watermark passes ITS end — so the trailing partial hour
+    # never appears, exactly as the stream leaves it in the state store.
+    oracle="""
+    WITH wm AS (SELECT max(ts) AS w FROM events),
+    b5 AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS w5, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    emitted5 AS (
+        SELECT b5.*, wm.w FROM b5, wm
+        WHERE w5 + INTERVAL '5 minutes' <= wm.w
+    ),
+    hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', w5) AS hour_start,
+               event_type, CAST(sum(n) AS BIGINT) AS n, min(w) AS w
+        FROM emitted5 GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n FROM hourly
+    WHERE hour_start + INTERVAL '1 hour' <= w
+    """,
+    survey_ref="§2B streaming: CHAINED stateful aggregations (window-on-"
+               "window in append mode) — the multi-stateful-operator "
+               "surface that pre-aggregation cascades (5min rollup -> "
+               "hourly rollup) need in one streaming job",
+    doc="Real readStream with two chained stateful window aggregations: "
+        "5-minute tumbling counts flow into an hourly re-aggregation "
+        "keyed on window_time() of the first stage — one streaming job "
+        "instead of the classic two-job kappa chain with an "
+        "intermediate topic. State per stage is bounded by the "
+        "watermark (delay 0); at scale the 5-min stage absorbs the "
+        "event firehose map-side while the hourly stage's key space is "
+        "types x hours. Result hash-matches the emission-rule oracle.",
+)
+def q235_streaming_chained_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    s5 = stream.groupBy(
+        F.window("ts", "5 minutes").alias("w5"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    hourly = (
+        s5.groupBy(
+            F.window(F.window_time("w5"), "1 hour").alias("wh"),
+            "event_type",
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.col("wh.start").alias("hour_start"), "event_type", "n")
+    )
+    global _Q235_RUNS
+    _Q235_RUNS += 1
+    name = f"q235_mem_{_Q235_RUNS}"
+    writer = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+    return _finish_memory_sink(spark, name)

@@ -1028,3 +1028,49 @@ def q221_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact",
         )
     )
+
+
+@register(
+    "q233_quantile_binning",
+    # ntile(10) over (price, orderkey) — the total order makes the bin
+    # boundaries deterministic on any engine; output is the 10-row bin
+    # summary (count, min, max) a feature store would persist.
+    oracle="""
+    WITH binned AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM binned GROUP BY bucket
+    """,
+    survey_ref="engine-general feature engineering (§2B windows + "
+               "aggregations): equi-depth quantile binning — the "
+               "discretization step upstream of every tree/linear model",
+    doc="Equi-depth feature binning: ntile(10) assigns each order to its "
+        "price decile under a deterministic (price, orderkey) total "
+        "order, and the bin summary (count, lo, hi) is what a feature "
+        "store persists as the discretizer. The global sort is the "
+        "documented cost: at 100 TB you'd swap ntile for the q213 "
+        "histogram sketch's interpolated boundaries (one map-side "
+        "pass, approximate); this query is the exact-boundary "
+        "reference for that sketch.",
+)
+def q233_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
