@@ -1178,3 +1178,183 @@ def q235_streaming_chained_windows(
     )
     _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
+
+
+@register(
+    "q236_linear_trend",
+    # exact-sum OLS per event type: slope/intercept of the daily-count
+    # series come from the closed-form normal equations over integer
+    # moment sums (n, Sx, Sy, Sxy, Sxx) — the rational numerator/
+    # denominator pairs are exact int64, only the final division is
+    # float (rounded 6dp identically on both engines).
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    origin AS (SELECT min(day) AS d0 FROM daily),
+    pts AS (
+        SELECT event_type,
+               CAST(day - d0 AS BIGINT) AS x, y
+        FROM daily, origin
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                           / (n * sxx - sx * sx), 6)
+           END AS intercept
+    FROM m
+    """,
+    survey_ref="engine-general analytics/ML: ordinary-least-squares "
+               "trend fit per series (beside q187 z-score, q225 EWMA) — "
+               "volume forecasting from the same daily aggregates",
+    doc="Per-type linear trend of the daily event series: the OLS normal "
+        "equations need only five moment sums (n, Sx, Sy, Sxy, Sxx), "
+        "all exact int64 over day offsets from the global origin — one "
+        "map-side-combinable aggregate per type, a broadcast 1-row "
+        "origin, and a closed-form projection. Slope/intercept are "
+        "emitted both as exact integer rationals and rounded floats; at "
+        "100 TB the fit costs the same one pass as the count itself.",
+)
+def q236_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    origin = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        "y",
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return m.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        # a single-observation series has zero x-variance: undefined fit
+        F.round(F.try_divide(num.cast("double"), den), 6).alias("slope"),
+        F.round(F.try_divide(inum.cast("double"), den), 6).alias("intercept"),
+    )
+
+
+@register(
+    "q237_ab_test_zscore",
+    # two-proportion z-test with deterministic variant assignment
+    # (user_id parity): conversion = user made >=1 purchase. The pooled
+    # z statistic is computed with the IDENTICAL expression order on
+    # both engines and rounded 4dp.
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arm AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+            max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM arm
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 4) AS rate0,
+           round(CAST(c1 AS DOUBLE) / n1, 4) AS rate1,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                ELSE round(
+                    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                    / sqrt(
+                        (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)
+                    ), 4)
+           END AS zscore
+    FROM wide
+    """,
+    survey_ref="engine-general analytics: two-proportion A/B z-test — "
+               "the experimentation readout every event platform ships",
+    doc="A/B conversion test: users split by id parity (the "
+        "deterministic stand-in for an assignment service), conversion "
+        "= any purchase event, and the two-proportion pooled z "
+        "statistic compares the arms. One user-level aggregate, one "
+        "2-row arm aggregate, one scalar projection — the z formula is "
+        "written with identical operation order on both engines so the "
+        "IEEE double result matches bit-for-bit before the 4dp round.",
+)
+def q237_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    # degenerate pools (0% or 100% conversion) have zero variance: the z
+    # statistic is undefined — NULL on both engines, never a div-by-zero
+    z = F.when(
+        ((F.col("c0") + F.col("c1")) != 0)
+        & ((F.col("c0") + F.col("c1")) != (F.col("n0") + F.col("n1"))),
+        (p1 - p0)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("rate0"),
+        F.round(p1, 4).alias("rate1"),
+        F.round(z, 4).alias("zscore"),
+    )

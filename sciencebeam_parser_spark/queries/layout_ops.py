@@ -351,3 +351,51 @@ def q227_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "q238_orc_roundtrip",
+    # format breadth: the same relation written to ORC and read back must
+    # survive byte-identically — the oracle computes the aggregate from
+    # the original parquet, so any roundtrip corruption (type coercion,
+    # timestamp unit drift, null handling) breaks the hash.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_ref="§2B sources/sinks: ORC write + read roundtrip — the "
+               "second columnar format a lakehouse ingest layer must "
+               "speak beside parquet",
+    doc="ORC roundtrip: orders projected to (status, price-cents, key) "
+        "is written as ORC (native Spark writer, zlib default), read "
+        "back, and aggregated — the result hash-matches the oracle "
+        "computed over the ORIGINAL parquet, proving the roundtrip is "
+        "lossless including the int64 floor-cents arithmetic. Columnar "
+        "layout decisions (predicate pushdown, column pruning) apply to "
+        "the ORC scan the same as parquet.",
+)
+def q238_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
