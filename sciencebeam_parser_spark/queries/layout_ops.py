@@ -399,3 +399,60 @@ def q238_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "q239_python_datasource",
+    # the read path is a CUSTOM Python DataSource (Spark 4 API): driver
+    # enumerates one InputPartition per shard file, executors parse JSONL
+    # and recover the hive partition column — the oracle predicts the
+    # result from the source table, so any loss in the custom reader
+    # (dropped rows, wrong partition recovery, type drift) breaks the
+    # hash.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="§2B sources: custom Python DataSource "
+               "(pyspark.sql.datasource) — the engine-extension read "
+               "path for formats only Python can parse, with real "
+               "driver-side split planning and executor-side reads",
+    doc="Custom-source round trip: the corpus is exported as hive-"
+        "partitioned JSONL shards (the q174 sink layout), then read "
+        "back through a registered Python DataSource whose partitions() "
+        "plans one split per shard file and whose read() parses lines "
+        "and recovers the partition column from the directory name — "
+        "Spark schedules the Python reads partition-parallel exactly "
+        "like a native scan. This is how the engine would mount the "
+        "reference's pdfalto-style one-file-at-a-time parsers as a "
+        "first-class scan at corpus scale (sources/pdf.py kernels).",
+)
+def q239_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_pyds_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).partitionBy("source").json(out_dir)
+    register_python_datasource(spark)
+    back = (
+        spark.read.format("sbp_jsonl_shards")
+        .option("path", out_dir)
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
