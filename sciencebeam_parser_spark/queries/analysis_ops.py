@@ -587,6 +587,10 @@ def _bpe_train(wc: DataFrame):
         wc.orderBy(F.desc("cnt"), "word")
         .limit(_BPE_VOCAB)
         .select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
+        # the vocab is <= _BPE_VOCAB rows; checkpointing it here (and per
+        # round below) keeps every best-pair branch reading ~100 rows
+        # instead of re-deriving the corpus-wide histogram per branch
+        .localCheckpoint()
     )
     bests = []
     for _ in range(_BPE_ROUNDS):
@@ -606,8 +610,10 @@ def _bpe_train(wc: DataFrame):
         )
         best = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).select("a", "b")
         bests.append(best)
-        vocab = vocab.crossJoin(F.broadcast(best)).select(
-            "word", "cnt", _apply_merge(F.col("seq")).alias("seq")
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("word", "cnt", _apply_merge(F.col("seq")).alias("seq"))
+            .localCheckpoint()
         )
     return vocab, bests
 
@@ -660,7 +666,9 @@ def _bpe_encode_sql(prev: str, r: int) -> str:
         "the one histogram aggregate.",
 )
 def q224_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wc = _word_counts(spark, sf_dir)
+    # the word-TYPE table is reused by training (via the vocab) and by the
+    # encode chain: checkpoint it so the corpus explode+aggregate runs once
+    wc = _word_counts(spark, sf_dir).localCheckpoint()
     _, bests = _bpe_train(wc)
     enc = wc.select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
     for best in bests:
