@@ -118,6 +118,9 @@ def q177_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("dst") != F.col("src"))
+        # joined every iteration: materialize once instead of re-scanning
+        # the corpus per round
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
@@ -569,6 +572,8 @@ def q222_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("dst") != F.col("src"))
+        # joined every frontier round: materialize once
+        .localCheckpoint()
     )
     reached = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("v"), F.lit(0).cast("long").alias("dist")

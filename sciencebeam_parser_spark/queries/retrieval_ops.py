@@ -304,9 +304,16 @@ def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    edges = directed.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    edges = (
+        directed.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        # referenced six times (three-way self-join, degree union, edge
+        # count): checkpoint so the scan+distinct runs once, not per branch
+        .localCheckpoint()
+    )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
