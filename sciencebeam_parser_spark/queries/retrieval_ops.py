@@ -1361,3 +1361,60 @@ def _km_sq_dist_cols(qcol, ccol):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# --------------------------------------------------------------------------
+# Gram matrix (X^T X) over the quantized embedding block (q240)
+# --------------------------------------------------------------------------
+
+_GRAM_DIM = 8  # leading block; the full 64x64 is the same plan, more columns
+
+
+@register(
+    "q240_gram_matrix",
+    # the distributed linear-algebra primitive under PCA/ridge/whitening:
+    # X^T X computed as ONE map-side-combinable aggregate of per-row
+    # products — exact int64 over the 1e-3-quantized coordinates, upper
+    # triangle of the leading 8x8 block.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f"""
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(sum(q[CAST(i AS INT)] * q[CAST(j AS INT)]) AS BIGINT) AS s
+    FROM qv,
+         unnest(range(1, {_GRAM_DIM + 1})) t(i),
+         unnest(range(1, {_GRAM_DIM + 1})) u(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+    survey_ref="north-star embedding analytics: the Gram-matrix (X^T X) "
+               "primitive under PCA / ridge regression / whitening — "
+               "distributed linear algebra as a single partial aggregate",
+    doc="Gram matrix of the embedding block: every (i<=j) upper-triangle "
+        "entry is sum(x_i * x_j) over all vectors — computed as ONE "
+        "aggregate projection with d(d+1)/2 sum columns, so the vectors "
+        "never shuffle and every executor emits one partial row (the "
+        "map-side-combine shape that makes X^T X the scalable route to "
+        "PCA at 100 TB: the result is d^2 scalars regardless of corpus "
+        "size). Exact int64 on the 1e-3-quantized coordinates; the "
+        "column-to-row unpivot is a driver-free stack() of the single "
+        "aggregate row.",
+)
+def q240_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    pairs = [
+        (i, j)
+        for i in range(1, _GRAM_DIM + 1)
+        for j in range(i, _GRAM_DIM + 1)
+    ]
+    aggs = [
+        F.sum(F.col("q")[i - 1] * F.col("q")[j - 1]).alias(f"v{i}_{j}")
+        for i, j in pairs
+    ]
+    row = qv.agg(*aggs)
+    stack_args = ", ".join(
+        f"int({i}), int({j}), v{i}_{j}" for i, j in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (i, j, s)"
+    ).selectExpr("i", "j", "CAST(s AS BIGINT) AS s")
