@@ -1358,3 +1358,64 @@ def q237_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 4).alias("rate1"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@register(
+    "q241_range_frame_window",
+    # RANGE frame over event time: each event's trailing-1-hour volume per
+    # type. Spark's rangeBetween needs a numeric ordering column, so the
+    # frame runs over epoch seconds — the oracle uses the identical
+    # epoch-numeric frame, and the summed quantity is floor-cents int64.
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, event_type, ts,
+           CAST(sum(cents) OVER (
+               PARTITION BY event_type ORDER BY sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_hour_cents,
+           CAST(count(*) OVER (
+               PARTITION BY event_type ORDER BY sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_hour_events
+    FROM e
+    """,
+    survey_ref="§2B windows completion: RANGE (value-interval) frames — "
+               "the time-decayed trailing aggregate that ROWS frames "
+               "cannot express when events arrive irregularly",
+    doc="Trailing 1-hour volume per event: a RANGE frame over epoch "
+        "seconds sums the floor-cents value of every same-type event in "
+        "the preceding 3600 seconds — unlike a ROWS frame, the window "
+        "adapts to irregular arrival density (the frame is defined by "
+        "the ORDER-BY value, not row offsets). One shuffle on "
+        "event_type; per-key state is bounded by the hour's event "
+        "volume. Ties on the same second share a frame on both engines "
+        "because RANGE frames are value-based, which is exactly why a "
+        "second-resolution ordering key is hash-safe where a "
+        "microsecond float would not be.",
+)
+def q241_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("cents").over(w).cast("long").alias("trailing_hour_cents"),
+        F.count("*").over(w).cast("long").alias("trailing_hour_events"),
+    )
