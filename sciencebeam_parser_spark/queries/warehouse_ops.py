@@ -1074,3 +1074,99 @@ def q233_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q242_copurchase_lift",
+    # market-basket co-occurrence: the lineitem self-join is co-partitioned
+    # on the order key (one shuffle, bounded per-order quadratic), pair
+    # supports aggregate map-side, and lift joins two broadcast-sized
+    # single-item support relations back. Exact integer supports; lift is
+    # a shared-shape double rounded 4dp; min support 3 prunes the tail.
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    pair AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b,
+               CAST(count(*) AS BIGINT) AS support_ab
+        FROM items a JOIN items b
+          ON b.ok = a.ok AND b.pk > a.pk
+        GROUP BY a.pk, b.pk
+    ),
+    single AS (
+        SELECT pk, CAST(count(*) AS BIGINT) AS support FROM items GROUP BY pk
+    )
+    SELECT p.pk_a, p.pk_b, p.support_ab,
+           sa.support AS support_a, sb.support AS support_b,
+           round(CAST(p.support_ab AS DOUBLE) * n.n
+                 / (sa.support * sb.support), 4) AS lift
+    FROM pair p
+    JOIN single sa ON sa.pk = p.pk_a
+    JOIN single sb ON sb.pk = p.pk_b
+    CROSS JOIN n_orders n
+    WHERE p.support_ab >= 3
+    """,
+    survey_ref="engine-general market-basket analytics (§2B self-join + "
+               "aggregations): co-occurrence supports and lift — the "
+               "association-rule mining core",
+    doc="Co-purchase lift over order baskets: distinct (order, part) "
+        "pairs self-join on the order key (pk_b > pk_a halves the "
+        "quadratic), pair supports >= 3 survive, and lift = "
+        "P(ab)/(P(a)P(b)) joins the two single-item support relations "
+        "back. Scale shape: the self-join shuffles BOTH sides on the "
+        "order key once (bucketing makes it exchange-free on a real "
+        "cluster), the per-order quadratic is bounded by basket size, "
+        "and supports are map-side-combinable integer counts — the "
+        "plan is Apriori's first pass as a dataflow.",
+)
+def q242_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("ok").cast("long").alias("n")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.ok") == F.col("a.ok"))
+            & (F.col("b.pk") > F.col("a.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b")
+        )
+        .agg(F.count("*").cast("long").alias("support_ab"))
+        .filter(F.col("support_ab") >= 3)
+    )
+    single = items.groupBy("pk").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    sa = single.select(
+        F.col("pk").alias("pk_a"), F.col("support").alias("support_a")
+    )
+    sb = single.select(
+        F.col("pk").alias("pk_b"), F.col("support").alias("support_b")
+    )
+    return (
+        pair.join(sa, "pk_a")
+        .join(sb, "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            "support_ab",
+            "support_a",
+            "support_b",
+            F.round(
+                F.col("support_ab").cast("double")
+                * F.col("n")
+                / (F.col("support_a") * F.col("support_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
