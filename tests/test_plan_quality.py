@@ -453,3 +453,40 @@ class TestRound4cPlanShapes:
         plan = plan_of(spark, "q229_label_propagation")
         assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
         assert "CartesianProduct" not in plan
+
+    def test_gdpr_purge_fact_side_never_shuffles_for_probe(self, spark):
+        # subject probes are broadcast semi-joins; no sort-merge join and
+        # no cartesian against any fact table
+        plan = plan_of(spark, "q230_gdpr_purge")
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_rolling_distinct_no_range_join(self, spark):
+        # the offset-explode rewrite must not leave a non-equi join
+        # against the corpus: the only join is the broadcast day semi-join
+        plan = plan_of(spark, "q234_rolling_distinct_users")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_gram_matrix_single_aggregate_no_explode(self, spark):
+        # X^T X is one map-side-combinable aggregate over per-row
+        # products: partial_sum must appear below the exchange, and the
+        # vectors never join or cross a Python boundary (the only
+        # Generate is the stack() unpivot of the single aggregate row)
+        plan = plan_of(spark, "q240_gram_matrix")
+        assert "partial_sum" in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
+
+    def test_copurchase_self_join_copartitioned(self, spark):
+        # basket self-join is an equi join on the order key — SMJ or
+        # shuffled hash, never cartesian; supports aggregate map-side
+        plan = plan_of(spark, "q242_copurchase_lift")
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+    def test_range_frame_window_single_shuffle(self, spark):
+        # RANGE frame runs on one event_type hash partitioning
+        plan = plan_of(spark, "q241_range_frame_window")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
