@@ -459,12 +459,16 @@ _BPE_VOCAB = 100
 
 # the triple space-delimited replace used by train (q223) and encode (q224):
 # both engines apply EXACTLY three passes, so they agree even on words where
-# alternating overlaps would need more passes to reach the true fixpoint
+# alternating overlaps would need more passes to reach the true fixpoint.
+# The merge pair arrives via LEFT JOIN ON TRUE (not CROSS JOIN): a round
+# with NO eligible pair (fully merged / all-single-char vocab) must pass
+# sequences through unmerged, not wipe the relation to zero rows.
 _BPE_REP_SQL = (
+    "CASE WHEN a IS NULL THEN seq ELSE "
     "trim(replace(replace(replace(' ' || seq || ' ',"
     " ' '||a||' '||b||' ', ' '||a||b||' '),"
     " ' '||a||' '||b||' ', ' '||a||b||' '),"
-    " ' '||a||' '||b||' ', ' '||a||b||' '))"
+    " ' '||a||' '||b||' ', ' '||a||b||' ')) END"
 )
 
 
@@ -491,7 +495,7 @@ def _bpe_round_sql(prev: str, r: int) -> str:
     b{r} AS (SELECT a, b FROM p{r} ORDER BY wsum DESC, a, b LIMIT 1),
     v{r} AS (
         SELECT word, cnt, {rep} AS seq
-        FROM {prev} CROSS JOIN b{r}
+        FROM {prev} LEFT JOIN b{r} ON TRUE
     )"""
 
 
@@ -513,7 +517,8 @@ def _bpe_round_sql(prev: str, r: int) -> str:
            b1.a || '+' || b1.b AS merge1,
            b2.a || '+' || b2.b AS merge2,
            b3.a || '+' || b3.b AS merge3
-    FROM v{_BPE_ROUNDS} v CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+    FROM v{_BPE_ROUNDS} v
+    LEFT JOIN b1 ON TRUE LEFT JOIN b2 ON TRUE LEFT JOIN b3 ON TRUE
     """,
     survey_ref="north-star tokenizer family: iterative BPE merge TRAINING "
                "(3 unrolled rounds over the word-frequency table) — "
@@ -544,10 +549,14 @@ def q223_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
     )
     for r, best in enumerate(bests, start=1):
-        out = out.crossJoin(
+        # LEFT join on TRUE: an empty best-pair round contributes a NULL
+        # merge column instead of wiping the output to zero rows
+        out = out.join(
             F.broadcast(
                 best.select(F.concat_ws("+", "a", "b").alias(f"merge{r}"))
-            )
+            ),
+            F.lit(True),
+            "left",
         )
     return out
 
@@ -570,13 +579,15 @@ def _char_seq(col):
 
 def _apply_merge(seq_col):
     """Triple space-delimited replace of the (a, b) pair in scope — the
-    Spark twin of _BPE_REP_SQL."""
+    Spark twin of _BPE_REP_SQL; a NULL pair (empty merge round arriving
+    via left join) passes the sequence through unmerged."""
     pat = F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" "))
     rep = F.concat(F.lit(" "), "a", F.col("b"), F.lit(" "))
     padded = F.concat(F.lit(" "), seq_col, F.lit(" "))
-    return F.btrim(
+    merged = F.btrim(
         F.replace(F.replace(F.replace(padded, pat, rep), pat, rep), pat, rep)
     )
+    return F.when(F.col("a").isNull(), seq_col).otherwise(merged)
 
 
 def _bpe_train(wc: DataFrame):
@@ -611,7 +622,7 @@ def _bpe_train(wc: DataFrame):
         best = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).select("a", "b")
         bests.append(best)
         vocab = (
-            vocab.crossJoin(F.broadcast(best))
+            vocab.join(F.broadcast(best), F.lit(True), "left")
             .select("word", "cnt", _apply_merge(F.col("seq")).alias("seq"))
             .localCheckpoint()
         )
@@ -623,7 +634,7 @@ def _bpe_encode_sql(prev: str, r: int) -> str:
     return f"""
     e{r} AS (
         SELECT word, cnt, {_BPE_REP_SQL} AS seq
-        FROM {prev} CROSS JOIN b{r}
+        FROM {prev} LEFT JOIN b{r} ON TRUE
     )"""
 
 
@@ -672,7 +683,7 @@ def q224_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bests = _bpe_train(wc)
     enc = wc.select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
     for best in bests:
-        enc = enc.crossJoin(F.broadcast(best)).select(
+        enc = enc.join(F.broadcast(best), F.lit(True), "left").select(
             "word", "cnt", _apply_merge(F.col("seq")).alias("seq")
         )
     return enc.select(

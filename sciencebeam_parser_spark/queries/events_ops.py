@@ -1037,6 +1037,9 @@ def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").cast("long").alias("n"))
+        # |types|^2 rows, read by both the result and the totals branch:
+        # materialize so the corpus lag window runs once, not twice
+        .localCheckpoint()
     )
     totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
     return trans.join(F.broadcast(totals), "prev_type").select(
@@ -1085,9 +1088,13 @@ def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q234_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    pairs = ev.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    pairs = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        # read by both the fan-out and the observed-day dimension:
+        # materialize so the events scan + dedup shuffle runs once
+        .localCheckpoint()
+    )
     days = pairs.select("day").distinct()
     fanned = pairs.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),

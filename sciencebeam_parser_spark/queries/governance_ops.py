@@ -81,13 +81,18 @@ def q230_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     subjects = (
         ev.filter(F.col("user_id") % _PURGE_STRIDE == 0)
-        .select("user_id")
+        # distinct alias: the events audit joins user_id against itself
+        .select(F.col("user_id").alias("subject_id"))
         .distinct()
+        # probed by every audited table: materialize the scan+distinct once
+        .localCheckpoint()
     )
 
     def audit(df: DataFrame, key: str, name: str) -> DataFrame:
         hit = df.join(
-            F.broadcast(subjects), df[key] == subjects.user_id, "left_semi"
+            F.broadcast(subjects),
+            df[key] == subjects.subject_id,
+            "left_semi",
         )
         return (
             df.agg(F.count("*").cast("long").alias("rows_before"))

@@ -591,6 +591,32 @@ def q222_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.select(F.col("v").alias("doc_id"), "dist")
 
 
+def lpa_rounds(uedges: DataFrame, labels: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label-propagation rounds over an undirected edge
+    relation (src, dst) starting from (v, label): every node adopts the
+    majority neighbor label, ties to the smallest label, isolated nodes
+    keep theirs. The production loop of q229 — also exercised directly by
+    the two-triangle unit test."""
+    for _ in range(rounds):
+        votes = (
+            uedges.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = W.partitionBy("src").orderBy(F.desc("cnt"), "label")
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("v"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .select("v", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def _lpa_round_sql(prev: str, r: int) -> str:
     """One synchronous label-propagation round: each node adopts the most
     frequent label among its undirected neighbors; ties break to the
@@ -681,28 +707,7 @@ def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         F.col("doc_id").alias("v"), F.col("doc_id").alias("label")
     )
-    for _ in range(2):
-        votes = (
-            uedges.join(
-                labels.withColumnRenamed("v", "dst"), "dst"
-            )
-            .groupBy("src", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        w = W.partitionBy("src").orderBy(F.desc("cnt"), "label")
-        best = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("v"), F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(best, "v", "left")
-            .select(
-                "v",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .localCheckpoint()
-        )
+    labels = lpa_rounds(uedges, labels, rounds=2)
     wsz = W.partitionBy("label")
     return labels.select(
         F.col("v").alias("doc_id"),

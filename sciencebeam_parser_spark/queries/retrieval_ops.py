@@ -1102,6 +1102,49 @@ def _pq_subspace_sql(m: int) -> str:
     {_pq_assign_sql(f'qv{m}', f'cs{m}2', f'as{m}3', _PQ_SUBDIM)}"""
 
 
+def _pq_codebooks(qv: DataFrame) -> DataFrame:
+    """Train the _PQ_M per-subspace codebooks (the q212 Lloyd loop on each
+    16-dim slice) and union them into ONE checkpointed (m, cid, c)
+    relation — 16 rows, broadcast by every consumer."""
+    cents = []
+    for m in range(_PQ_M):
+        qm = qv.select(
+            "vec_id",
+            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q"),
+        )
+        _, cent = _km_train(qm, _PQ_K, iters=2)
+        cents.append(cent.select(F.lit(m).alias("m"), "cid", "c"))
+    cent_all = cents[0]
+    for c in cents[1:]:
+        cent_all = cent_all.unionByName(c)
+    return cent_all.localCheckpoint()
+
+
+def _pq_encode(qv: DataFrame, cent_all: DataFrame) -> DataFrame:
+    """Assign every vector its nearest codebook entry per subspace: one
+    broadcast join + a per-(vec, subspace) top-1 window. Returns
+    (vec_id, m, cid, dist)."""
+    subv = qv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "sq"),
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    return (
+        subv.join(F.broadcast(cent_all), "m")
+        .withColumn("dist", _km_sq_dist("sq", "c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "dist")
+    )
+
+
 @register(
     "q226_pq_codes",
     # product quantization: the 64-dim integer vector splits into 4
@@ -1141,37 +1184,7 @@ def _pq_subspace_sql(m: int) -> str:
 )
 def q226_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _km_quantize(spark, sf_dir)
-    cents = []
-    for m in range(_PQ_M):
-        qm = qv.select(
-            "vec_id",
-            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q"),
-        )
-        _, cent = _km_train(qm, _PQ_K, iters=2)
-        cents.append(cent.select(F.lit(m).alias("m"), "cid", "c"))
-    cent_all = cents[0]
-    for c in cents[1:]:
-        cent_all = cent_all.unionByName(c)
-    cent_all = cent_all.localCheckpoint()  # 16 rows, reused by the join
-    subv = qv.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("m", "sq"),
-    )
-    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
-    assigned = (
-        subv.join(F.broadcast(cent_all), "m")
-        .withColumn("dist", _km_sq_dist("sq", "c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid", "dist")
-    )
+    assigned = _pq_encode(qv, _pq_codebooks(qv))
     code = lambda m: F.max(F.when(F.col("m") == m, F.col("cid")))  # noqa: E731
     return assigned.groupBy("vec_id").agg(
         code(0).alias("code0"),
@@ -1281,37 +1294,10 @@ def q228_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    # per-subspace PQ codebooks (the q226 path)
-    cents = []
-    for m in range(_PQ_M):
-        qm = qv.select(
-            "vec_id",
-            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("q"),
-        )
-        _, cent = _km_train(qm, _PQ_K, iters=2)
-        cents.append(cent.select(F.lit(m).alias("m"), "cid", "c"))
-    cent_all = cents[0]
-    for c in cents[1:]:
-        cent_all = cent_all.unionByName(c)
-    cent_all = cent_all.localCheckpoint()
-    subv = qv.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("m", "sq"),
-    )
-    wc_ = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
-    codes = (
-        subv.join(F.broadcast(cent_all), "m")
-        .withColumn("dist", _km_sq_dist("sq", "c"))
-        .withColumn("rn", F.row_number().over(wc_))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
+    # per-subspace PQ codebooks + encoding (shared with q226)
+    cent_all = _pq_codebooks(qv)
+    codes = _pq_encode(qv, cent_all).select(
+        "vec_id", "m", F.col("cid").alias("code")
     )
     # queries: probe + ADC distance table
     qset = qv.filter(F.col("vec_id") % 100 == 0).select(
@@ -1330,7 +1316,8 @@ def q228_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         qset.crossJoin(F.broadcast(cent_all))
         .withColumn(
             "d",
-            _km_sq_dist_cols(
+            # _km_sq_dist accepts Column expressions (zip_with does)
+            _km_sq_dist(
                 F.slice("q", F.col("m") * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM)),
                 F.col("c"),
             ),
@@ -1351,15 +1338,6 @@ def q228_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("qid").alias("query_id"), "rnk", "vec_id", "adc_dist"
         )
-    )
-
-
-def _km_sq_dist_cols(qcol, ccol):
-    """_km_sq_dist over explicit Column expressions (not names)."""
-    return F.aggregate(
-        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 

@@ -56,13 +56,18 @@ class JsonlShardReader(DataSourceReader):
 
     def read(self, partition):
         # executor-side: parse one shard file; the hive-style directory
-        # name carries the partition column the writer factored out
+        # name carries the partition column the writer factored out —
+        # URL-unescape it and map the hive null sentinel back to NULL,
+        # exactly as a catalog scan decodes partition values
         import json
         import re
+        from urllib.parse import unquote
 
         path = partition.value
         m = re.search(r"source=([^/]+)[/\\]", path)
-        src = m.group(1) if m else None
+        src = unquote(m.group(1)) if m else None
+        if src == "__HIVE_DEFAULT_PARTITION__":
+            src = None
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()

@@ -100,6 +100,19 @@ class TestBpe:
         df = spark.createDataFrame([("abc",)], "w string")
         assert df.select(_char_seq(F.col("w")).alias("s")).first()["s"] == "a b c"
 
+    def test_empty_merge_round_passes_vocab_through(self, spark):
+        # single-character word types yield NO adjacent pair in any round:
+        # the left-join-on-TRUE plumbing must keep the vocabulary intact
+        # (a cross join against the empty best-pair relation would wipe it)
+        wc = spark.createDataFrame(
+            [("a", 3), ("b", 2), ("c", 1)], "word string, cnt long"
+        )
+        vocab, bests = _bpe_train(wc)
+        rows = {r["word"]: r["seq"] for r in vocab.collect()}
+        assert rows == {"a": "a", "b": "b", "c": "c"}
+        for best in bests:
+            assert best.count() == 0
+
     def test_encode_covers_all_words_and_preserves_chars(self, spark):
         out = REGISTRY["q224_bpe_encode"].build(spark, SF_DIR).collect()
         assert len(out) > 0
@@ -177,11 +190,10 @@ class TestProductQuantization:
 
 class TestLabelPropagation:
     def test_two_triangles_converge_to_two_communities(self, spark):
-        # graph: triangle {0,1,2} + triangle {10,11,12}; LPA with min
-        # tie-break collapses each triangle to its smallest id
-        from sciencebeam_parser_spark.queries.graph_ops import (  # noqa: F401
-            q229_label_propagation,
-        )
+        # graph: triangle {0,1,2} + triangle {10,11,12}; the PRODUCTION
+        # loop (lpa_rounds) with min tie-break collapses each triangle to
+        # its smallest id
+        from sciencebeam_parser_spark.queries.graph_ops import lpa_rounds
 
         edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
         uedges = spark.createDataFrame(
@@ -190,25 +202,26 @@ class TestLabelPropagation:
         labels = spark.createDataFrame(
             [(v, v) for v in [0, 1, 2, 10, 11, 12]], "v long, label long"
         )
-        from pyspark.sql import Window as W
-
-        for _ in range(2):
-            votes = (
-                uedges.join(labels.withColumnRenamed("v", "dst"), "dst")
-                .groupBy("src", "label")
-                .agg(F.count("*").alias("cnt"))
-            )
-            w = W.partitionBy("src").orderBy(F.desc("cnt"), "label")
-            best = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(F.col("src").alias("v"), F.col("label").alias("nl"))
-            )
-            labels = labels.join(best, "v", "left").select(
-                "v", F.coalesce("nl", "label").alias("label")
-            )
-        got = {r["v"]: r["label"] for r in labels.collect()}
+        got = {
+            r["v"]: r["label"]
+            for r in lpa_rounds(uedges, labels, rounds=2).collect()
+        }
         assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    def test_isolated_node_keeps_label(self, spark):
+        from sciencebeam_parser_spark.queries.graph_ops import lpa_rounds
+
+        uedges = spark.createDataFrame(
+            [(0, 1), (1, 0)], "src long, dst long"
+        )
+        labels = spark.createDataFrame(
+            [(0, 0), (1, 1), (99, 99)], "v long, label long"
+        )
+        got = {
+            r["v"]: r["label"]
+            for r in lpa_rounds(uedges, labels, rounds=2).collect()
+        }
+        assert got[99] == 99
 
     def test_corpus_communities_are_nontrivial(self, spark):
         rows = REGISTRY["q229_label_propagation"].build(spark, SF_DIR).collect()
