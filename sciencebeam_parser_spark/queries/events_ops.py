@@ -1426,3 +1426,53 @@ def q241_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("trailing_hour_cents"),
         F.count("*").over(w).cast("long").alias("trailing_hour_events"),
     )
+
+
+@register(
+    "q243_variant_extract",
+    # the VARIANT semi-structured path (Spark 4): parse_json once into a
+    # binary variant column, then typed try_variant_get extraction +
+    # schema_of_variant introspection — the open-schema ingest pattern
+    # that replaces per-query string re-parsing (q53's JSON-path twin).
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM v GROUP BY event_type
+    """,
+    survey_ref="§2B JSON/semi-structured family: VARIANT ingest "
+               "(parse_json -> try_variant_get) — the typed "
+               "open-schema path beside q53's string JSON extraction",
+    doc="Semi-structured VARIANT processing: props parses ONCE into a "
+        "variant column (binary-encoded, shreddable), typed values "
+        "extract with try_variant_get (malformed paths yield NULL, not "
+        "errors), and schema_of_variant reports the inferred shape the "
+        "engine would use for shredding. At 100 TB the win over q53's "
+        "get_json_object is structural: one parse per row feeding any "
+        "number of typed extractions, with the variant column itself "
+        "columnar-shreddable at the storage layer. The oracle states "
+        "the same pipeline over DuckDB's JSON path functions.",
+)
+def q243_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+        F.schema_of_variant("v").alias("variant_schema"),
+    )
+    return v.groupBy("event_type", "variant_schema").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("n_high"),
+        F.sum("k").cast("long").alias("sum_k"),
+    ).select(
+        "event_type", "n", "n_high", "sum_k", "variant_schema"
+    )

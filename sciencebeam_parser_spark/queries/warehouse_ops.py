@@ -1170,3 +1170,79 @@ def q242_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q244_rfm_segments",
+    # RFM customer segmentation: per-user recency/frequency/monetary from
+    # the purchase stream, each dimension cut into quintiles by ntile(5)
+    # under a deterministic (metric, user_id) total order, segments
+    # summarized. Integer metrics (days, counts, floor-cents) throughout.
+    oracle="""
+    WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+    rfm AS (
+        SELECT user_id,
+               CAST(d1 - max(CAST(ts AS DATE)) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events, maxd
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, d1
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+        FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r, f, m
+    """,
+    survey_ref="engine-general customer analytics (beside q186 retention, "
+               "q237 A/B): RFM quintile segmentation — the warehouse "
+               "workload every CRM export runs",
+    doc="RFM segmentation: one purchase-stream aggregate computes "
+        "per-user recency (days since last purchase, vs the corpus max "
+        "date), frequency, and monetary floor-cents; three ntile(5) "
+        "windows cut each dimension into quintiles (1 = best) under "
+        "deterministic (metric, user_id) orders; segments summarize to "
+        "at most 125 rows. The global ntile sorts are over the USER "
+        "table (already one row per user), not the event stream — at "
+        "100 TB you'd swap them for q213-style histogram boundaries, "
+        "the same trade q233 documents.",
+)
+def q244_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(maxd))
+        .groupBy("user_id", "d1")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff("d1", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(5).over(W.orderBy("recency_days", "user_id")).alias("r"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), "user_id"))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
