@@ -695,3 +695,77 @@ def q189_corrupt_record_handling(
         parsed["id"].alias("parsed_id"),
         parsed["lang"].alias("parsed_lang"),
     )
+
+
+@register(
+    "q245_streaming_ingest_pipeline",
+    # the streaming-ingest capstone mirroring the batch q152 corpus
+    # build: REAL readStream -> quality gate -> stream-static anti-join
+    # against the already-ingested set -> foreachBatch partitioned JSONL
+    # shard sink -> read-back manifest. Everything the stream admits and
+    # writes is deterministic, so the oracle predicts the manifest from
+    # the source table directly.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 2 = 1 AND n_chars >= 200
+    GROUP BY lang
+    """,
+    survey_ref="§2B streaming capstone: incremental corpus ingest as ONE "
+               "streaming job (quality gate + incremental dedup + "
+               "partitioned shard sink) — the streaming twin of q152's "
+               "batch corpus pipeline",
+    doc="Streaming corpus ingest end-to-end: the document stream passes "
+        "a quality gate (n_chars >= 200), anti-joins the static "
+        "already-ingested id set (even doc_ids — the q175 incremental-"
+        "dedup shape), and lands in lang-partitioned JSONL shards via "
+        "foreachBatch; the returned manifest re-reads the shards, so "
+        "any loss in the gate, the anti-join, or the sink breaks the "
+        "hash. At scale this is the production shape: the static side "
+        "is a broadcast (or bloom) of ingested keys, the sink appends "
+        "per micro-batch, and the manifest is the ingest ledger.",
+)
+def q245_streaming_ingest_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _start_bounded_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    known = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    stream = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("n_chars") >= 200)
+        .join(known, "doc_id", "left_anti")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-micro-batch append into the shard layout; partition columns
+        # factor out of the JSON payload like the q174 sink
+        batch_df.select("doc_id", "lang", "n_chars").write.mode(
+            "append"
+        ).partitionBy("lang").json(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+    back = spark.read.json(out_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
