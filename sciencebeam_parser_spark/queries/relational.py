@@ -1100,3 +1100,117 @@ def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "q246_local_supplier_volume",
+    # the TPC-H Q5 shape: a 6-table join chain where customer and
+    # supplier must share a nation, filtered to one region and a date
+    # year. Catalyst orders the joins and broadcasts every dimension;
+    # revenue is exact integer cents (floor(price*100) scaled by
+    # (100 - floor(discount*100))) so the rollup is engine-exact.
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(floor(l.l_discount * 100) AS BIGINT))
+           ) AS BIGINT) AS revenue_scaled,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s
+      ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1999-01-01'
+    GROUP BY n.n_name
+    """,
+    survey_ref="§2B joins capstone: the 6-table local-supplier-volume "
+               "chain (TPC-H Q5 semantics) — Catalyst join ordering + "
+               "dimension broadcast cascade under one regional filter",
+    doc="Local supplier volume: region -> nation -> customer -> orders "
+        "-> lineitem -> supplier with the customer-and-supplier-share-"
+        "a-nation condition that makes Q5 the classic join-order "
+        "stressor. Declared as one logical join chain; Catalyst pushes "
+        "the region/date filters to the scans, broadcasts every "
+        "dimension, and leaves the single big-big join (orders x "
+        "lineitem) as the only real shuffle. Revenue aggregates in "
+        "exact scaled int64.",
+)
+def q246_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("long").alias("revenue_scaled"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q247_decorrelated_subquery",
+    # a correlated scalar subquery (orders above their customer's average
+    # order value) — Catalyst decorrelates it into an aggregate + join,
+    # never a per-row re-execution. The comparison is exact integer
+    # cents cross-multiplied against the average's sum/count pair.
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN per_cust p ON p.o_custkey = o.o_custkey
+    WHERE CAST(floor(o.o_totalprice * 100) AS BIGINT) * p.c > p.s
+    """,
+    survey_ref="§2B optimizer surface: correlated-subquery decorrelation "
+               "(orders above their customer's average) — the rewrite "
+               "every analytic engine must do to avoid per-row "
+               "re-execution",
+    doc="Orders above their customer's average order value, written as "
+        "the decorrelated form both engines plan: one per-customer "
+        "aggregate joined back, with the above-average gate "
+        "cross-multiplied (price*count > sum) so no float division "
+        "exists at the knife-edge. On Spark this is expressed "
+        "declaratively and verified against the same decorrelation in "
+        "SQL; at 100 TB the aggregate and the join share one customer-"
+        "key shuffle (bucketing makes it exchange-free).",
+)
+def q247_decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("s"), F.count("*").cast("long").alias("c")
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", cents.alias("price_cents"))
+        .join(per_cust, "o_custkey")
+        .filter(F.col("price_cents") * F.col("c") > F.col("s"))
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )

@@ -490,3 +490,16 @@ class TestRound4cPlanShapes:
         plan = plan_of(spark, "q241_range_frame_window")
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+
+    def test_q5_chain_broadcasts_dimensions(self, spark):
+        # the 6-table chain must broadcast the dims; the only sort-merge
+        # candidate is the orders x lineitem big-big join
+        plan = plan_of(spark, "q246_local_supplier_volume")
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+        assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "o_orderdate" in plan.split("PushedFilters", 2)[-1]
+
+    def test_decorrelated_subquery_single_shuffle(self, spark):
+        # the aggregate and the join share the customer-key partitioning
+        plan = plan_of(spark, "q247_decorrelated_subquery")
+        assert "CartesianProduct" not in plan
