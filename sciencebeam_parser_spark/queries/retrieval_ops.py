@@ -1088,12 +1088,14 @@ def _pq_update_sql(assign: str, out: str, dim: int) -> str:
     )"""
 
 
-def _pq_subspace_sql(m: int) -> str:
-    """Train (2 Lloyd rounds) + final assign for subspace m."""
+def _pq_subspace_sql(m: int, src: str = "qv") -> str:
+    """Train (2 Lloyd rounds) + final assign for subspace m over the
+    (vec_id, q) relation ``src`` — raw vectors (q226/q228) or coarse
+    residuals (q248)."""
     lo = m * _PQ_SUBDIM + 1
     hi = (m + 1) * _PQ_SUBDIM
     return f"""
-    qv{m} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM qv),
+    qv{m} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM {src}),
     cs{m}0 AS (SELECT vec_id AS cid, q AS c FROM qv{m} WHERE vec_id < {_PQ_K}),
     {_pq_assign_sql(f'qv{m}', f'cs{m}0', f'as{m}1', _PQ_SUBDIM)},
     {_pq_update_sql(f'as{m}1', f'cs{m}1', _PQ_SUBDIM)},
@@ -1396,3 +1398,187 @@ def q240_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (i, j, s)"
     ).selectExpr("i", "j", "CAST(s AS BIGINT) AS s")
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ: PQ trained on coarse residuals (q248)
+# --------------------------------------------------------------------------
+
+
+def _pq_rdtab_sql(m: int) -> str:
+    """Per-(query, probed-cluster) distance table for subspace m over the
+    query's RESIDUAL to that cluster's centroid."""
+    off = m * _PQ_SUBDIM
+    return f"""
+    rdt{m} AS (
+        SELECT r.qid, r.cid, {m} AS m, cb.cid AS code,
+               list_sum([(r.rq[{off} + i] - cb.c[i])
+                         * (r.rq[{off} + i] - cb.c[i])
+                         FOR i IN range(1, {_PQ_SUBDIM + 1})]) AS d
+        FROM qres r CROSS JOIN cs{m}2 cb
+    )"""
+
+
+@register(
+    "q248_residual_ivfpq_search",
+    # the EXACT FAISS IVF-PQ structure: PQ codebooks train on the
+    # residual (vector minus its coarse centroid), which concentrates
+    # the quantizer's resolution where the coarse cells leave error;
+    # each query then needs one distance table PER PROBED CLUSTER (its
+    # residual differs per cell). All arithmetic stays int64-exact.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + ","
+    + _km_assign_sql("c2", "a3")
+    + f""",
+    res AS (
+        SELECT a.vec_id,
+               [a.q[i] - c.c[i] FOR i IN range(1, {_KM_DIM + 1})] AS q,
+               a.cid AS inv_cid
+        FROM a3 a JOIN c2 c ON c.cid = a.cid
+    ),
+    {",".join(_pq_subspace_sql(m, src="res") for m in range(_PQ_M))},
+    codes AS (
+        SELECT vec_id, 0 AS m, cid FROM as03
+        UNION ALL SELECT vec_id, 1, cid FROM as13
+        UNION ALL SELECT vec_id, 2, cid FROM as23
+        UNION ALL SELECT vec_id, 3, cid FROM as33
+    ),
+    qset AS (SELECT vec_id AS qid, q FROM qv WHERE vec_id % 100 = 0),
+    qprobe AS (SELECT qid, q AS qq FROM qset),
+    {_ivf_probe_sql("qprobe", "c2", "probe", _IVF_NPROBE)},
+    qres AS (
+        SELECT p.qid, p.cid,
+               [s.q[i] - c.c[i] FOR i IN range(1, {_KM_DIM + 1})] AS rq
+        FROM probe p
+        JOIN qset s ON s.qid = p.qid
+        JOIN c2 c ON c.cid = p.cid
+    ),
+    {",".join(_pq_rdtab_sql(m) for m in range(_PQ_M))},
+    rdtab AS (SELECT * FROM rdt0 UNION ALL SELECT * FROM rdt1
+              UNION ALL SELECT * FROM rdt2 UNION ALL SELECT * FROM rdt3),
+    cand AS (
+        SELECT p.qid, r.vec_id, r.inv_cid
+        FROM probe p JOIN res r ON r.inv_cid = p.cid
+        WHERE r.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id, CAST(sum(d.d) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN rdtab d ON d.qid = c.qid AND d.cid = c.inv_cid
+                    AND d.m = k.m AND d.code = k.cid
+        GROUP BY c.qid, c.vec_id
+    )
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY adc_dist, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_IVF_TOPK}
+    """,
+    survey_ref="north-star similarity-search completion: RESIDUAL IVF-PQ "
+               "— PQ codebooks trained on coarse residuals, per-probe "
+               "distance tables; the production FAISS index verbatim",
+    doc="Residual IVF-PQ search: every vector's PQ code describes its "
+        "RESIDUAL to its coarse centroid (the FAISS default — residuals "
+        "have ~k times less variance than raw vectors, so the same 4 "
+        "codes quantize far finer), and each query builds one "
+        "(subspace x code) distance table per probed cluster from its "
+        "own residual in that cell. Spark shape is unchanged from q228 "
+        "— codebooks and distance tables broadcast, candidates join on "
+        "the inverted-file cluster key — plus one broadcast centroid "
+        "join to form residuals; at 100 TB the residual subtraction is "
+        "a map-side projection.",
+)
+def q248_residual_ivfpq_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    _, coarse = _km_train(qv, _IVF_K, iters=2)
+    coarse = coarse.localCheckpoint()
+    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    inv = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _km_sq_dist())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("cid").alias("inv_cid"))
+    )
+    # residuals: vector minus its coarse centroid (map-side projection)
+    res = (
+        inv.join(
+            F.broadcast(coarse.select(F.col("cid").alias("inv_cid"), "c")),
+            "inv_cid",
+        )
+        .select(
+            "vec_id",
+            F.zip_with("q", "c", lambda a, b: a - b).alias("q"),
+            "inv_cid",
+        )
+        .localCheckpoint()
+    )
+    cent_all = _pq_codebooks(res.select("vec_id", "q"))
+    codes = _pq_encode(res.select("vec_id", "q"), cent_all).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    qset = qv.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "q"
+    )
+    wq = W.partitionBy("qid").orderBy("dist", "cid")
+    probe = (
+        qset.withColumnRenamed("q", "qq")
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("dist", _km_sq_dist("qq", "c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    qres = (
+        probe.join(qset, "qid")
+        .join(F.broadcast(coarse), "cid")
+        .select(
+            "qid",
+            F.col("cid").alias("pcid"),
+            F.zip_with("q", "c", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    rdtab = (
+        qres.crossJoin(F.broadcast(cent_all))
+        .withColumn(
+            "d",
+            _km_sq_dist(
+                F.slice("rq", F.col("m") * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM)),
+                F.col("c"),
+            ),
+        )
+        .select("qid", "pcid", "m", F.col("cid").alias("code"), "d")
+    )
+    cand = (
+        probe.join(
+            res.select("vec_id", F.col("inv_cid").alias("cid")), "cid"
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.col("cid").alias("pcid"))
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(rdtab), ["qid", "pcid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    wr = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"), "rnk", "vec_id", "adc_dist"
+        )
+    )
