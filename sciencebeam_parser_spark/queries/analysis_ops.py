@@ -693,3 +693,103 @@ def q224_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
         F.length(F.replace(F.col("word"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix (q249)
+# --------------------------------------------------------------------------
+
+from sciencebeam_parser_spark.queries.text_ops import (  # noqa: E402
+    _MINHASH_SH_SQL,
+    _shingle_array,
+)
+
+
+@register(
+    "q249_source_overlap_matrix",
+    # corpus diagnostics: pairwise shingle Jaccard between source shards.
+    # The candidate join is an inverted index on the shingle key, and the
+    # per-shingle fan-out is bounded by the (distinct source, shingle)
+    # dedup at <= |sources| rows per shingle — never all-pairs over docs.
+    oracle="WITH "
+    + _MINHASH_SH_SQL
+    + """,
+    src_sh AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM src_sh GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM src_sh a
+        JOIN src_sh b ON b.shingle = a.shingle AND b.source > a.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           x.n AS n_a, y.n AS n_b,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (x.n + y.n - i.n_shared), 4) AS jaccard
+    FROM inter i
+    JOIN sizes x ON x.source = i.source_a
+    JOIN sizes y ON y.source = i.source_b
+    """,
+    survey_ref="north-star corpus diagnostics (beside q153 decontaminate, "
+               "q193 minhash accuracy): cross-source shingle-overlap "
+               "matrix — which shards duplicate each other, the dataset-"
+               "composition audit every corpus release runs",
+    doc="Source-pair contamination matrix: distinct (source, shingle) "
+        "pairs form an inverted index; the self-join on the shingle key "
+        "counts shared shingles per source pair (fan-out bounded at "
+        "|sources| rows per shingle, so never quadratic in documents), "
+        "and Jaccard = shared / (a + b - shared) scores each of the "
+        "<= |sources|^2/2 pairs. At 100 TB this is two hash aggregates "
+        "and one bounded inverted-index join — the shape q153 uses for "
+        "eval decontamination, turned source-pairwise.",
+)
+def q249_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    src_sh = (
+        docs.select("source", F.explode(_shingle_array()).alias("shingle"))
+        .distinct()
+        # read by the sizes aggregate AND both sides of the pair join
+        .localCheckpoint()
+    )
+    sizes = src_sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.shingle") == F.col("a.shingle"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sx = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sx), "source_a")
+        .join(F.broadcast(sy), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

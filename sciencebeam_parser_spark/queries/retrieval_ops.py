@@ -1582,3 +1582,100 @@ def q248_residual_ivfpq_search(
             F.col("qid").alias("query_id"), "rnk", "vec_id", "adc_dist"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding outliers (q250)
+# --------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 5
+
+
+@register(
+    "q250_label_outliers",
+    # label-noise detection: each label's integer centroid (floor-mean
+    # per dimension), exact int64 distance of every member to its own
+    # centroid, top-5 farthest per label — the mislabeled-example
+    # screening pass a curation pipeline runs on embedded data.
+    oracle=f"""
+    WITH lqv AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                FOR x IN embedding] AS q
+        FROM embeddings
+    ),
+    cent_u AS (
+        SELECT label, CAST(i AS INT) AS i,
+               sum(q[CAST(i AS INT)]) AS s, count(*) AS n
+        FROM lqv, unnest(range(1, {_KM_DIM + 1})) t(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label,
+               list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                    ORDER BY i) AS c
+        FROM cent_u GROUP BY label
+    ),
+    scored AS (
+        SELECT v.vec_id, v.label,
+               list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+                         FOR i IN range(1, {_KM_DIM + 1})]) AS dist
+        FROM lqv v JOIN cent c ON c.label = v.label
+    )
+    SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           CAST(dist AS BIGINT) AS dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_OUTLIER_TOPK}
+    """,
+    survey_ref="north-star embedding curation (beside q219 dim stats, "
+               "q226 PQ): per-label centroid-distance outliers — the "
+               "mislabeled-example screen over embedded training data",
+    doc="Intra-class outlier detection: every label's centroid is the "
+        "per-dimension floor-mean of its members' quantized "
+        "coordinates (the q212 update step keyed by label instead of "
+        "cluster), members score by exact int64 distance to their OWN "
+        "centroid, and the 5 farthest per label surface for review. "
+        "One (label, dim) aggregate — bounded key space |labels| x d — "
+        "one broadcast centroid join back, one per-label top-k window. "
+        "At 100 TB every step is map-side combinable or broadcast.",
+)
+def q250_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    lqv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint()
+    cent = (
+        lqv.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("cv"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st["cv"],
+            ).alias("c")
+        )
+    )
+    scored = lqv.join(F.broadcast(cent), "label").withColumn(
+        "dist", _km_sq_dist()
+    )
+    w = W.partitionBy("label").orderBy(F.desc("dist"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _OUTLIER_TOPK)
+        .select("label", "rnk", "vec_id", F.col("dist").cast("long").alias("dist"))
+    )

@@ -503,3 +503,10 @@ class TestRound4cPlanShapes:
         # the aggregate and the join share the customer-key partitioning
         plan = plan_of(spark, "q247_decorrelated_subquery")
         assert "CartesianProduct" not in plan
+
+    def test_residual_ivfpq_broadcast_tables(self, spark):
+        # residual formation and ADC scoring join only broadcast-sized
+        # relations (centroids, codebooks, distance tables); no cartesian
+        plan = plan_of(spark, "q248_residual_ivfpq_search")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
