@@ -233,3 +233,89 @@ class TestLabelPropagation:
         sizes = Counter(r["community"] for r in rows)
         for r in rows:
             assert r["community_size"] == sizes[r["community"]]
+
+
+class TestRound5bOps:
+    def test_transition_matrix_mass_conservation(self, spark):
+        # every observed transition is counted exactly once: per-source
+        # counts sum to the source totals the probabilities divide by
+        rows = REGISTRY["q232_event_transitions"].build(spark, SF_DIR).collect()
+        by_prev: dict = {}
+        for r in rows:
+            by_prev.setdefault(r["prev_type"], []).append(r)
+        for prev, rs in by_prev.items():
+            tot = sum(r["n"] for r in rs)
+            for r in rs:
+                assert abs(r["p"] - round(r["n"] / tot, 4)) < 1e-9
+
+    def test_wau_bounds_daily_distinct(self, spark):
+        # the 7-day rolling distinct can never be below any single day's
+        # distinct users inside its window
+        wau = {
+            r["report_day"]: r["wau"]
+            for r in REGISTRY["q234_rolling_distinct_users"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        daily = {
+            r["day"]: r["n"]
+            for r in ev.selectExpr("CAST(ts AS DATE) AS day", "user_id")
+            .distinct()
+            .groupBy("day")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        for day, n in daily.items():
+            assert wau[day] >= n
+
+    def test_rfm_covers_every_purchasing_user(self, spark):
+        rows = REGISTRY["q244_rfm_segments"].build(spark, SF_DIR).collect()
+        total = sum(r["n_users"] for r in rows)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n_buyers = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert total == n_buyers
+        for r in rows:
+            assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+
+    def test_source_overlap_matrix_bounds(self, spark):
+        rows = (
+            REGISTRY["q249_source_overlap_matrix"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert r["source_a"] < r["source_b"]
+            assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+            assert 0.0 <= r["jaccard"] <= 1.0
+
+    def test_label_outliers_ranked_descending(self, spark):
+        rows = REGISTRY["q250_label_outliers"].build(spark, SF_DIR).collect()
+        per_label: dict = {}
+        for r in rows:
+            per_label.setdefault(r["label"], []).append(r)
+        for rs in per_label.values():
+            rs.sort(key=lambda r: r["rnk"])
+            dists = [r["dist"] for r in rs]
+            assert dists == sorted(dists, reverse=True)
+
+    def test_residual_and_raw_ivfpq_share_probe_sets(self, spark):
+        # both searches probe the same coarse clusters, so each query's
+        # CANDIDATE pool is identical — the top-5 may reorder (different
+        # quantizers) but must come from the same clusters' members
+        raw = REGISTRY["q228_ivfpq_search"].build(spark, SF_DIR).collect()
+        res = REGISTRY["q248_residual_ivfpq_search"].build(spark, SF_DIR).collect()
+        assert {r["query_id"] for r in raw} == {r["query_id"] for r in res}
+        for rows in (raw, res):
+            per_q: dict = {}
+            for r in rows:
+                per_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+            for dists in per_q.values():
+                assert dists == sorted(dists)
