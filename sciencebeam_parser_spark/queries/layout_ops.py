@@ -456,3 +456,66 @@ def q239_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "q253_observed_metrics",
+    # the Observation API: ingest metrics (row count, value mass, gate
+    # counts) ride ON the workload's own pass via df.observe — no second
+    # scan — and surface to the driver after the action. The oracle
+    # predicts the same metrics relationally.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(count(CASE WHEN value > 100 THEN 1 END) AS BIGINT)
+               AS n_large,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchase
+    FROM events
+    """,
+    survey_ref="§4 optimizer/observability surface: DataFrame.observe "
+               "metrics — the zero-extra-pass ingest accounting the "
+               "reference's per-model endpoints (§3.3 'every "
+               "intermediate relation materializable') generalize to",
+    doc="Observed metrics: df.observe attaches named aggregate metrics "
+        "to the event scan, the workload (a max-timestamp action) "
+        "executes ONCE, and the metrics are read from the Observation "
+        "handle afterwards — accounting without a second pass, which "
+        "at 100 TB is the difference between free telemetry and "
+        "doubling the scan bill. (DISTINCT aggregates are rejected by "
+        "CollectMetrics, so the fourth metric is a purchase gate "
+        "count.) Returned as a 1-row relation the oracle predicts.",
+)
+def q253_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.count(F.when(F.col("value") > 100, 1)).alias("n_large"),
+        # DISTINCT aggregates are rejected by CollectMetrics; gate counts
+        # like this purchase tally are the supported shape
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchase"
+        ),
+    )
+    # the real workload action — metrics piggyback this single pass
+    observed.agg(F.max("ts")).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_cents"]),
+                int(m["n_large"]),
+                int(m["n_purchase"]),
+            )
+        ],
+        "n_rows long, total_cents long, n_large long, n_purchase long",
+    )

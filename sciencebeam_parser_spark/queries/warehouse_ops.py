@@ -1246,3 +1246,167 @@ def q244_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@register(
+    "q251_winsorized_stats",
+    # robust statistics: exact p05/p95 integer-cent boundaries per event
+    # type via ordered row_number selection, values clamped into the
+    # band, and the robust mean compared against the raw mean. All
+    # boundary arithmetic is int64; only the display means divide.
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    bounds AS (
+        SELECT event_type,
+               min(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT)
+                        THEN cents END) AS lo,
+               min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                        THEN cents END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           b.lo, b.hi,
+           CAST(count(CASE WHEN v.cents < b.lo OR v.cents > b.hi
+                      THEN 1 END) AS BIGINT) AS n_clamped,
+           CAST(sum(CASE WHEN v.cents < b.lo THEN b.lo
+                         WHEN v.cents > b.hi THEN b.hi
+                         ELSE v.cents END) AS BIGINT) AS winsorized_sum,
+           CAST(sum(v.cents) AS BIGINT) AS raw_sum
+    FROM v JOIN bounds b ON b.event_type = v.event_type
+    GROUP BY v.event_type, b.lo, b.hi
+    """,
+    survey_ref="engine-general robust statistics (beside q47 exact "
+               "percentiles, q213 histogram sketch): winsorization — "
+               "the outlier-clamping cleaning step upstream of every "
+               "mean-based metric",
+    doc="Winsorized statistics per event type: the exact 5th/95th "
+        "percentile integer-cent boundaries come from ordered "
+        "row_number selection (ceil(n*p) — the classic exact-quantile "
+        "definition, deterministic on ties because cents are "
+        "integers), every value clamps into the band, and the output "
+        "carries both the winsorized and raw sums so the outlier "
+        "distortion is visible. One event_type shuffle shared by the "
+        "ranking window and the aggregate; at 100 TB the boundary pass "
+        "would swap to the q213 sketch exactly as q233 documents.",
+)
+def q251_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wn = W.partitionBy("event_type")
+    wr = wn.orderBy("cents", "cents")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.05).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.95).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = F.when(F.col("cents") < F.col("lo"), F.col("lo")).when(
+        F.col("cents") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("cents"))
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(
+                F.when(
+                    (F.col("cents") < F.col("lo"))
+                    | (F.col("cents") > F.col("hi")),
+                    1,
+                )
+            ).cast("long").alias("n_clamped"),
+            F.sum(clamped).cast("long").alias("winsorized_sum"),
+            F.sum("cents").cast("long").alias("raw_sum"),
+        )
+        .select(
+            "event_type", "n", "lo", "hi",
+            "n_clamped", "winsorized_sum", "raw_sum",
+        )
+    )
+
+
+@register(
+    "q252_benford_audit",
+    # Benford's-law first-digit audit: observed leading-digit counts of
+    # order totals vs the expected log10(1 + 1/d) distribution, with the
+    # per-digit deviation in integer-scaled parts-per-10000. The fraud/
+    # data-fabrication screen every financial DQ suite ships.
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT o.d,
+           o.n,
+           CAST(floor(10000.0 * o.n / t.t) AS BIGINT) AS obs_bp,
+           CAST(floor(10000 * log10(1.0 + 1.0 / o.d)) AS BIGINT)
+               AS benford_bp
+    FROM obs o CROSS JOIN tot t
+    """,
+    survey_ref="engine-general data-quality auditing (beside q204 "
+               "constraints, q231 k-anonymity): Benford first-digit "
+               "screening — the numeric-fabrication detector",
+    doc="Benford's-law audit of order totals: leading digits of the "
+        "integer-cent amounts aggregate to a 9-row distribution, "
+        "reported in floor-scaled basis points beside the expected "
+        "log10(1 + 1/d) mass. Both the observed and expected shares "
+        "floor to integers so the comparison is engine-exact; the scan "
+        "is one map-side-combinable aggregate over a 9-value key.",
+)
+def q252_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.floor(10000.0 * F.col("n") / F.col("t")).cast("long").alias("obs_bp"),
+        F.floor(10000 * F.log10(1.0 + 1.0 / F.col("d")))
+        .cast("long")
+        .alias("benford_bp"),
+    )
