@@ -1451,9 +1451,9 @@ def q241_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(parse_json -> try_variant_get) — the typed "
                "open-schema path beside q53's string JSON extraction",
     doc="Semi-structured VARIANT processing: props parses ONCE into a "
-        "variant column (binary-encoded, shreddable), typed values "
-        "extract with try_variant_get (malformed paths yield NULL, not "
-        "errors), and schema_of_variant reports the inferred shape the "
+        "variant column (binary-encoded, shreddable) via try_parse_json "
+        "— malformed rows AND missing paths yield NULL, never errors — "
+        "and schema_of_variant reports the inferred shape the "
         "engine would use for shredding. At 100 TB the win over q53's "
         "get_json_object is structural: one parse per row feeding any "
         "number of typed extractions, with the variant column itself "
@@ -1462,17 +1462,22 @@ def q241_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q243_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # try_parse_json (not parse_json): a malformed props row must become
+    # NULL, not an executor error — matching the try_variant_get posture
     v = ev.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
         F.try_variant_get("v", "$.k", "int").alias("k"),
-        F.schema_of_variant("v").alias("variant_schema"),
+        F.schema_of_variant("v").alias("vs"),
     )
-    return v.groupBy("event_type", "variant_schema").agg(
+    # schema reported as an aggregate (max), not a grouping key: one odd
+    # row must not split the per-type groups the oracle predicts
+    return v.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("n_high"),
         F.sum("k").cast("long").alias("sum_k"),
+        F.max("vs").alias("variant_schema"),
     ).select(
         "event_type", "n", "n_high", "sum_k", "variant_schema"
     )

@@ -826,6 +826,28 @@ def _km_sq_dist(qcol: str = "q", ccol: str = "c"):
     )
 
 
+def _centroid_update(df: DataFrame, key: str) -> DataFrame:
+    """Floor-mean integer centroid per ``key`` from (key, q) rows — the
+    Lloyd update step, also reused by q250's per-label centroids."""
+    upd = df.select(
+        key, F.posexplode("q").alias("pos", "val")
+    ).groupBy(key, "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    return upd.select(
+        key,
+        "pos",
+        F.floor(F.col("s").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("cv"),
+    ).groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda st: st["cv"],
+        ).alias("c")
+    )
+
+
 def _km_train(qv: DataFrame, k: int, iters: int = 2):
     """Lloyd's loop: returns (final assignment (vec_id, q, cid), final
     centroids (cid, c)). Init = the first k vectors by vec_id."""
@@ -842,23 +864,7 @@ def _km_train(qv: DataFrame, k: int, iters: int = 2):
             .filter(F.col("rn") == 1)
             .select("vec_id", "q", "cid")
         )
-        upd = assign.select(
-            "cid", F.posexplode("q").alias("pos", "val")
-        ).groupBy("cid", "pos").agg(
-            F.sum("val").alias("s"), F.count("*").alias("n")
-        )
-        cent = upd.select(
-            "cid",
-            "pos",
-            F.floor(F.col("s").cast("double") / F.col("n"))
-            .cast("long")
-            .alias("cv"),
-        ).groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda st: st["cv"],
-            ).alias("c")
-        )
+        cent = _centroid_update(assign, "cid")
     return assign, cent
 
 
@@ -1651,25 +1657,7 @@ def q250_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("q"),
     ).localCheckpoint()
-    cent = (
-        lqv.select("label", F.posexplode("q").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-        .select(
-            "label",
-            "pos",
-            F.floor(F.col("s").cast("double") / F.col("n"))
-            .cast("long")
-            .alias("cv"),
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda st: st["cv"],
-            ).alias("c")
-        )
-    )
+    cent = _centroid_update(lqv.select("label", "q"), "label")
     scored = lqv.join(F.broadcast(cent), "label").withColumn(
         "dist", _km_sq_dist()
     )

@@ -1263,7 +1263,7 @@ def q244_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT event_type, cents,
                row_number() OVER (
-                   PARTITION BY event_type ORDER BY cents, cents) AS rn,
+                   PARTITION BY event_type ORDER BY cents) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
         FROM v
     ),
@@ -1308,7 +1308,9 @@ def q251_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     wn = W.partitionBy("event_type")
-    wr = wn.orderBy("cents", "cents")
+    # ties on cents stay ties — the rank-selected VALUE is tie-invariant,
+    # so no secondary key is needed
+    wr = wn.orderBy("cents")
     ranked = v.select(
         "event_type",
         "cents",
@@ -1365,7 +1367,7 @@ def q251_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
                            AS VARCHAR), 1, 1) AS INT) AS d
         FROM orders
-        WHERE o_totalprice > 0
+        WHERE o_totalprice >= 0.01
     ),
     obs AS (
         SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
@@ -1396,7 +1398,9 @@ def q252_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).cast("int")
     obs = (
-        orders.filter(F.col("o_totalprice") > 0)
+        # >= one cent: a sub-cent amount would floor to 0 cents, whose
+        # leading digit 0 divides the Benford expectation by zero
+        orders.filter(F.col("o_totalprice") >= 0.01)
         .select(d.alias("d"))
         .groupBy("d")
         .agg(F.count("*").cast("long").alias("n"))
