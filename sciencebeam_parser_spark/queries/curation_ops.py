@@ -769,3 +769,115 @@ def q245_streaming_ingest_pipeline(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (q255)
+# --------------------------------------------------------------------------
+
+_DSIR_TOPN = 100
+
+# raw LM = the whole corpus; target LM = the English subset (the "target
+# domain" stand-in). Both are add-one-smoothed bigram models; unseen
+# target bigrams fall back to 0-count smoothing via LEFT JOIN + coalesce.
+_DSIR_SQL = "WITH " + _WORDPOS_CTE + """,
+    lm AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm),
+    tgt AS (
+        SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS t12
+        FROM bigrams b JOIN documents d ON d.doc_id = b.doc_id
+        WHERE d.lang = 'en'
+        GROUP BY b.w1, b.w2
+    ),
+    tuni AS (
+        SELECT w1, CAST(sum(t12) AS BIGINT) AS t1 FROM tgt GROUP BY w1
+    ),
+    tvocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS tv FROM tgt),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(
+                   -log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))
+                   - (-log2((coalesce(tgt.t12, 0) + 1.0)
+                            / (coalesce(tuni.t1, 0) + tvocab.tv)))
+               ), 4) AS imp_bits
+        FROM bigrams b
+        JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        JOIN uni ON b.w1 = uni.w1
+        LEFT JOIN tgt ON b.w1 = tgt.w1 AND b.w2 = tgt.w2
+        LEFT JOIN tuni ON b.w1 = tuni.w1
+        CROSS JOIN vocab CROSS JOIN tvocab
+        GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "q255_dsir_importance",
+    oracle=_DSIR_SQL + f"""
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, n_bigrams, imp_bits
+    FROM (SELECT s.*, row_number() OVER (
+              ORDER BY imp_bits DESC, doc_id) AS rnk
+          FROM scored s)
+    WHERE rnk <= {_DSIR_TOPN}
+    """,
+    survey_ref="north-star corpus shaping: DSIR (Xie et al. 2023) "
+               "importance resampling — data selection by target-vs-raw "
+               "LM likelihood ratio (the learned upgrade of q171's "
+               "weighted sample, built on q168's bigram LM)",
+    doc="DSIR data selection: two add-one-smoothed bigram LMs train as "
+        "count tables in one pass each — `raw` over the whole corpus, "
+        "`target` over the English subset (the target-domain stand-in); "
+        "every document's importance weight is its mean "
+        "log2 p_target - log2 p_raw over its own bigrams (= raw NLL - "
+        "target NLL, in bits), and the top-100 by weight are selected. "
+        "Unseen target bigrams hit the smoothing floor via LEFT JOIN + "
+        "coalesce(0) rather than dropping rows. Scale: both LM tables "
+        "are vocabulary-bounded, scoring is equi-joins on word keys, "
+        "and the final top-k compiles to TakeOrderedAndProject — no "
+        "global sort. Head-word skew is AQE skew-join territory.",
+)
+def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _bigrams(spark, sf_dir).localCheckpoint()  # feeds both LMs + scoring
+    docs = table(spark, sf_dir, "documents")
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = lm.agg(F.countDistinct("w2").alias("v"))
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    tbg = bg.join(en, "doc_id")
+    tgt = tbg.groupBy("w1", "w2").agg(F.count("*").alias("t12"))
+    tuni = tgt.groupBy("w1").agg(F.sum("t12").alias("t1"))
+    tvocab = tgt.agg(F.countDistinct("w2").alias("tv"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .join(tgt, ["w1", "w2"], "left")
+        .join(tuni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tvocab))
+    )
+    raw_nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    tgt_nll = -F.log2(
+        (F.coalesce(F.col("t12"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("t1"), F.lit(0)) + F.col("tv"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg(raw_nll - tgt_nll), 4).alias("imp_bits"),
+    )
+    # top-N first (TakeOrderedAndProject — no global sort materializes),
+    # then rank within the already-tiny selected set
+    topn = per_doc.orderBy(F.desc("imp_bits"), "doc_id").limit(_DSIR_TOPN)
+    w = W.orderBy(F.desc("imp_bits"), "doc_id")
+    return topn.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "n_bigrams",
+        "imp_bits",
+    )

@@ -1667,3 +1667,105 @@ def q250_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _OUTLIER_TOPK)
         .select("label", "rnk", "vec_id", F.col("dist").cast("long").alias("dist"))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic deduplication (q254) — SemDeDup over the trained k-means index
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_T = 1_400_000  # int64 sq-dist on 1e-3-quantized coords
+
+
+@register(
+    "q254_semdedup",
+    # SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    # mark near-duplicates ONLY within each cluster — the cluster bound
+    # turns a corpus-quadratic pairwise scan into per-cluster bounded
+    # work. A vector is removed when any LOWER-ID cluster-mate sits
+    # within the distance threshold (one-pass epsilon-ball rule; the
+    # lowest id in each dense ball survives as its representative).
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + ","
+    + _km_assign_sql("c2", "a3")
+    + f""",
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_sum([(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])
+                        FOR i IN range(1, {_KM_DIM + 1})]) <= {_SEMDEDUP_T}
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_kept,
+           CAST(sum(vec_id) FILTER (WHERE NOT is_dup) AS BIGINT)
+               AS kept_id_sum
+    FROM (SELECT a.cid, a.vec_id, d.vec_id IS NOT NULL AS is_dup
+          FROM a3 a LEFT JOIN dup d ON d.vec_id = a.vec_id)
+    GROUP BY cid
+    """,
+    survey_ref="north-star dedup capstone: SemDeDup (Abbas et al. 2023) "
+               "— semantic near-dup removal via cluster-then-dedup, the "
+               "embedding-space twin of q145's MinHash-LSH canonical "
+               "corpus (beside q92 cosine pairs / q212 k-means)",
+    doc="SemDeDup: the q212 integer Lloyd loop (k=8, 2 iterations) "
+        "partitions the embedding space; pairwise exact int64 distances "
+        "are computed ONLY inside each cluster (self-join co-partitioned "
+        "on the cluster key — per-cluster bounded quadratic, the same "
+        "scale posture as q62's LSH band buckets); a vector whose "
+        "distance to any lower-id cluster-mate is <= T is removed, the "
+        "ball's minimum id survives. Output is the per-cluster audit "
+        "(members/removed/kept + kept-id checksum). At 100 TB, k scales "
+        "with corpus size to hold cluster cardinality constant, "
+        "centroids stay broadcast-sized, and the only shuffles are the "
+        "cluster-key hash partitions.",
+)
+def q254_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    _, cent = _km_train(qv, _IVF_K, iters=2)
+    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    a3 = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _km_sq_dist())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid")
+        .localCheckpoint()  # reused: both sides of the pair join + audit
+    )
+    lo = a3.select(
+        F.col("cid").alias("cid_l"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("q").alias("q_l"),
+    )
+    dup = (
+        a3.join(
+            lo,
+            (F.col("cid_l") == F.col("cid"))
+            & (F.col("lo_id") < F.col("vec_id")),
+        )
+        .filter(_km_sq_dist("q", "q_l") <= _SEMDEDUP_T)
+        .select("vec_id")
+        .distinct()
+    )
+    flagged = a3.join(
+        dup.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "cid", "vec_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    return flagged.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.count_if("is_dup").cast("long").alias("n_removed"),
+        F.count_if(~F.col("is_dup")).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("is_dup"), F.col("vec_id")))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
