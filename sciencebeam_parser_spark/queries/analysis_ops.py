@@ -793,3 +793,98 @@ def q249_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language (q256)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q256_tokenizer_fertility",
+    # the tokenizer-evaluation table every multilingual pipeline builds:
+    # per-language fertility (BPE tokens per word) and compression
+    # (chars per token) of the q223/q224 trained tokenizer. Exercises
+    # the encode-once-per-TYPE-then-join-back-to-occurrences step that
+    # q224's doc describes: the corpus token stream is never re-derived,
+    # occurrences just equi-join their word type.
+    oracle="WITH " + _WORDPOS_CTE + f""",
+    wc AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM wordpos GROUP BY w
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wc ORDER BY cnt DESC, word LIMIT {_BPE_VOCAB}
+    ),
+    {",".join(_bpe_round_sql(f'v{r - 1}', r) for r in range(1, _BPE_ROUNDS + 1))},
+    e0 AS (
+        SELECT word, cnt,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+        FROM wc
+    ),
+    {",".join(_bpe_encode_sql(f'e{r - 1}', r) for r in range(1, _BPE_ROUNDS + 1))},
+    enc AS (
+        SELECT word,
+               CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(word) AS BIGINT) AS n_chars
+        FROM e{_BPE_ROUNDS}
+    )
+    SELECT d.lang,
+           CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+           round(sum(e.n_tokens) * 1.0 / count(*), 4) AS fertility,
+           round(sum(e.n_chars) * 1.0 / sum(e.n_tokens), 4)
+               AS chars_per_token
+    FROM wordpos p
+    JOIN documents d ON d.doc_id = p.doc_id
+    JOIN enc e ON e.word = p.w
+    GROUP BY d.lang
+    """,
+    survey_ref="north-star tokenizer family capstone: per-language "
+               "fertility / compression evaluation of the q223-trained "
+               "BPE tokenizer — the tokenizer-quality table (beside "
+               "q68 token counts, q192 vocab growth)",
+    doc="Tokenizer fertility: the q224 encode runs once per word TYPE "
+        "(vocabulary-bounded), then the occurrence stream recovers its "
+        "token counts by an equi-join on the word key and aggregates "
+        "per language — tokens/word (fertility) and chars/token "
+        "(compression), the metrics that decide whether a tokenizer "
+        "under-serves a language. At 100 TB the type table is millions "
+        "of rows vs trillions of occurrences, so the only corpus-scale "
+        "operations are one explode and one join on the word key; "
+        "head-word skew on that join is broadcast territory since the "
+        "encoded type table is itself broadcastable after a frequency "
+        "cut.",
+)
+def q256_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wc = _word_counts(spark, sf_dir).localCheckpoint()
+    _, bests = _bpe_train(wc)
+    enc = wc.select("word", _char_seq(F.col("word")).alias("seq"))
+    for best in bests:
+        enc = enc.join(F.broadcast(best), F.lit(True), "left").select(
+            "word", _apply_merge(F.col("seq")).alias("seq")
+        )
+    enc = enc.select(
+        "word",
+        F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    occ = docs.select(
+        "doc_id", "lang", F.explode(_words()).alias("word")
+    )
+    joined = occ.join(enc, "word")
+    return joined.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(F.sum("n_tokens") * 1.0 / F.count("*"), 4).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1414,3 +1414,76 @@ def q252_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shard compaction planner (q257)
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 8_000  # target compacted shard size (chars; stand-in for bytes)
+
+
+@register(
+    "q257_compaction_plan",
+    # the small-files problem: plan which undersized shards merge into
+    # which compacted output file. Shards = the (source, lang) partition
+    # cells of the corpus with their byte weight; the plan assigns each
+    # shard (in deterministic key order) to bin floor(running_before /
+    # target) — next-fit packing as ONE window running sum, the same
+    # relational shape Delta/Iceberg OPTIMIZE planning reduces to.
+    oracle=f"""
+    WITH shards AS (
+        SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY source, lang
+    ),
+    planned AS (
+        SELECT source, lang, bytes,
+               CAST(floor(
+                   (sum(bytes) OVER (ORDER BY source, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - bytes) / {_COMPACT_TARGET}.0) AS BIGINT) AS bin_id
+        FROM shards
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(source || '/' || lang) AS first_shard,
+           max(source || '/' || lang) AS last_shard
+    FROM planned GROUP BY bin_id
+    """,
+    survey_ref="warehouse surface: compaction planning (the OPTIMIZE / "
+               "bin-packing pass over a small-files inventory) — beside "
+               "q205 Z-order layout and q178 snapshot upsert",
+    doc="Compaction planner: the shard inventory (one row per (source, "
+        "lang) partition cell with its size) is packed next-fit into "
+        "target-sized output files via a single running-sum window — "
+        "bin = floor(cumulative-size-before / target) — then summarized "
+        "per planned output file. The inventory is file-count-sized "
+        "(thousands of rows at 100 TB, never corpus-sized), so the "
+        "global-order window is cheap; the plan itself is what a "
+        "foreachPartition rewrite job would consume. Deterministic on "
+        "any engine: packing order is the (source, lang) key order.",
+)
+def q257_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shards = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes")
+    )
+    w = W.orderBy("source", "lang").rowsBetween(W.unboundedPreceding, 0)
+    planned = shards.select(
+        "source",
+        "lang",
+        "bytes",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")) / float(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+    key = F.concat_ws("/", "source", "lang")
+    return planned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min(key).alias("first_shard"),
+        F.max(key).alias("last_shard"),
+    )
