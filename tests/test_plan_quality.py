@@ -514,3 +514,34 @@ class TestRound4cPlanShapes:
         plan = plan_of(spark, "q248_residual_ivfpq_search")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound5cPlanShapes:
+    def test_semdedup_pair_join_is_cluster_keyed(self, spark):
+        # the pairwise scan must be an equi-join on the cluster key (the
+        # lower-id condition is a residual filter), never a cartesian
+        plan = plan_of(spark, "q254_semdedup")
+        assert "CartesianProduct" not in plan
+        # the pair scan is an equi-join keyed on the cluster id (the
+        # lower-id + distance conditions ride as join residuals); the
+        # k-means assignment's broadcast lives behind the localCheckpoint
+        assert "hashpartitioning(cid" in plan
+
+    def test_dsir_topk_compiles_to_take_ordered(self, spark):
+        # the top-100 selection must not materialize a global sort of
+        # every per-doc score
+        plan = plan_of(spark, "q255_dsir_importance")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_fertility_joins_type_table_not_corpus(self, spark):
+        # the occurrence join keys on the word — a hash/merge equi-join;
+        # no cartesian anywhere in the BPE chain
+        plan = plan_of(spark, "q256_tokenizer_fertility")
+        assert "CartesianProduct" not in plan
+
+    def test_compaction_plan_inventory_sized_window(self, spark):
+        # one aggregation feeds one global-order window over the tiny
+        # inventory; the corpus itself contributes only the partial agg
+        plan = plan_of(spark, "q257_compaction_plan")
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= 4
