@@ -1769,3 +1769,132 @@ def q254_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation via Count-Min inner product (q259)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q259_join_size_estimate",
+    # the optimizer-statistics application of the sketch family: estimate
+    # |R1 join R2 on user| WITHOUT running the join, as the Count-Min
+    # inner product min_i sum_b cms1[i][b] * cms2[i][b] (AMS-style; can
+    # only OVER-estimate). R1 = clicks, R2 = purchases — exactly the
+    # cardinality a planner needs to size q179's stream-stream join
+    # state. The exact value joins the two per-key count tables.
+    oracle=f"""
+    WITH r1 AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    r2 AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    c1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM r1
+           GROUP BY user_id),
+    c2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM r2
+           GROUP BY user_id),
+    exact AS (
+        SELECT CAST(coalesce(sum(c1.n * c2.n), 0) AS BIGINT) AS exact
+        FROM c1 JOIN c2 ON c2.user_id = c1.user_id
+    ),
+    cms1 AS (
+        SELECT i, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM ({" UNION ALL ".join(
+            f"SELECT {i} AS i,"
+            f" {_cms_bucket_sql(i, 'CAST(user_id AS VARCHAR)')} AS bucket"
+            f" FROM r1" for i in range(_CMS_D)
+        )}) GROUP BY i, bucket
+    ),
+    cms2 AS (
+        SELECT i, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM ({" UNION ALL ".join(
+            f"SELECT {i} AS i,"
+            f" {_cms_bucket_sql(i, 'CAST(user_id AS VARCHAR)')} AS bucket"
+            f" FROM r2" for i in range(_CMS_D)
+        )}) GROUP BY i, bucket
+    ),
+    prods AS (
+        SELECT a.i, CAST(sum(a.n * b.n) AS BIGINT) AS inner_product
+        FROM cms1 a JOIN cms2 b ON b.i = a.i AND b.bucket = a.bucket
+        GROUP BY a.i
+    )
+    SELECT e.exact,
+           CAST(min(p.inner_product) AS BIGINT) AS estimate,
+           CAST(min(p.inner_product) - e.exact AS BIGINT) AS overestimate,
+           CAST((min(p.inner_product) - e.exact) * 10000 // e.exact
+                AS BIGINT) AS rel_err_bp
+    FROM prods p CROSS JOIN exact e
+    GROUP BY e.exact
+    """,
+    survey_ref="warehouse/optimizer surface: join-cardinality estimation "
+               "by Count-Min inner product (the AMS join-size sketch — "
+               "completes q209's point estimates with the pairwise "
+               "application a CBO actually runs)",
+    doc="Join-size estimation without the join: each relation folds to a "
+        "d x w Count-Min sketch (one map-side aggregate per side), and "
+        "the estimate is min over hash rows of the bucket-wise inner "
+        "product — sketch-width work, independent of data size, with a "
+        "one-sided (over-estimate) error the output accounts exactly "
+        "against the true cardinality. This is how a planner sizes "
+        "q179's click x purchase join state before committing to a "
+        "strategy. Both sketches merge by addition, so they maintain "
+        "incrementally under streaming ingest.",
+)
+def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    r1 = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    r2 = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    c1 = r1.groupBy("user_id").agg(F.count("*").cast("long").alias("n1"))
+    c2 = r2.groupBy("user_id").agg(F.count("*").cast("long").alias("n2"))
+    exact = (
+        c1.join(c2, "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("n1") * F.col("n2")), F.lit(0))
+            .cast("long")
+            .alias("exact")
+        )
+    )
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    def sketch(r):
+        cms = None
+        for i in range(_CMS_D):
+            part = r.select(
+                F.lit(i).alias("i"), bucket(i, F.col("user_id")).alias("bucket")
+            )
+            cms = part if cms is None else cms.unionByName(part)
+        return cms.groupBy("i", "bucket").agg(
+            F.count("*").cast("long").alias("n")
+        )
+
+    cms1 = sketch(r1)
+    cms2 = sketch(r2).withColumnRenamed("n", "n2")
+    prods = (
+        cms1.join(cms2, ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("n") * F.col("n2")).cast("long").alias("inner_product"))
+    )
+    est = prods.agg(F.min("inner_product").cast("long").alias("estimate"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact",
+        "estimate",
+        (F.col("estimate") - F.col("exact")).cast("long").alias("overestimate"),
+        F.floor(
+            (F.col("estimate") - F.col("exact")) * 10000 / F.col("exact")
+        )
+        .cast("long")
+        .alias("rel_err_bp"),
+    )

@@ -1487,3 +1487,92 @@ def q257_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key).alias("first_shard"),
         F.max(key).alias("last_shard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew audit (q258)
+# --------------------------------------------------------------------------
+
+_SKEW_BUCKETS = 32
+
+
+@register(
+    "q258_skew_audit",
+    # the diagnostics pass a 100 TB pipeline runs BEFORE choosing a join
+    # strategy: per-key frequency shares expose hot keys (salting / AQE
+    # skew-join candidates), and simulated hash-partition loads (md5
+    # bucket per user) quantify how far the partitioning is from
+    # uniform. All exact integer arithmetic: shares in basis points.
+    oracle=f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
+    hot AS (
+        SELECT 'hot_key' AS section, event_type AS key,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ),
+    buckets AS (
+        SELECT 'bucket' AS section,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % {_SKEW_BUCKETS} AS VARCHAR) AS key,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 2
+    ),
+    skew AS (
+        SELECT 'bucket_skew' AS section, 'max_over_avg' AS key,
+               max(n) AS n
+        FROM buckets
+    )
+    SELECT section, key, n,
+           CAST(CASE WHEN section = 'bucket_skew'
+                     THEN n * {_SKEW_BUCKETS} * 10000 // t
+                     ELSE n * 10000 // t END AS BIGINT) AS share_bp
+    FROM (SELECT * FROM hot UNION ALL
+          SELECT * FROM buckets UNION ALL
+          SELECT * FROM skew) u
+    CROSS JOIN tot
+    """,
+    survey_ref="scale mechanics (beside q48 salted join, q209 heavy "
+               "hitters): the join-key skew audit — hot-key shares + "
+               "simulated hash-partition load distribution, the report "
+               "that decides salting vs broadcast vs AQE skew-join",
+    doc="Skew audit: one aggregate per section — per-key frequencies "
+        "(hot keys by share, in exact basis points), md5-simulated "
+        "hash-partition loads over the user key (engine-portable stand-"
+        "in for Spark's murmur3 partitioner), and the max-over-average "
+        "bucket-load ratio (10000 = perfectly uniform). Everything is "
+        "map-side combinable one-pass aggregation; the bucket relation "
+        "is partitioner-width, so the audit costs one scan regardless "
+        "of corpus size.",
+)
+def q258_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import _md5_long
+
+    ev = table(spark, sf_dir, "events")
+    tot = ev.agg(F.count("*").cast("long").alias("t"))
+    hot = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    ).select(F.lit("hot_key").alias("section"), "key", "n")
+    buckets = (
+        ev.select(
+            (_md5_long(F.col("user_id").cast("string")) % _SKEW_BUCKETS)
+            .cast("string")
+            .alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("bucket").alias("section"), "key", "n")
+    )
+    skew = buckets.agg(F.max("n").alias("n")).select(
+        F.lit("bucket_skew").alias("section"),
+        F.lit("max_over_avg").alias("key"),
+        "n",
+    )
+    u = hot.unionByName(buckets).unionByName(skew)
+    share = F.when(
+        F.col("section") == "bucket_skew",
+        (F.col("n") * _SKEW_BUCKETS * 10000).cast("long") / F.col("t"),
+    ).otherwise((F.col("n") * 10000).cast("long") / F.col("t"))
+    return u.crossJoin(F.broadcast(tot)).select(
+        "section", "key", "n", F.floor(share).cast("long").alias("share_bp")
+    )

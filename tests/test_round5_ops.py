@@ -387,3 +387,28 @@ class TestRound5cOps:
         assert sum(r["n_shards"] for r in rows) == n_shards
         for r in rows:
             assert r["first_shard"] <= r["last_shard"]
+
+    def test_skew_audit_sections_consistent(self, spark):
+        rows = REGISTRY["q258_skew_audit"].build(spark, SF_DIR).collect()
+        hot = [r for r in rows if r["section"] == "hot_key"]
+        buckets = [r for r in rows if r["section"] == "bucket"]
+        skew = [r for r in rows if r["section"] == "bucket_skew"]
+        ev_n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        assert sum(r["n"] for r in hot) == ev_n
+        assert sum(r["n"] for r in buckets) == ev_n
+        assert len(skew) == 1
+        assert skew[0]["n"] == max(r["n"] for r in buckets)
+        # max-over-avg ratio >= 10000 bp (uniform) by definition
+        assert skew[0]["share_bp"] >= 10000
+
+    def test_join_size_estimate_overestimates_only(self, spark):
+        rows = REGISTRY["q259_join_size_estimate"].build(spark, SF_DIR).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["estimate"] >= r["exact"] > 0
+        assert r["overestimate"] == r["estimate"] - r["exact"]
+        # exact equals the true join cardinality
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+        buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+        assert r["exact"] == clicks.join(buys, "user_id").count()
