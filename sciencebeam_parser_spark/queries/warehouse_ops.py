@@ -1576,3 +1576,178 @@ def q258_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.crossJoin(F.broadcast(tot)).select(
         "section", "key", "n", F.floor(share).cast("long").alias("share_bp")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join (q260) and CDC apply with deletes (q261)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q260_scd2_pit_join",
+    # the consumer of q200's history: every transaction recovers the
+    # dimension version that was valid AT ITS OWN timestamp — the
+    # point-in-time (as-of) lookup that makes SCD2 history useful.
+    # Containment is half-open [from, to): a same-day version change
+    # resolves to the day's LAST version, uniquely.
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    hist AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               o_orderdate AS effective_from,
+               lead(o_orderdate) OVER w AS effective_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+              FROM ordered
+              WHERE prev_p IS NULL OR o_orderpriority <> prev_p)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT h.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN hist h ON h.custkey = o.o_custkey
+               AND o.o_orderdate >= h.effective_from
+               AND (h.effective_to IS NULL
+                    OR o.o_orderdate < h.effective_to)
+    GROUP BY h.version
+    """,
+    survey_ref="warehouse surface: SCD2 point-in-time (as-of) fact-to-"
+               "dimension attribution — the lookup q200's history "
+               "exists to serve (beside q18 nearest join, q173 interval "
+               "bin join)",
+    doc="Point-in-time join: facts equi-join the SCD2 history on the "
+        "dimension key with the half-open validity containment as a "
+        "join residual — each fact matches exactly ONE version (same-"
+        "day changes resolve to the day's last version). The join "
+        "shuffles on the dimension key only, so history attribution "
+        "is embarrassingly parallel; at extreme per-key version counts "
+        "the q173 bin rewrite bounds the per-key scan. Revenue folds "
+        "in exact floor-cents.",
+)
+def q260_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+    hist = (
+        ordered.filter(
+            F.col("prev_p").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_p"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("effective_from"),
+            F.lead("o_orderdate").over(w).alias("effective_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+    )
+    pit = orders.join(
+        hist,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("effective_from"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("o_orderdate") < F.col("effective_to"))
+        ),
+    )
+    return pit.groupBy("version").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+@register(
+    "q261_cdc_apply",
+    # applying a change-data feed WITH deletes: each order is an op on
+    # its customer key (orderkey % 7 = 0 -> delete, % 3 = 0 -> update,
+    # else insert/upsert), ordered by (date, orderkey). Final state =
+    # last op per key; a trailing delete removes the key. One shuffle,
+    # no join — the q178 upsert extended with the delete op class.
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey AS k, o_orderpriority AS v,
+               o_orderdate, o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+                    WHEN o_orderkey % 3 = 0 THEN 'U'
+                    ELSE 'I' END AS op
+        FROM orders
+    ),
+    latest AS (
+        SELECT k, v, op FROM (
+            SELECT k, v, op, row_number() OVER (
+                PARTITION BY k ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM feed
+        ) WHERE rn = 1
+    )
+    SELECT 'live' AS state, v AS priority,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM latest WHERE op <> 'D' GROUP BY v
+    UNION ALL
+    SELECT 'deleted', NULL, CAST(count(*) AS BIGINT),
+           CAST(sum(k) AS BIGINT)
+    FROM latest WHERE op = 'D'
+    """,
+    survey_ref="warehouse surface: CDC apply with deletes (the Delta/"
+               "Iceberg MERGE of an I/U/D change feed into a keyed "
+               "snapshot — q178's upsert completed with the delete op "
+               "and q207's change classes as INPUT rather than output)",
+    doc="Change-feed application: ops ride their natural order (date, "
+        "seq) and final state is the per-key LAST op via one ranked "
+        "window — a delete wins by removing the key, any other op wins "
+        "with its value. One hash shuffle on the key, no join against "
+        "the prior snapshot needed when the feed is complete; with a "
+        "base snapshot this becomes q178's union-then-rank shape plus "
+        "the delete filter. Output is the per-priority live-key audit "
+        "and the deleted-key account, checksummed.",
+)
+def q261_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    feed = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("v"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    w = W.partitionBy("k").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "v", "op")
+    )
+    live = (
+        latest.filter(F.col("op") != "D")
+        .groupBy(F.col("v").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .select(F.lit("live").alias("state"), "priority", "n_keys", "key_checksum")
+    )
+    deleted = latest.filter(F.col("op") == "D").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    ).select(
+        F.lit("deleted").alias("state"),
+        F.lit(None).cast("string").alias("priority"),
+        "n_keys",
+        "key_checksum",
+    )
+    return live.unionByName(deleted)

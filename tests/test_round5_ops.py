@@ -412,3 +412,22 @@ class TestRound5cOps:
         clicks = ev.filter(F.col("event_type") == "click").select("user_id")
         buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
         assert r["exact"] == clicks.join(buys, "user_id").count()
+
+    def test_pit_join_attributes_every_order_once(self, spark):
+        rows = REGISTRY["q260_scd2_pit_join"].build(spark, SF_DIR).collect()
+        n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+        # exactly-one-version containment: totals must equal the fact count
+        assert sum(r["n_orders"] for r in rows) == n_orders
+        assert all(r["version"] >= 1 for r in rows)
+
+    def test_cdc_apply_partitions_keyspace(self, spark):
+        rows = REGISTRY["q261_cdc_apply"].build(spark, SF_DIR).collect()
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        n_keys = orders.select("o_custkey").distinct().count()
+        key_sum = (
+            orders.select("o_custkey").distinct()
+            .agg(F.sum("o_custkey")).collect()[0][0]
+        )
+        # live + deleted partitions the key space exactly
+        assert sum(r["n_keys"] for r in rows) == n_keys
+        assert sum(r["key_checksum"] for r in rows) == key_sum
