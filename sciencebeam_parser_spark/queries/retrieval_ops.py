@@ -1898,3 +1898,146 @@ def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (q262)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST_K = 10
+_RRF_TOPK = 5
+
+
+@register(
+    "q262_hybrid_rrf_fusion",
+    # hybrid search: a dense (embedding top-10) and a lexical (shared-
+    # shingle top-10) ranking fuse per query by reciprocal-rank fusion —
+    # score = sum over lists of floor(1e6 / (60 + rank)), exact integer.
+    # RRF needs only ranks, never score calibration, which is why it is
+    # the standard hybrid fusion (Cormack et al. 2009).
+    oracle="WITH "
+    + _KM_QV_SQL
+    + ","
+    + _MINHASH_SH_SQL
+    + f""",
+    qset AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % 100 = 0),
+    dense AS (
+        SELECT qid, vec_id AS id, row_number() OVER (
+            PARTITION BY qid ORDER BY list_sum([
+                (v.q[i] - s.qq[i]) * (v.q[i] - s.qq[i])
+                FOR i IN range(1, {_KM_DIM + 1})]), v.vec_id) AS rnk
+        FROM qv v CROSS JOIN qset s
+        WHERE v.vec_id <> s.qid
+    ),
+    densetop AS (SELECT qid, id, rnk FROM dense WHERE rnk <= {_RRF_LIST_K}),
+    qsh AS (SELECT doc_id AS qid, shingle FROM sh WHERE doc_id % 100 = 0),
+    ov AS (
+        SELECT q.qid, s.doc_id AS id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM qsh q JOIN sh s ON s.shingle = q.shingle AND s.doc_id <> q.qid
+        GROUP BY q.qid, s.doc_id
+    ),
+    lextop AS (
+        SELECT qid, id, rnk FROM (
+            SELECT qid, id, row_number() OVER (
+                PARTITION BY qid ORDER BY n_shared DESC, id) AS rnk
+            FROM ov
+        ) WHERE rnk <= {_RRF_LIST_K}
+    ),
+    contrib AS (
+        SELECT qid, id, 1000000 // ({_RRF_K} + rnk) AS c,
+               1 AS in_d, 0 AS in_l
+        FROM densetop
+        UNION ALL
+        SELECT qid, id, 1000000 // ({_RRF_K} + rnk), 0, 1 FROM lextop
+    ),
+    fused AS (
+        SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_scaled,
+               CAST(max(in_d) AS BIGINT) AS in_dense,
+               CAST(max(in_l) AS BIGINT) AS in_lexical
+        FROM contrib GROUP BY qid, id
+    )
+    SELECT qid AS query_id, CAST(rn AS BIGINT) AS fused_rank,
+           id AS doc_id, rrf_scaled, in_dense, in_lexical
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY rrf_scaled DESC, id) AS rn
+          FROM fused)
+    WHERE rn <= {_RRF_TOPK}
+    """,
+    survey_ref="north-star retrieval capstone: hybrid dense + lexical "
+               "search fused by reciprocal-rank fusion (RRF, Cormack et "
+               "al. 2009) — composes q65's dense top-k with the q63 "
+               "shingle inverted index, the production RAG stack shape",
+    doc="Hybrid RRF retrieval: per query, a dense embedding top-10 "
+        "(exact int64 distances; the q215 IVF probe is the 100 TB drop-"
+        "in) and a lexical top-10 (shared word-trigram count via the "
+        "shingle inverted index — an equi-join, never all-pairs text "
+        "comparison) fuse by reciprocal-rank fusion in exact scaled "
+        "integers: floor(1e6/(60+rank)) summed across lists, so no "
+        "score calibration between modalities is needed. Query set "
+        "broadcasts; the lexical join keys on the shingle; the fused "
+        "re-rank touches <= 2k rows per query. Each list's top-k is a "
+        "per-query bounded window over its own candidate subset.",
+)
+def q262_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import _shingle_array
+
+    qv = _km_quantize(spark, sf_dir)
+    qset = qv.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    wq = W.partitionBy("qid").orderBy("dist", "vec_id")
+    dense = (
+        qv.crossJoin(F.broadcast(qset))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("dist", _km_sq_dist("q", "qq"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _RRF_LIST_K)
+        .select("qid", F.col("vec_id").alias("id"), "rnk")
+    )
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_array())).alias("shingle")
+    )
+    qsh = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), "shingle"
+    )
+    ov = (
+        qsh.join(sh.withColumnRenamed("doc_id", "id"), "shingle")
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    wl = W.partitionBy("qid").orderBy(F.desc("n_shared"), "id")
+    lextop = (
+        ov.withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= _RRF_LIST_K)
+        .select("qid", "id", "rnk")
+    )
+    c = F.floor(F.lit(1000000) / (F.lit(_RRF_K) + F.col("rnk"))).cast("long")
+    contrib = dense.select(
+        "qid", "id", c.alias("c"), F.lit(1).alias("in_d"), F.lit(0).alias("in_l")
+    ).unionByName(
+        lextop.select(
+            "qid", "id", c.alias("c"),
+            F.lit(0).alias("in_d"), F.lit(1).alias("in_l"),
+        )
+    )
+    fused = contrib.groupBy("qid", "id").agg(
+        F.sum("c").cast("long").alias("rrf_scaled"),
+        F.max("in_d").cast("long").alias("in_dense"),
+        F.max("in_l").cast("long").alias("in_lexical"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf_scaled"), "id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _RRF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("long").alias("fused_rank"),
+            F.col("id").alias("doc_id"),
+            "rrf_scaled",
+            "in_dense",
+            "in_lexical",
+        )
+    )

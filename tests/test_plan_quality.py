@@ -545,3 +545,10 @@ class TestRound5cPlanShapes:
         plan = plan_of(spark, "q257_compaction_plan")
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange") <= 4
+
+    def test_rrf_fusion_broadcasts_query_set(self, spark):
+        # dense candidates join the broadcast query set; the lexical arm
+        # keys on the shingle — an equi-join, no cartesian text scan
+        plan = plan_of(spark, "q262_hybrid_rrf_fusion")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

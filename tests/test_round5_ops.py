@@ -431,3 +431,19 @@ class TestRound5cOps:
         # live + deleted partitions the key space exactly
         assert sum(r["n_keys"] for r in rows) == n_keys
         assert sum(r["key_checksum"] for r in rows) == key_sum
+
+    def test_rrf_fusion_ranks_and_membership(self, spark):
+        rows = REGISTRY["q262_hybrid_rrf_fusion"].build(spark, SF_DIR).collect()
+        assert rows
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+            # every fused item came from at least one list
+            assert r["in_dense"] + r["in_lexical"] >= 1
+        for rs in per_q.values():
+            rs.sort(key=lambda r: r["fused_rank"])
+            scores = [r["rrf_scaled"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+            # max possible: both lists rank-1 -> 2 * floor(1e6/61)
+            assert scores[0] <= 2 * (1000000 // 61)
