@@ -1481,3 +1481,193 @@ def q243_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n", "n_high", "sum_k", "variant_schema"
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (q263)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q263_cusum_drift",
+    # Page's CUSUM without recursion: with S_t the running sum of
+    # deviations from a fixed first-week baseline, the reset-at-zero
+    # cumulative sum is exactly CUSUM_t = S_t - min(0, S_1..S_t) — two
+    # windows over one partitioning, no iterative state. Deviations are
+    # cross-multiplied (n*7 - baseline_sum) so everything stays int64.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked0 AS (
+        SELECT event_type, day, n,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS rn
+        FROM daily
+    ),
+    ranked AS (
+        SELECT event_type, day, n, rn,
+               CAST(sum(CASE WHEN rn <= 7 THEN n END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS b7
+        FROM ranked0
+    ),
+    devs AS (
+        SELECT event_type, day, n, rn, b7, n * 7 - b7 AS dev
+        FROM ranked WHERE rn > 7
+    ),
+    sums0 AS (
+        SELECT event_type, day, n, b7,
+               CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s
+        FROM devs
+    ),
+    sums AS (
+        SELECT event_type, day, n, b7, s,
+               CAST(min(s) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS smin
+        FROM sums0
+    )
+    SELECT event_type, day, n, b7,
+           CAST(s - least(smin, 0) AS BIGINT) AS cusum_scaled,
+           (s - least(smin, 0) > 2 * b7) AS drifted
+    FROM sums
+    """,
+    survey_ref="engine-general analytics/observability: Page's CUSUM "
+               "drift detector over the daily ingest series — completes "
+               "the monitoring family (q187 global z-score, q225 "
+               "drift-adaptive EWMA) with the cumulative-shift test "
+               "that catches slow drifts both miss",
+    doc="CUSUM drift detection: each type's first 7 days fix an integer "
+        "baseline; post-baseline deviations are cross-multiplied to "
+        "int64 (n*7 - baseline_sum), and the reset-at-zero CUSUM is "
+        "the running sum minus its zero-floored running minimum — the classic "
+        "recursive max(0, C+dev) re-expressed as two stacked windows "
+        "on ONE event_type partitioning (one shuffle). A drift flags "
+        "when the cumulative excess exceeds two baseline-days' volume. "
+        "Per-key window state is O(1); the series length never "
+        "materializes driver-side.",
+)
+def q263_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn(
+        "b7",
+        F.sum(F.when(F.col("rn") <= 7, F.col("n")))
+        .over(wp)
+        .cast("long"),
+    )
+    devs = ranked.filter(F.col("rn") > 7).withColumn(
+        "dev", F.col("n") * 7 - F.col("b7")
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    sums = devs.withColumn("s", F.sum("dev").over(wrun).cast("long")).withColumn(
+        "smin", F.min("s").over(wrun).cast("long")
+    )
+    # the zero floor: the recursion starts at C_0 = 0, so the running
+    # minimum must include S_0 = 0 (min(0, S_1..S_t))
+    floor_min = F.least(F.col("smin"), F.lit(0))
+    return sums.select(
+        "event_type",
+        "day",
+        "n",
+        "b7",
+        (F.col("s") - floor_min).cast("long").alias("cusum_scaled"),
+        (F.col("s") - floor_min > 2 * F.col("b7")).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square distribution drift (q264)
+# --------------------------------------------------------------------------
+
+_DRIFT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# one term per literal type, summed in FIXED (alphabetical) order — a
+# SUM aggregate over floats would have engine/partition-dependent
+# addition order; a literal expression tree does not
+_CHI2_SQL = " + ".join(
+    f"(pow(o_{t} - d * {t}_tot / grand_tot, 2)"
+    f" / (d * {t}_tot / grand_tot))"
+    for t in _DRIFT_TYPES
+)
+
+
+@register(
+    "q264_distribution_drift",
+    # model-ops drift monitoring: does TODAY'S event-type mix match the
+    # period's overall mix? Pearson chi-square per day against expected
+    # counts e_t = day_total * type_share. Complements q187 (per-type
+    # volume z-score) and q263 (cumulative volume shift) with the
+    # ACROSS-type compositional test.
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS d,
+               {", ".join(
+                   f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END)"
+                   f" AS BIGINT) AS o_{t}" for t in _DRIFT_TYPES
+               )}
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS grand_tot,
+               {", ".join(
+                   f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END)"
+                   f" AS BIGINT) AS {t}_tot" for t in _DRIFT_TYPES
+               )}
+        FROM events
+    )
+    SELECT day, d, round({_CHI2_SQL}, 4) AS chi2,
+           (round({_CHI2_SQL}, 4) > 9.4877) AS drifted
+    FROM daily CROSS JOIN tot
+    """,
+    survey_ref="engine-general analytics/observability: Pearson "
+               "chi-square compositional drift per day vs the period "
+               "mix — the distribution-shift monitor (PSI-style) beside "
+               "q187 volume z-scores and q263 CUSUM",
+    doc="Distribution drift: daily event-type counts pivot to literal "
+        "columns in ONE aggregate (no float SUM over rows — the five "
+        "chi-square terms add in a fixed literal order, so the double "
+        "result is bit-identical on any IEEE engine), expected counts "
+        "derive from the single broadcast period-totals row, and a day "
+        "drifts when chi2 exceeds the 95% critical value for 4 degrees "
+        "of freedom (9.4877). Two scans, one broadcast, zero joins on "
+        "the fact key — the audit costs one pass at any scale.",
+)
+def q264_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("d"),
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("long")
+            .alias(f"o_{t}")
+            for t in _DRIFT_TYPES
+        ],
+    )
+    tot = ev.agg(
+        F.count("*").cast("long").alias("grand_tot"),
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("long")
+            .alias(f"{t}_tot")
+            for t in _DRIFT_TYPES
+        ],
+    )
+    chi2 = F.round(F.expr(_CHI2_SQL), 4)
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day", "d", chi2.alias("chi2"), (chi2 > 9.4877).alias("drifted")
+    )

@@ -447,3 +447,25 @@ class TestRound5cOps:
             assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
             # max possible: both lists rank-1 -> 2 * floor(1e6/61)
             assert scores[0] <= 2 * (1000000 // 61)
+
+    def test_cusum_nonnegative_and_resets(self, spark):
+        rows = REGISTRY["q263_cusum_drift"].build(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["cusum_scaled"] >= 0  # S - running_min(S) >= 0
+        # python reference: max(0, C + dev) recursion must agree exactly
+        per_type: dict = {}
+        for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+            c = per_type.get(r["event_type"], 0)
+            c = max(0, c + (r["n"] * 7 - r["b7"]))
+            per_type[r["event_type"]] = c
+            assert r["cusum_scaled"] == c
+
+    def test_chi2_additivity_and_nonnegative(self, spark):
+        rows = REGISTRY["q264_distribution_drift"].build(spark, SF_DIR).collect()
+        assert rows
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        assert sum(r["d"] for r in rows) == ev.count()
+        for r in rows:
+            assert r["chi2"] >= 0.0
+            assert r["drifted"] == (r["chi2"] > 9.4877)
