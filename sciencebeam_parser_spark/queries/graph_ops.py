@@ -714,3 +714,52 @@ def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         F.count("*").over(wsz).cast("long").alias("community_size"),
     )
+
+
+_Q265_RUNS = 0
+
+
+@register(
+    "q265_stream_stream_semi_join",
+    # the third member of the stream-stream join family (q179 inner,
+    # q210 left outer): LEFT SEMI — "which clicks converted?" — emits
+    # each matched click exactly ONCE regardless of how many purchases
+    # land in its attribution window. The batch twin is EXISTS.
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts < c.ts + INTERVAL '30 minutes'
+      )
+    """,
+    survey_ref="§2B streaming completion: stream-STREAM left-semi join "
+               "under two-sided watermarks — dedup-on-match conversion "
+               "flagging (q179 inner / q210 left-outer complete the "
+               "family)",
+    doc="Stream-stream LEFT SEMI join: both event streams watermark 1 "
+        "hour, the time-range condition bounds both state buffers to "
+        "the watermark horizon, and a click emits AT MOST ONCE — on "
+        "its first matching purchase — with no purchase columns ever "
+        "buffered for output. The exactly-once-per-match emission is "
+        "what distinguishes semi from inner (which fans out per "
+        "purchase); the batch oracle is the decorrelated EXISTS.",
+)
+def q265_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks, purchases = _click_purchase_streams(
+        spark, sf_dir, with_value=False
+    )
+    joined = clicks.join(
+        purchases, F.expr(_CLICK_PURCHASE_JOIN_COND), "left_semi"
+    ).select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+    )
+    global _Q265_RUNS
+    _Q265_RUNS += 1
+    return _run_append_sink(spark, joined, f"q265_mem_{_Q265_RUNS}")

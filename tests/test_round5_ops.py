@@ -469,3 +469,16 @@ class TestRound5cOps:
         for r in rows:
             assert r["chi2"] >= 0.0
             assert r["drifted"] == (r["chi2"] > 9.4877)
+
+    def test_semi_join_emits_each_click_once(self, spark):
+        rows = (
+            REGISTRY["q265_stream_stream_semi_join"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        assert rows
+        ids = [r["click_id"] for r in rows]
+        assert len(ids) == len(set(ids))  # at most once per click
+        # semi output is a subset of the inner join's click side
+        inner = REGISTRY["q179_stream_stream_join"].build(spark, SF_DIR).collect()
+        assert set(ids) == {r["click_id"] for r in inner}
