@@ -804,8 +804,10 @@ _DSIR_SQL = "WITH " + _WORDPOS_CTE + """,
                CAST(count(*) AS BIGINT) AS n_bigrams,
                round(avg(
                    -log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))
-                   - (-log2((coalesce(tgt.t12, 0) + 1.0)
-                            / (coalesce(tuni.t1, 0) + tvocab.tv)))
+                   - (CASE WHEN tvocab.tv = 0 THEN NULL
+                      ELSE -log2((coalesce(tgt.t12, 0) + 1.0)
+                                 / (coalesce(tuni.t1, 0) + tvocab.tv))
+                      END)
                ), 4) AS imp_bits
         FROM bigrams b
         JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
@@ -863,9 +865,13 @@ def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tvocab))
     )
     raw_nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
-    tgt_nll = -F.log2(
-        (F.coalesce(F.col("t12"), F.lit(0)) + F.lit(1.0))
-        / (F.coalesce(F.col("t1"), F.lit(0)) + F.col("tv"))
+    # an EMPTY target domain (tv = 0) must degrade to NULL importance,
+    # not raise DIVIDE_BY_ZERO under the session's ANSI mode
+    tgt_nll = F.when(F.col("tv") == 0, F.lit(None).cast("double")).otherwise(
+        -F.log2(
+            (F.coalesce(F.col("t12"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("t1"), F.lit(0)) + F.col("tv"))
+        )
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),

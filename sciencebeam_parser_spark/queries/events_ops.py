@@ -1597,10 +1597,14 @@ _DRIFT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 # one term per literal type, summed in FIXED (alphabetical) order — a
 # SUM aggregate over floats would have engine/partition-dependent
-# addition order; a literal expression tree does not
+# addition order; a literal expression tree does not. A type absent
+# from the whole period contributes 0 (its category drops from the
+# test) instead of dividing by an expected count of zero, which would
+# raise under the session's ANSI mode.
 _CHI2_SQL = " + ".join(
-    f"(pow(o_{t} - d * {t}_tot / grand_tot, 2)"
-    f" / (d * {t}_tot / grand_tot))"
+    f"(CASE WHEN {t}_tot = 0 THEN 0.0"
+    f" ELSE pow(o_{t} - d * {t}_tot / grand_tot, 2)"
+    f" / (d * {t}_tot / grand_tot) END)"
     for t in _DRIFT_TYPES
 )
 

@@ -258,12 +258,18 @@ _CLICK_PURCHASE_JOIN_COND = """
 """
 
 
+_SINK_COUNTER = __import__("itertools").count()
+
+
 def _run_append_sink(spark, joined, name: str):
     from sciencebeam_parser_spark.queries.events_ops import (
         _finish_memory_sink,
         _start_bounded_stream,
     )
 
+    # uniquify the memory-sink name here so callers don't each maintain
+    # a module-global run counter (duplicate queryName -> start error)
+    name = f"{name}_{next(_SINK_COUNTER)}"
     writer = (
         joined.writeStream.format("memory")
         .queryName(name)
@@ -272,9 +278,6 @@ def _run_append_sink(spark, joined, name: str):
     )
     _start_bounded_stream(spark, writer)
     return _finish_memory_sink(spark, name)
-
-
-_Q179_RUNS = 0
 
 
 @register(
@@ -318,9 +321,7 @@ def q179_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
-    global _Q179_RUNS
-    _Q179_RUNS += 1
-    return _run_append_sink(spark, joined, f"q179_mem_{_Q179_RUNS}")
+    return _run_append_sink(spark, joined, "q179_mem")
 
 
 @register(
@@ -436,9 +437,6 @@ def q181_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q210_RUNS = 0
-
-
 @register(
     "q210_stream_stream_outer_join",
     # left-outer emission rule: an unmatched click emits null-extended
@@ -511,9 +509,7 @@ def q210_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_ts",
         "purchase_ts",
     )
-    global _Q210_RUNS
-    _Q210_RUNS += 1
-    return _run_append_sink(spark, joined, f"q210_mem_{_Q210_RUNS}")
+    return _run_append_sink(spark, joined, "q210_mem")
 
 
 def _bfs_round_sql(prev: str, out: str) -> str:
@@ -716,9 +712,6 @@ def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q265_RUNS = 0
-
-
 @register(
     "q265_stream_stream_semi_join",
     # the third member of the stream-stream join family (q179 inner,
@@ -760,6 +753,4 @@ def q265_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user_id").alias("user_id"),
         "click_ts",
     )
-    global _Q265_RUNS
-    _Q265_RUNS += 1
-    return _run_append_sink(spark, joined, f"q265_mem_{_Q265_RUNS}")
+    return _run_append_sink(spark, joined, "q265_mem")

@@ -1819,8 +1819,9 @@ def q254_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.exact,
            CAST(min(p.inner_product) AS BIGINT) AS estimate,
            CAST(min(p.inner_product) - e.exact AS BIGINT) AS overestimate,
-           CAST((min(p.inner_product) - e.exact) * 10000 // e.exact
-                AS BIGINT) AS rel_err_bp
+           CAST(CASE WHEN e.exact = 0 THEN NULL
+                     ELSE (min(p.inner_product) - e.exact) * 10000 // e.exact
+                END AS BIGINT) AS rel_err_bp
     FROM prods p CROSS JOIN exact e
     GROUP BY e.exact
     """,
@@ -1870,14 +1871,25 @@ def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def sketch(r):
-        cms = None
-        for i in range(_CMS_D):
-            part = r.select(
-                F.lit(i).alias("i"), bucket(i, F.col("user_id")).alias("bucket")
+        # ONE scan per relation: every row fans out to its _CMS_D
+        # (hash-row, bucket) pairs via a literal array explode — the
+        # union-of-rescans formulation would read the source d times
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("user_id")).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
             )
-            cms = part if cms is None else cms.unionByName(part)
-        return cms.groupBy("i", "bucket").agg(
-            F.count("*").cast("long").alias("n")
+        )
+        return (
+            r.select(rows.alias("rb"))
+            .select("rb.i", "rb.bucket")
+            .groupBy("i", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
         )
 
     cms1 = sketch(r1)
@@ -1892,10 +1904,16 @@ def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         "estimate",
         (F.col("estimate") - F.col("exact")).cast("long").alias("overestimate"),
-        F.floor(
-            (F.col("estimate") - F.col("exact")) * 10000 / F.col("exact")
+        # exact = 0 (disjoint key sets) must degrade to NULL, not raise
+        # DIVIDE_BY_ZERO under the session's ANSI mode
+        F.when(
+            F.col("exact") == 0, F.lit(None).cast("long")
         )
-        .cast("long")
+        .otherwise(
+            F.floor(
+                (F.col("estimate") - F.col("exact")) * 10000 / F.col("exact")
+            ).cast("long")
+        )
         .alias("rel_err_bp"),
     )
 

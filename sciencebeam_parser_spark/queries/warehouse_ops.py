@@ -1562,6 +1562,9 @@ def q258_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").cast("long").alias("n"))
         .select(F.lit("bucket").alias("section"), "key", "n")
+        # partitioner-width relation referenced from two branches (the
+        # section union AND the skew max): materialize once
+        .localCheckpoint()
     )
     skew = buckets.agg(F.max("n").alias("n")).select(
         F.lit("bucket_skew").alias("section"),
@@ -1731,6 +1734,9 @@ def q261_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("k", "v", "op")
+        # referenced by BOTH output branches (live + deleted): materialize
+        # the ranked window once instead of re-shuffling the feed per branch
+        .localCheckpoint()
     )
     live = (
         latest.filter(F.col("op") != "D")

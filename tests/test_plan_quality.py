@@ -552,3 +552,42 @@ class TestRound5cPlanShapes:
         plan = plan_of(spark, "q262_hybrid_rrf_fusion")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_skew_audit_no_join_on_fact(self, spark):
+        # every section is a pure aggregate; the only join is the 1-row
+        # totals broadcast — no shuffle join against the fact
+        plan = plan_of(spark, "q258_skew_audit")
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_join_size_sketch_single_scan_per_side(self, spark):
+        # each relation folds to its CMS in ONE scan (array explode, not
+        # a d-way union of re-scans)
+        plan = plan_of(spark, "q259_join_size_estimate")
+        assert plan.count("FileScan") <= 4  # cms1, cms2, c1, c2
+        assert "CartesianProduct" not in plan
+
+    def test_pit_join_keys_on_dimension(self, spark):
+        # the containment rides as a residual on a custkey equi-join —
+        # never a nested-loop over the fact
+        plan = plan_of(spark, "q260_scd2_pit_join")
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cdc_apply_single_shuffle_no_join(self, spark):
+        plan = plan_of(spark, "q261_cdc_apply")
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2  # live/deleted branches
+
+    def test_cusum_single_partitioning(self, spark):
+        # one exchange for the (event_type, day) aggregate, then ALL
+        # three window passes (rank, baseline, running sums) share one
+        # event_type partitioning — adding a window must not add a shuffle
+        plan = plan_of(spark, "q263_cusum_drift")
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Join" not in plan
+
+    def test_chi2_drift_broadcasts_totals(self, spark):
+        plan = plan_of(spark, "q264_distribution_drift")
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
+        assert "SortMergeJoin" not in plan
