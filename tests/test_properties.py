@@ -526,3 +526,200 @@ class TestScd2Property:
             assert a.effective_to == b.effective_from
             assert not a.is_current
         assert rows[-1].is_current and rows[-1].effective_to is None
+
+
+# ---------------------------------------------------------------------------
+# Round-5c properties: CUSUM window identity, compaction conservation,
+# CDC-apply fold equivalence
+# ---------------------------------------------------------------------------
+
+
+class TestCusumProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=50),
+            min_size=8,
+            max_size=20,
+        )
+    )
+    def test_window_identity_matches_recursion(self, spark, daily_counts):
+        """S_t - min(0, running min S) == the max(0, C + dev) recursion
+        for ANY daily series (q263's zero-floored window identity)."""
+        from datetime import datetime, timedelta
+
+        from sciencebeam_parser_spark.queries.events_ops import (
+            q263_cusum_drift,
+        )
+        import sciencebeam_parser_spark.queries.events_ops as mod
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day, n in enumerate(daily_counts):
+            for _ in range(max(n, 1)):  # >=1 event so the day exists
+                rows.append(
+                    (eid, base + timedelta(days=day), 1, "click", 1.0, "{}")
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: df  # noqa: ARG005
+            out = sorted(
+                q263_cusum_drift(spark, "u").collect(),
+                key=lambda r: r["day"],
+            )
+        finally:
+            mod.table = orig
+        ns = [max(n, 1) for n in daily_counts]
+        b7 = sum(ns[:7])
+        c = 0
+        expected = []
+        for n in ns[7:]:
+            c = max(0, c + (n * 7 - b7))
+            expected.append(c)
+        assert [r["cusum_scaled"] for r in out] == expected
+
+
+class TestCompactionProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.sampled_from(["en", "de"]),
+                st.integers(min_value=1, max_value=20000),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def test_next_fit_packing_conserves_and_orders(self, spark, shards):
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            _COMPACT_TARGET,
+            q257_compaction_plan,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        rows = [
+            (i, "x", lang, src, size)
+            for i, (src, lang, size) in enumerate(shards)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: df  # noqa: ARG005
+            out = q257_compaction_plan(spark, "u").collect()
+        finally:
+            mod.table = orig
+        # python model: next-fit by key order
+        inv = sorted(shards)
+        cum = 0
+        bins: dict = {}
+        for src, lang, size in inv:
+            b = cum // _COMPACT_TARGET
+            bins.setdefault(b, []).append((f"{src}/{lang}", size))
+            cum += size
+        assert {r["bin_id"] for r in out} == set(bins)
+        for r in out:
+            members = bins[r["bin_id"]]
+            assert r["n_shards"] == len(members)
+            assert r["total_bytes"] == sum(s for _, s in members)
+            keys = sorted(k for k, _ in members)
+            assert r["first_shard"] == keys[0]
+            assert r["last_shard"] == keys[-1]
+
+
+class TestCdcApplyProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),   # key
+                st.integers(min_value=1, max_value=99),  # seq (orderkey)
+            ),
+            min_size=1,
+            max_size=14,
+            unique_by=lambda t: t[1],
+        )
+    )
+    def test_final_state_is_python_fold(self, spark, feed):
+        from datetime import datetime, timedelta
+
+        from sciencebeam_parser_spark.queries.warehouse_ops import (
+            q261_cdc_apply,
+        )
+        import sciencebeam_parser_spark.queries.warehouse_ops as mod
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (
+                seq,
+                k,
+                "F",
+                100.0,
+                base + timedelta(days=seq),
+                f"P{seq % 3}",
+            )
+            for k, seq in feed
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+        orig = mod.table
+        try:
+            mod.table = lambda s, d, n: df  # noqa: ARG005
+            out = q261_cdc_apply(spark, "u").collect()
+        finally:
+            mod.table = orig
+        # python fold: last op per key by (date, seq); date == seq here
+        last: dict = {}
+        for k, seq in feed:
+            if k not in last or seq > last[k]:
+                last[k] = seq
+        live: dict = {}
+        deleted = []
+        for k, seq in last.items():
+            if seq % 7 == 0:
+                deleted.append(k)
+            else:
+                live.setdefault(f"P{seq % 3}", []).append(k)
+        got_live = {
+            r["priority"]: (r["n_keys"], r["key_checksum"])
+            for r in out
+            if r["state"] == "live"
+        }
+        assert got_live == {
+            p: (len(ks), sum(ks)) for p, ks in live.items()
+        }
+        got_del = [r for r in out if r["state"] == "deleted"]
+        assert len(got_del) == 1
+        assert got_del[0]["n_keys"] == len(deleted)
+        assert got_del[0]["key_checksum"] == (
+            sum(deleted) if deleted else None
+        )
