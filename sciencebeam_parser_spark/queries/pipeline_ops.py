@@ -2251,3 +2251,88 @@ def q196_back_sections_jats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = tei_with_jats(entities_to_tei(ents))
     return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+
+
+@register(
+    "q266_xml_gazetteer_roundtrip",
+    # the reference's SECOND gazetteer format (lookup/xml_lookup.py): a
+    # TEI XML whose //tei:cell texts are the terms. The fixture TEI is
+    # written from a deterministic definition (first 20 customer names
+    # by name order among custkey < 100), read back through the REAL
+    # binaryFile -> mapInPandas ElementTree path, and probed by a
+    # membership join — the oracle restates the term set relationally.
+    oracle="""
+    WITH terms AS (
+        SELECT lower(c_name) AS term
+        FROM (SELECT c_name FROM customer WHERE c_custkey < 100
+              ORDER BY c_name LIMIT 20)
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           (t.term IS NOT NULL) AS is_in_gazetteer
+    FROM customer c
+    LEFT JOIN terms t ON t.term = lower(c.c_name)
+    WHERE c.c_custkey < 40
+    """,
+    survey_ref="§2B scans (XML gazetteer source): lookup/xml_lookup.py "
+               "load_xml_lookup_from_file — TEI //tei:cell terms, the "
+               "reference's second TextLookUp format (q87 covers the "
+               "text-file loader)",
+    doc="XML-gazetteer round trip: a TEI table fixture is written once "
+        "per session (ElementTree, so escaping is real), scanned as "
+        "binaryFile, parsed to terms on executors via mapInPandas "
+        "(.//tei:cell itertext — get_text_content parity), lowered and "
+        "deduplicated, then broadcast-probed against customer names. "
+        "A directory of gazetteer XMLs parses partition-parallel; the "
+        "probe side never shuffles.",
+)
+def q266_xml_gazetteer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from sciencebeam_parser_spark.sources.gazetteer import (
+        add_gazetteer_flag,
+        read_xml_gazetteer,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    names = [
+        r["c_name"]
+        for r in cust.filter(F.col("c_custkey") < 100)
+        .orderBy("c_name")
+        .limit(20)
+        .select("c_name")
+        .collect()  # 20-row fixture definition, not a data path
+    ]
+    ET.register_namespace("", "http://www.tei-c.org/ns/1.0")
+    tei = ET.Element("{http://www.tei-c.org/ns/1.0}TEI")
+    tbl = ET.SubElement(
+        ET.SubElement(
+            ET.SubElement(tei, "{http://www.tei-c.org/ns/1.0}text"),
+            "{http://www.tei-c.org/ns/1.0}body",
+        ),
+        "{http://www.tei-c.org/ns/1.0}table",
+    )
+    for name in names:
+        row = ET.SubElement(tbl, "{http://www.tei-c.org/ns/1.0}row")
+        ET.SubElement(row, "{http://www.tei-c.org/ns/1.0}cell").text = name
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"xml_gazetteer_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ET.ElementTree(tei).write(
+        os.path.join(out_dir, "gazetteer.tei.xml"),
+        encoding="utf-8",
+        xml_declaration=True,
+    )
+    gz = read_xml_gazetteer(spark, out_dir)
+    probe = cust.filter(F.col("c_custkey") < 40).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    return add_gazetteer_flag(
+        probe, gz, text_col="name", flag_col="is_in_gazetteer"
+    )

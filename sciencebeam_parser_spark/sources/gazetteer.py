@@ -52,4 +52,41 @@ def add_gazetteer_flag(
     )
 
 
-__all__ = ["read_gazetteer", "add_gazetteer_flag"]
+_TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+
+def read_xml_gazetteer(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Load a TEI-XML gazetteer: every ``//tei:cell``'s text content is one
+    term (reference: lookup/xml_lookup.py `load_xml_lookup_from_file`,
+    `get_text_content` = all descendant text joined). The XML parses on
+    EXECUTORS via mapInPandas over a binaryFile scan — a directory of
+    gazetteer files parses in parallel; terms lower + distinct like the
+    text loader."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    raw = spark.read.format("binaryFile").load(
+        paths if isinstance(paths, list) else [paths]
+    ).select("content")
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            terms: list[str] = []
+            for blob in pdf["content"]:
+                root = ET.fromstring(bytes(blob))
+                for cell in root.iter(f"{{{_TEI_NS}}}cell"):
+                    terms.append("".join(cell.itertext()))
+            yield pd.DataFrame({"term": terms})
+
+    df = raw.mapInPandas(parse, "term string")
+    return (
+        df.select(F.lower(F.trim("term")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+__all__ = ["read_gazetteer", "read_xml_gazetteer", "add_gazetteer_flag"]

@@ -482,3 +482,22 @@ class TestRound5cOps:
         # semi output is a subset of the inner join's click side
         inner = REGISTRY["q179_stream_stream_join"].build(spark, SF_DIR).collect()
         assert set(ids) == {r["click_id"] for r in inner}
+
+    def test_xml_gazetteer_parses_all_terms(self, spark):
+        rows = (
+            REGISTRY["q266_xml_gazetteer_roundtrip"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        assert len(rows) == 40
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        expected = {
+            r["c_name"].lower()
+            for r in cust.filter(F.col("c_custkey") < 100)
+            .orderBy("c_name")
+            .limit(20)
+            .collect()
+        }
+        for r in rows:
+            assert r["is_in_gazetteer"] == (r["name"].lower() in expected)
+        assert any(r["is_in_gazetteer"] for r in rows)
