@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import register, table
 from sciencebeam_parser_spark.queries.text_ops import (
+    _md5_long_sql,
     _MINHASH_SH_SQL,
     _words,
     _WORDS_SQL,
@@ -2057,5 +2058,163 @@ def q262_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_scaled",
             "in_dense",
             "in_lexical",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced sampling (q267)
+# --------------------------------------------------------------------------
+
+_CBAL_PER_CLUSTER = 20
+
+
+@register(
+    "q267_cluster_balanced_sample",
+    # the DataComp/SemDeDup recipe's final step: sample the corpus
+    # BALANCED across learned k-means strata (q144 stratifies on a
+    # column; here the strata are trained). Per-cluster selection is
+    # deterministic md5 priority — the same hash-sampling contract as
+    # q125/q144, independent of partition layout.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + ","
+    + _km_assign_sql("c2", "a3")
+    + f"""
+    SELECT cid AS cluster_id, CAST(rnk AS BIGINT) AS rnk, vec_id
+    FROM (
+        SELECT cid, vec_id, row_number() OVER (
+            PARTITION BY cid
+            ORDER BY {_md5_long_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) AS rnk
+        FROM a3
+    )
+    WHERE rnk <= {_CBAL_PER_CLUSTER}
+    """,
+    survey_ref="north-star corpus shaping: cluster-balanced sampling — "
+               "stratified selection over LEARNED k-means strata (the "
+               "DataComp diversification step; q144 stratifies on a "
+               "column, q254 dedups within the same clusters)",
+    doc="Cluster-balanced sample: the q212 Lloyd loop assigns every "
+        "vector its cluster, then each cluster contributes its top-20 "
+        "by deterministic md5 priority — balanced representation "
+        "across the learned embedding-space strata regardless of how "
+        "skewed the raw cluster sizes are. One broadcast centroid "
+        "assignment + one ranked window per cluster key; the md5 "
+        "priority makes the sample reproducible under any partition "
+        "layout (the q125 hash-sampling contract).",
+)
+def q267_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.queries.text_ops import _md5_long
+
+    qv = _km_quantize(spark, sf_dir)
+    _, cent = _km_train(qv, _IVF_K, iters=2)
+    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    a3 = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _km_sq_dist())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    wr = W.partitionBy("cid").orderBy(
+        _md5_long(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a3.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _CBAL_PER_CLUSTER)
+        .select(F.col("cid").alias("cluster_id"), "rnk", "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding standardization (q268)
+# --------------------------------------------------------------------------
+
+# z*1e4 from exact integer moments, shared verbatim by both engines:
+# (val*n - s) and (ss*n - s*s) are exact int64; the only float ops are
+# one sqrt, one multiply, one divide and one floor — each IEEE-correctly
+# rounded, so the doubles agree bit for bit. A constant dimension
+# (variance 0) standardizes to 0 instead of dividing by zero.
+_ZSTD_SQL = (
+    "CASE WHEN ss * n - s * s = 0 THEN 0 "
+    "ELSE CAST(floor(10000.0 * (val * n - s) "
+    "/ (n * sqrt((ss * n - s * s) * 1.0 / (n * n)))) AS BIGINT) END"
+)
+
+
+@register(
+    "q268_embedding_standardize",
+    # the normalization pass every indexing/clustering pipeline runs
+    # before q212/q215/q226: per-dimension z-scoring of the corpus
+    # embeddings, with the statistics derived from EXACT integer sums
+    # so both engines standardize identically.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + f""",
+    flat AS (
+        SELECT vec_id, CAST(i AS INT) AS pos, q[CAST(i AS INT)] AS val
+        FROM qv, unnest(range(1, {_KM_DIM + 1})) t(i)
+    ),
+    stats AS (
+        SELECT pos, CAST(sum(val) AS BIGINT) AS s,
+               CAST(sum(val * val) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flat GROUP BY pos
+    )
+    SELECT f.vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum({_ZSTD_SQL}) AS BIGINT) AS z_checksum,
+           CAST(min({_ZSTD_SQL}) AS BIGINT) AS z_min,
+           CAST(max({_ZSTD_SQL}) AS BIGINT) AS z_max
+    FROM flat f JOIN stats ON stats.pos = f.pos
+    GROUP BY f.vec_id
+    """,
+    survey_ref="north-star embedding preprocessing: per-dimension "
+               "z-score standardization (applies the q219 dim-stats "
+               "pass — the whitening step before k-means/IVF/PQ "
+               "training)",
+    doc="Embedding standardization: per-dimension mean/variance derive "
+        "from exact int64 sums (one 64-row aggregate, broadcast back), "
+        "and each coordinate standardizes through a shared-text "
+        "expression whose only float steps (sqrt, multiply, divide, "
+        "floor) are IEEE-correctly rounded — both engines produce the "
+        "same scaled-integer z everywhere, verified per-vector by "
+        "checksum/min/max. Zero-variance dimensions standardize to 0 "
+        "rather than raising under ANSI. One explode + one broadcast "
+        "join + one re-aggregate; the stats relation is d rows at any "
+        "corpus size.",
+)
+def q268_embedding_standardize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    flat = qv.select(
+        "vec_id", F.posexplode("q").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    stats = flat.groupBy("pos").agg(
+        F.sum("val").cast("long").alias("s"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("n"),
+    )
+    zi = F.expr(_ZSTD_SQL)
+    return (
+        flat.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dims"),
+            F.sum(zi).cast("long").alias("z_checksum"),
+            F.min(zi).cast("long").alias("z_min"),
+            F.max(zi).cast("long").alias("z_max"),
         )
     )

@@ -501,3 +501,56 @@ class TestRound5cOps:
         for r in rows:
             assert r["is_in_gazetteer"] == (r["name"].lower() in expected)
         assert any(r["is_in_gazetteer"] for r in rows)
+
+    def test_cluster_balanced_sample_caps_per_cluster(self, spark):
+        rows = (
+            REGISTRY["q267_cluster_balanced_sample"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        assert rows
+        per_c: dict = {}
+        for r in rows:
+            per_c.setdefault(r["cluster_id"], []).append(r)
+        for rs in per_c.values():
+            assert len(rs) <= 20
+            assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids))  # strata partition the ids
+
+    def test_standardize_matches_numpy(self, spark):
+        import math
+
+        rows = (
+            REGISTRY["q268_embedding_standardize"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        q = {
+            r["vec_id"]: [math.floor(float(x) * 1000) for x in r["embedding"]]
+            for r in emb
+        }
+        n = len(q)
+        dims = len(next(iter(q.values())))
+        s = [sum(v[i] for v in q.values()) for i in range(dims)]
+        ss = [sum(v[i] * v[i] for v in q.values()) for i in range(dims)]
+        for r in rows:
+            v = q[r["vec_id"]]
+            zs = []
+            for i in range(dims):
+                var_num = ss[i] * n - s[i] * s[i]
+                if var_num == 0:
+                    zs.append(0)
+                else:
+                    zs.append(
+                        math.floor(
+                            10000.0
+                            * (v[i] * n - s[i])
+                            / (n * math.sqrt(var_num * 1.0 / (n * n)))
+                        )
+                    )
+            assert r["n_dims"] == dims
+            assert r["z_checksum"] == sum(zs)
+            assert r["z_min"] == min(zs)
+            assert r["z_max"] == max(zs)
