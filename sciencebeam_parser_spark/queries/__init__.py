@@ -23,4 +23,5 @@ from sciencebeam_parser_spark.queries import (  # noqa: F401
     retrieval_ops,
     analysis_ops,
     governance_ops,
+    spark4_ops,
 )

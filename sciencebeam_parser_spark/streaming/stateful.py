@@ -98,4 +98,89 @@ def running_totals_with_state(
     )
 
 
-__all__ = ["running_totals_with_state", "RUNNING_OUT_SCHEMA"]
+def _make_running_totals_processor():
+    """StatefulProcessor for the Spark 4 transformWithState API — the
+    successor of applyInPandasWithState with typed composable state
+    (value/list/map), timers, and state schema evolution.
+
+    Built lazily: instantiating it needs only pyspark, but RUNNING it
+    requires (a) the RocksDB state-store provider and (b) the
+    `google.protobuf` package for the state-server wire protocol —
+    absent in this sandbox, so the operator follows the same
+    sandbox-blocked-kernel discipline as pdfalto/LibreOffice: real
+    plumbing, gated test (tests/test_streaming.py skips without
+    protobuf), no registered driver query.
+    """
+    import pandas as pd  # noqa: F811 — local to keep import cost off the hot path
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "tot", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def running_totals_transform_with_state(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) via Spark 4 ``transformWithStateInPandas``.
+
+    The caller must set ``spark.sql.streaming.stateStore.providerClass``
+    to :data:`ROCKSDB_PROVIDER` before starting the stream — the
+    transformWithState operator only supports the RocksDB store (its
+    state layout needs column families).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_make_running_totals_processor(),
+        outputStructType=RUNNING_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+__all__ = [
+    "running_totals_with_state",
+    "running_totals_transform_with_state",
+    "ROCKSDB_PROVIDER",
+    "RUNNING_OUT_SCHEMA",
+]

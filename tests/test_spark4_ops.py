@@ -1,0 +1,211 @@
+"""Semantic tests for the Spark 4 engine-surface operators (spark4_ops):
+recursive CTE reachability (q269), SQL scripting (q270), LATERAL top-k
+(q271), the Arrow-native UDF (q272), and the transformWithState wrapper
+(sandbox-gated on google.protobuf).
+
+Each checks the engine construct against an independent pure-Python
+model, complementing the DuckDB oracles."""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sciencebeam_parser_spark.queries import REGISTRY
+from sciencebeam_parser_spark.queries.registry import table
+from sciencebeam_parser_spark.queries.spark4_ops import (
+    _MAX_DEPTH,
+    _NEWTON_ROUNDS,
+    _SEED_MOD,
+    _STRIDE,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestRecursiveCte:
+    def test_matches_python_bfs_with_path_counts(self, spark):
+        rows = (
+            REGISTRY["q269_recursive_cte_reachability"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        n_docs = table(spark, SF_DIR, "documents").count()
+        edges: dict[int, list[int]] = {}
+        for src in range(n_docs):
+            outs = [
+                (src + k * _STRIDE) % n_docs
+                for k in (1, 2, 3)
+                if (src + k * _STRIDE) % n_docs != src
+            ]
+            edges[src] = outs
+        # path-multiplicity BFS: frontier keeps duplicates (UNION ALL)
+        depth_of: dict[int, int] = {}
+        paths: dict[int, int] = {}
+        frontier = [v for v in range(n_docs) if v % _SEED_MOD == 0]
+        for v in frontier:
+            depth_of[v] = 0
+            paths[v] = paths.get(v, 0) + 1
+        for d in range(1, _MAX_DEPTH + 1):
+            nxt = []
+            for v in frontier:
+                nxt.extend(edges[v])
+            for v in nxt:
+                depth_of.setdefault(v, d)
+                paths[v] = paths.get(v, 0) + 1
+            frontier = nxt
+        got = {r.v: (r.depth, r.n_paths) for r in rows}
+        assert got == {v: (depth_of[v], paths[v]) for v in paths}
+
+    def test_depth_bounded(self, spark):
+        rows = (
+            REGISTRY["q269_recursive_cte_reachability"]
+            .build(spark, SF_DIR)
+            .collect()
+        )
+        assert rows and max(r.depth for r in rows) <= _MAX_DEPTH
+
+
+class TestSqlScripting:
+    def test_loop_matches_python_newton(self, spark):
+        row = (
+            REGISTRY["q270_sql_scripting_newton"]
+            .build(spark, SF_DIR)
+            .collect()
+        )[0]
+        s = (
+            table(spark, SF_DIR, "documents")
+            .groupBy()
+            .sum("n_chars")
+            .collect()[0][0]
+        )
+        x = s
+        for _ in range(_NEWTON_ROUNDS):
+            x = (x + s // x) // 2
+        assert row.total_chars == s
+        assert row[f"newton{_NEWTON_ROUNDS}"] == x
+        # the recurrence is genuinely descending toward isqrt
+        assert x >= int(math.isqrt(s))
+
+
+class TestLateralTopK:
+    def test_matches_window_topk(self, spark):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        got = {
+            (r.nation, r.c_custkey, r.bal_cents)
+            for r in REGISTRY["q271_lateral_topk_per_group"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        c = table(spark, SF_DIR, "customer")
+        n = table(spark, SF_DIR, "nation")
+        w = W.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey")
+        )
+        want = {
+            (r.n_name, r.c_custkey, r.bal_cents)
+            for r in c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .select(
+                "n_name",
+                "c_custkey",
+                F.floor(F.col("c_acctbal") * 100)
+                .cast("long")
+                .alias("bal_cents"),
+            )
+            .collect()
+        }
+        assert got == want
+        # every nation with >=3 customers contributes exactly 3 rows
+        assert len(got) == len(want)
+
+
+class TestArrowUdf:
+    def test_matches_python_kernel(self, spark):
+        rows = (
+            REGISTRY["q272_arrow_udf_signature"]
+            .build(spark, SF_DIR)
+            .filter("doc_id < 20")
+            .collect()
+        )
+        texts = {
+            r.doc_id: r.text
+            for r in table(spark, SF_DIR, "documents")
+            .filter("doc_id < 20")
+            .collect()
+        }
+        assert len(rows) == 20
+        for r in rows:
+            t = texts[r.doc_id]
+            assert r.arrow_sig == 31 * len(t) + 7 * t.count("e")
+
+
+class TestTransformWithState:
+    def test_wrapper_builds_unresolved_plan(self, spark):
+        """Plan construction needs no protobuf/RocksDB — only execution
+        does; the wrapper must at least produce the right schema."""
+        from sciencebeam_parser_spark.queries.events_ops import _events_stream
+        from sciencebeam_parser_spark.streaming.stateful import (
+            running_totals_transform_with_state,
+        )
+
+        out = running_totals_transform_with_state(
+            _events_stream(spark, SF_DIR)
+        )
+        assert [f.name for f in out.schema.fields] == [
+            "key",
+            "n_events",
+            "total_value",
+        ]
+
+    def test_running_totals_end_to_end(self, spark):
+        """REAL transformWithState run — requires google.protobuf (the
+        state-server wire protocol), absent in this sandbox; the test is
+        the executable spec for environments that have it."""
+        pytest.importorskip("google.protobuf")
+        from pyspark.sql import functions as F
+
+        from sciencebeam_parser_spark.queries.events_ops import (
+            _events_stream,
+            _finish_memory_sink,
+            _start_bounded_stream,
+        )
+        from sciencebeam_parser_spark.streaming.stateful import (
+            ROCKSDB_PROVIDER,
+            running_totals_transform_with_state,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+        try:
+            out = running_totals_transform_with_state(
+                _events_stream(spark, SF_DIR)
+            )
+            writer = (
+                out.writeStream.format("memory")
+                .queryName("tws_test")
+                .outputMode("update")
+                .trigger(availableNow=True)
+            )
+            _start_bounded_stream(spark, writer, stop_on_timeout=True)
+            got = {
+                r.key: (r.n_events, round(r.total_value, 2))
+                for r in _finish_memory_sink(spark, "tws_test").collect()
+            }
+        finally:
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
+        want = {
+            r.key: (r.n, round(r.s, 2))
+            for r in table(spark, SF_DIR, "events")
+            .groupBy(F.col("user_id").cast("string").alias("key"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == want
