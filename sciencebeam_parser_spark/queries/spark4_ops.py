@@ -173,7 +173,11 @@ FROM {nation} n, LATERAL (
         "the full ORDER BY tiebreak (balance DESC, custkey) makes the "
         "result deterministic. DuckDB runs the identical SQL text, so "
         "the oracle checks the decorrelation itself. floor-cents keeps "
-        "the balance exact int64 on both engines.",
+        "the balance exact int64 on both engines. Honest plan note: the "
+        "decorrelated plan is a GLOBAL range-sort feeding a per-key "
+        "row_number — one more exchange than the direct window spelling "
+        "(q22), so at 100 TB write the window form; this query pins the "
+        "SQL surface and its correctness, not the preferred plan.",
 )
 def q271_lateral_topk_per_group(
     spark: SparkSession, sf_dir: str
@@ -232,4 +236,162 @@ def q272_arrow_udf_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", arrow_sig(F.col("text")).alias("arrow_sig")
+    )
+
+
+_SQL_UDF_THRESH = 300
+
+_SQL_UDF_ORACLE = f"""
+SELECT doc_id, n_chars,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST((10000 * n_chars) // n_tokens AS BIGINT) END
+           AS chars_per_token_bp
+FROM (
+  SELECT doc_id, n_chars,
+         1 + length(text) - length(replace(text, ' ', '')) AS n_tokens
+  FROM documents
+  WHERE n_chars >= {_SQL_UDF_THRESH}
+)
+"""
+
+
+@register(
+    "q273_sql_udf",
+    oracle=_SQL_UDF_ORACLE,
+    survey_ref="§2B UDF surface — Spark 4 SQL UDFs (CREATE FUNCTION … "
+               "RETURN): scalar + table-valued, the zero-Python UDF path; "
+               "reference config-driven scalar parsers "
+               "(functions/parsers.py family) as engine-resident "
+               "functions",
+    doc="SQL UDFs: a scalar CREATE FUNCTION (integer chars-per-token in "
+        "basis points, zero-guarded for ANSI mode) applied over a "
+        "table-valued CREATE FUNCTION (threshold-parameterized long-doc "
+        "selector). Both are catalog objects whose bodies Catalyst "
+        "inlines into the calling plan — the UDF abstraction with NO "
+        "Python boundary and no codegen break, which is why this is the "
+        "preferred packaging for reusable business logic at 100 TB. The "
+        "oracle inlines both bodies; the hash proves the inlining is "
+        "semantics-preserving.",
+)
+def q273_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q273_docs")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q273_cpt_bp(
+            n_chars BIGINT, n_tokens BIGINT)
+        RETURNS BIGINT
+        RETURN CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE (10000 * n_chars) DIV n_tokens END
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION q273_long_docs(
+            thresh BIGINT)
+        RETURNS TABLE(doc_id BIGINT, n_chars BIGINT, n_tokens BIGINT)
+        RETURN SELECT doc_id, n_chars,
+                      1 + length(text) - length(replace(text, ' ', ''))
+               FROM q273_docs WHERE n_chars >= thresh
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT doc_id, n_chars,
+               q273_cpt_bp(n_chars, n_tokens) AS chars_per_token_bp
+        FROM q273_long_docs({_SQL_UDF_THRESH})
+        """
+    )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+"""
+
+
+@register(
+    "q274_pipe_syntax",
+    oracle=_PIPE_ORACLE,
+    survey_ref="§2B SQL dialect surface — Spark 4 SQL pipe syntax (|>): "
+               "the q01 pricing-summary shape restated as a linear pipe "
+               "with a post-aggregate filter stage",
+    doc="SQL pipe syntax: FROM … |> WHERE … |> AGGREGATE … GROUP BY … "
+        "|> WHERE — the linear-dataflow spelling of scan→filter→agg→"
+        "having. Pipe stages are pure syntax: Catalyst plans the "
+        "identical partial-agg + exchange + final-agg as the ANSI form "
+        "(the oracle), so the hash pins dialect equivalence. The "
+        "post-aggregate |> WHERE must become a filter AFTER the final "
+        "aggregate (HAVING), not leak onto the scan.",
+)
+def q274_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q274_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q274_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS count_order,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE count_order > 10
+        |> SELECT l_returnflag, l_linestatus, count_order, sum_qty,
+                  sum_disc_price
+        """
+    )
+
+
+@register(
+    "q275_collated_group",
+    oracle="""
+    SELECT lower(k) AS lang_ci, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_case_variants
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS k
+      FROM documents
+    )
+    GROUP BY lower(k)
+    """,
+    survey_ref="§2B string semantics — Spark 4 collations: UTF8_LCASE "
+               "case-insensitive grouping as an engine-native comparison "
+               "rule (vs the lower()-normalization idiom of q40); "
+               "reference lookup normalization "
+               "(lookup/simple_lookup.py case folding)",
+    doc="Collation-aware aggregation: the language tag is case-mangled "
+        "deterministically (upper on even doc_ids), then grouped under "
+        "the UTF8_LCASE collation — the engine's comparator itself is "
+        "case-insensitive, no lower() rewrite of the data. "
+        "n_case_variants counts DISTINCT under UTF8_BINARY inside each "
+        "collated group, proving the two collations coexist in one "
+        "aggregate. Output key is lower(min(k)): values equal under "
+        "LCASE lower identically, so the representative is "
+        "deterministic. The oracle is the classic lower()-normalization "
+        "restatement — the hash pins that native collation equals the "
+        "rewrite. At scale collated grouping hashes the collation key "
+        "directly (one shuffle, no derived column).",
+)
+def q275_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q275_docs")
+    return spark.sql(
+        """
+        SELECT lower(min(k)) AS lang_ci,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT collate(k, 'UTF8_BINARY')) AS BIGINT)
+                   AS n_case_variants
+        FROM (
+          SELECT collate(
+                   CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END,
+                   'UTF8_LCASE') AS k
+          FROM q275_docs
+        )
+        GROUP BY k
+        """
     )

@@ -591,3 +591,51 @@ class TestRound5cPlanShapes:
         plan = plan_of(spark, "q264_distribution_drift")
         assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
         assert "SortMergeJoin" not in plan
+
+
+class TestSpark4SurfacePlans:
+    def test_recursive_cte_is_union_loop(self, spark):
+        # WITH RECURSIVE must compile to the engine-managed UnionLoop
+        # fixpoint (one frontier equi-join per level), never a blown-up
+        # nested-loop or a driver-side materialization
+        plan = plan_of(spark, "q269_recursive_cte_reachability")
+        assert "UnionLoop" in plan and "UnionLoopRef" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lateral_decorrelates_to_window(self, spark):
+        # the LATERAL LIMIT subquery must decorrelate into a ranked
+        # window (row_number over the correlation key), not re-execute
+        # per outer row; dims still broadcast and filters still push
+        plan = plan_of(spark, "q271_lateral_topk_per_group")
+        assert "row_number" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("PushedFilters: [I") >= 1
+
+    def test_arrow_udf_single_narrow_stage(self, spark):
+        # arrow_udf is ArrowEvalPython: exactly one Python boundary and
+        # zero exchanges — a narrow map over the scan
+        plan = plan_of(spark, "q272_arrow_udf_signature")
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan
+
+    def test_sql_udf_inlines_no_python_stage(self, spark):
+        # SQL UDF bodies must inline into the plan: no Python boundary,
+        # and the table function's threshold filter reaches the scan
+        plan = plan_of(spark, "q273_sql_udf")
+        assert "EvalPython" not in plan
+        assert "GreaterThanOrEqual(n_chars" in plan
+
+    def test_pipe_syntax_plans_like_ansi(self, spark):
+        # pipe stages are syntax only: partial+final hash agg, the
+        # post-aggregate |> WHERE stays above the aggregate (count
+        # filter never appears as a scan pushdown)
+        plan = plan_of(spark, "q274_pipe_syntax")
+        assert plan.count("HashAggregate") >= 2
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
+               "LessThanOrEqual(l_shipdate" in plan
+
+    def test_collated_group_single_exchange(self, spark):
+        plan = plan_of(spark, "q275_collated_group")
+        assert plan.count("Exchange hashpartitioning") <= 2  # distinct+agg
+        assert "Join" not in plan

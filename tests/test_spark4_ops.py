@@ -209,3 +209,78 @@ class TestTransformWithState:
             .collect()
         }
         assert got == want
+
+
+class TestSqlUdf:
+    def test_matches_python_kernel(self, spark):
+        rows = REGISTRY["q273_sql_udf"].build(spark, SF_DIR).collect()
+        docs = {
+            r.doc_id: r
+            for r in table(spark, SF_DIR, "documents").collect()
+        }
+        assert rows
+        for r in rows:
+            d = docs[r.doc_id]
+            assert d.n_chars >= 300
+            n_tok = 1 + len(d.text) - len(d.text.replace(" ", ""))
+            assert r.chars_per_token_bp == (10000 * d.n_chars) // n_tok
+        # every qualifying doc is present (table function filters, only)
+        assert len(rows) == sum(1 for d in docs.values() if d.n_chars >= 300)
+
+
+class TestPipeSyntax:
+    def test_matches_dataframe_form(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            (r.l_returnflag, r.l_linestatus): (
+                r.count_order, r.sum_qty, r.sum_disc_price
+            )
+            for r in REGISTRY["q274_pipe_syntax"].build(spark, SF_DIR).collect()
+        }
+        li = table(spark, SF_DIR, "lineitem")
+        want = {
+            (r.l_returnflag, r.l_linestatus): (
+                r.count_order, r.sum_qty, r.sum_disc_price
+            )
+            for r in li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("count_order"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("sum_disc_price"),
+            )
+            .filter(F.col("count_order") > 10)
+            .collect()
+        }
+        assert got == want and got
+
+
+class TestCollatedGroup:
+    def test_matches_lower_normalization(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.lang_ci: (r.n_docs, r.n_case_variants)
+            for r in REGISTRY["q275_collated_group"].build(spark, SF_DIR).collect()
+        }
+        docs = table(spark, SF_DIR, "documents").select(
+            F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+            .otherwise(F.col("lang"))
+            .alias("k")
+        )
+        want = {
+            r.k: (r.n, r.v)
+            for r in docs.groupBy(F.lower("k").alias("k"))
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("k").alias("v"),
+            )
+            .collect()
+        }
+        assert got == want and got
+        # the case-mangling genuinely produced >1 binary variant per key
+        assert any(v > 1 for _, v in got.values())
