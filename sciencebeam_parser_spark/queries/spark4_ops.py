@@ -395,3 +395,70 @@ def q275_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY k
         """
     )
+
+
+@register(
+    "q276_streaming_state_reader",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2B streaming operations — Spark 4 state data source "
+               "(spark.read.format('statestore')): offline inspection of "
+               "a stateful query's checkpoint, the production debugging "
+               "surface for the reference's incremental pipelines "
+               "(A28 cascade run as a stream)",
+    doc="State-store reader: a grouped-count stream over events runs to "
+        "completion (availableNow) against a session-scoped checkpoint, "
+        "then the checkpoint's state is read BACK as a batch DataFrame "
+        "via the statestore data source — key struct + value struct + "
+        "partition_id, flattened to (event_type, n_events). The oracle "
+        "is the plain batch GROUP BY: the hash proves the materialized "
+        "state equals the semantic aggregate, i.e. state inspection is "
+        "trustworthy for debugging. At scale the reader opens only state "
+        "files (one per shuffle partition), never the source data; the "
+        "checkpoint path carries the applicationId so concurrent "
+        "sessions never collide.",
+)
+def q276_streaming_state_reader(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _events_stream,
+        _start_bounded_stream,
+    )
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"sb_q276_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    )
+    # fresh checkpoint per build; kept on disk afterwards — the returned
+    # DataFrame reads the state files lazily
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(f"q276_state_{app}")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+
+    state = spark.read.format("statestore").load(ckpt)
+    # the state value struct holds the PHYSICAL aggregation buffer —
+    # count's buffer field is named `count`, not the query-level alias
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

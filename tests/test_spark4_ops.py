@@ -284,3 +284,23 @@ class TestCollatedGroup:
         assert got == want and got
         # the case-mangling genuinely produced >1 binary variant per key
         assert any(v > 1 for _, v in got.values())
+
+
+class TestStateStoreReader:
+    def test_state_equals_batch_aggregate(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.event_type: r.n_events
+            for r in REGISTRY["q276_streaming_state_reader"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and got
