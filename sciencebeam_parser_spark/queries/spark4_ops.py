@@ -462,3 +462,80 @@ def q276_streaming_state_reader(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "q277_native_xml_source",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(trim(text))) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 60
+    GROUP BY lang
+    """,
+    survey_ref="§2A A2 XML parse / §2B scans — Spark 4 NATIVE XML data "
+               "source (built-in spark-xml): the declarative alternative "
+               "to the binaryFile+mapInPandas ElementTree path of "
+               "q114/q121/q266 (reference utils/xml.py parsing)",
+    doc="Native XML source round trip: a corpus fixture (60 docs as "
+        "<doc id lang><content>text</content></doc>, written with real "
+        "ElementTree escaping) is read back via the BUILT-IN xml format "
+        "with rowTag + an explicit schema (no inference pass), then "
+        "aggregated per language. The oracle recomputes from the parquet "
+        "table with trim(): the native reader strips surrounding "
+        "whitespace of element text (ignoreSurroundingSpaces), which the "
+        "hash therefore documents and pins, along with entity "
+        "unescaping. At scale the native source splits a directory of "
+        "XML files across executors JVM-side — no Python boundary at "
+        "all, unlike the mapInPandas path, making it the preferred scan "
+        "for well-formed row-structured XML; the ElementTree path "
+        "remains for XPath-heavy TEI/ALTO semantics the row model can't "
+        "express.",
+)
+def q277_native_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    docs = table(spark, sf_dir, "documents")
+    rows = (
+        docs.filter(F.col("doc_id") < 60)
+        .select("doc_id", "lang", "text")
+        .collect()  # 60-row fixture definition, not a data path
+    )
+    root = ET.Element("corpus")
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        el = ET.SubElement(
+            root, "doc", {"id": str(r.doc_id), "lang": r.lang}
+        )
+        ET.SubElement(el, "content").text = r.text
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"native_xml_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ET.ElementTree(root).write(
+        os.path.join(out_dir, "corpus.xml"),
+        encoding="utf-8",
+        xml_declaration=True,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(schema)
+        .load(out_dir)
+    )
+    return parsed.groupBy(F.col("_lang").alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("content")).alias("total_chars"),
+    )

@@ -304,3 +304,27 @@ class TestStateStoreReader:
             .collect()
         }
         assert got == want and got
+
+
+class TestNativeXmlSource:
+    def test_roundtrip_matches_trimmed_source(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars)
+            for r in REGISTRY["q277_native_xml_source"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        want = {
+            r.lang: (r.n, r.c)
+            for r in table(spark, SF_DIR, "documents")
+            .filter(F.col("doc_id") < 60)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.length(F.trim(F.col("text")))).alias("c"),
+            )
+            .collect()
+        }
+        assert got == want and got
