@@ -539,3 +539,41 @@ def q277_native_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("content")).alias("total_chars"),
     )
+
+
+@register(
+    "q279_parameterized_identifier",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source = 'src7'
+    GROUP BY lang
+    """,
+    survey_ref="§2B API surface — parameterized SQL (named parameters) + "
+               "the IDENTIFIER() clause: the injection-safe templating "
+               "path for the reference's config-driven pipelines "
+               "(config.py table/field indirection)",
+    doc="Parameterized SQL: the table name binds through IDENTIFIER(:tbl) "
+        "and the filter value through :src — both arrive via "
+        "spark.sql(..., args=...), never string interpolation, so a "
+        "hostile value cannot change the statement shape (the SQL "
+        "injection-safe path for config-driven pipelines). Catalyst "
+        "resolves IDENTIFIER at analysis time; the plan is identical to "
+        "the literal spelling, which is exactly what the oracle hash "
+        "proves.",
+)
+def q279_parameterized_identifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q279_docs")
+    return spark.sql(
+        """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM IDENTIFIER(:tbl)
+        WHERE source = :src
+        GROUP BY lang
+        """,
+        args={"tbl": "q279_docs", "src": "src7"},
+    )
