@@ -639,3 +639,47 @@ class TestSpark4SurfacePlans:
         plan = plan_of(spark, "q275_collated_group")
         assert plan.count("Exchange hashpartitioning") <= 2  # distinct+agg
         assert "Join" not in plan
+
+    def test_runtime_bloom_filter_injects_when_broadcast_off(self, spark):
+        """100 TB posture pin: when the filtered dim is too big to
+        broadcast (autoBroadcastJoinThreshold=-1 simulates it), the
+        optimizer must inject a runtime bloom semi-filter
+        (bloom_filter_agg on the creation side, might_contain on the
+        fact scan side) so the shuffle join moves only matching fact
+        rows. At bench scale broadcast handles this, which is why the
+        rule (correctly) stays quiet in the suite's plans."""
+        from sciencebeam_parser_spark.queries.registry import table as _t
+
+        sf = "/root/testdata/sf0.001"
+        _t(spark, sf, "orders").createOrReplaceTempView("bloom_o")
+        _t(spark, sf, "lineitem").createOrReplaceTempView("bloom_l")
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "1KB",
+            )
+            df = spark.sql(
+                """
+                SELECT o.o_orderpriority, count(*) AS n
+                FROM bloom_l l JOIN bloom_o o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+                GROUP BY o.o_orderpriority
+                """
+            )
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)

@@ -328,3 +328,37 @@ class TestNativeXmlSource:
             .collect()
         }
         assert got == want and got
+
+
+class TestParameterizedIdentifier:
+    def test_binding_matches_literal_query(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars)
+            for r in REGISTRY["q279_parameterized_identifier"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        want = {
+            r.lang: (r.n, r.c)
+            for r in table(spark, SF_DIR, "documents")
+            .filter(F.col("source") == "src7")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+            .collect()
+        }
+        assert got == want and got
+
+    def test_hostile_value_stays_a_value(self, spark):
+        """A quote-laden parameter binds as DATA (matches nothing),
+        never mutating the statement — the injection-safety claim."""
+        spark.sql("SELECT 1").collect()
+        from sciencebeam_parser_spark.queries.registry import table as _t
+
+        _t(spark, SF_DIR, "documents").createOrReplaceTempView("q279_docs")
+        rows = spark.sql(
+            "SELECT count(*) AS n FROM IDENTIFIER(:tbl) WHERE source = :src",
+            args={"tbl": "q279_docs", "src": "src7' OR '1'='1"},
+        ).collect()
+        assert rows[0].n == 0
