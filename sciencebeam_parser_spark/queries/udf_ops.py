@@ -124,12 +124,14 @@ def q147_merged_bbox_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
            tok AS token,
            CAST(len(tok) AS BIGINT) AS token_len
     FROM (
+        -- comprehension (not list_filter + the deprecated arrow lambda)
+        -- so a driver-side DuckDB upgrade can't break the oracle
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(trim(text), '\\s+'),
-                                  x -> len(x) > 0)) AS tok,
-               unnest(range(1, len(list_filter(
-                   string_split_regex(trim(text), '\\s+'),
-                   x -> len(x) > 0)) + 1)) AS pos
+               unnest([x FOR x IN string_split_regex(trim(text), '\\s+')
+                       IF len(x) > 0]) AS tok,
+               unnest(range(1, len([x FOR x IN
+                   string_split_regex(trim(text), '\\s+')
+                   IF len(x) > 0]) + 1)) AS pos
         FROM documents WHERE doc_id % 20 = 0
     )
     """,
