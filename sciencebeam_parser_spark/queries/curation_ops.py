@@ -887,3 +887,95 @@ def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "imp_bits",
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing (q280)
+# --------------------------------------------------------------------------
+
+_CCNET_SQL = "WITH " + _WORDPOS_CTE + """,
+    lm AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(
+                   -log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))
+               ), 4) AS ppl_bits
+        FROM bigrams b
+        JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        JOIN uni ON b.w1 = uni.w1
+        CROSS JOIN vocab
+        GROUP BY b.doc_id
+    )
+"""
+
+
+@register(
+    "q280_ccnet_perplexity_buckets",
+    oracle=_CCNET_SQL + """
+    SELECT doc_id, n_bigrams, ppl_bits,
+           CASE ntile(3) OVER (ORDER BY ppl_bits, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+    survey_ref="north-star corpus shaping: CCNet (Wenzek et al. 2020) "
+               "perplexity bucketing — the head/middle/tail split that "
+               "gates web-crawl quality by LM perplexity (the "
+               "self-supervised sibling of q139's heuristic gate and "
+               "q255's target-ratio DSIR; same q168 bigram-LM substrate)",
+    doc="CCNet quality split: the corpus bigram LM (add-one smoothing, "
+        "one count-table pass) scores every document's mean bigram NLL "
+        "in bits (monotone in perplexity: ppl = 2^bits), then ntile(3) "
+        "over the deterministic (ppl_bits, doc_id) order labels "
+        "head/middle/tail equi-depth buckets — head = most fluent, the "
+        "slice CCNet keeps for LM training. Scale: LM tables are "
+        "vocabulary-bounded, scoring is word-key equi-joins; the ntile "
+        "window is global but runs over ONE ROW PER DOCUMENT (the "
+        "already-aggregated score relation, ~10^9 rows at 100 TB — a "
+        "sortable relation, and the q213 histogram sketch substitutes "
+        "if even that is too hot). round(.,4) before ranking keeps the "
+        "order engine-identical.",
+)
+def q280_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    bg = _bigrams(spark, sf_dir).localCheckpoint()  # LM + scoring reuse
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = lm.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2(
+                        (F.col("c12") + F.lit(1.0))
+                        / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("ppl_bits"),
+        )
+    )
+    w = W.orderBy("ppl_bits", "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "ppl_bits",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -554,3 +554,65 @@ class TestRound5cOps:
             assert r["z_checksum"] == sum(zs)
             assert r["z_min"] == min(zs)
             assert r["z_max"] == max(zs)
+
+
+class TestCcnetPerplexityBuckets:
+    def test_buckets_are_equidepth_and_ordered(self, spark):
+        from sciencebeam_parser_spark.queries import REGISTRY
+
+        rows = (
+            REGISTRY["q280_ccnet_perplexity_buckets"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        assert rows
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(r.ppl_bits)
+        # equi-depth: ntile(3) sizes differ by at most 1
+        sizes = sorted(len(v) for v in by_bucket.values())
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert sizes[-1] - sizes[0] <= 1
+        # ordering: every head score <= every middle <= every tail
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+    def test_scores_match_python_lm(self, spark):
+        """Recompute one document's mean bigram NLL with a pure-Python
+        add-one bigram LM built from the same whitespace tokens."""
+        import math
+
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.registry import table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {
+            r.doc_id: r.text.strip().split()
+            for r in table(spark, sf, "documents").collect()
+        }
+        counts, heads = {}, {}
+        for toks in docs.values():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        for (a, _), c in counts.items():
+            heads[a] = heads.get(a, 0) + c
+        vocab = len({b for _, b in counts})
+        got = {
+            r.doc_id: (r.n_bigrams, r.ppl_bits)
+            for r in REGISTRY["q280_ccnet_perplexity_buckets"]
+            .build(spark, sf)
+            .collect()
+        }
+        for doc_id in list(docs)[:10]:
+            toks = docs[doc_id]
+            bgs = list(zip(toks, toks[1:]))
+            if not bgs:
+                assert doc_id not in got
+                continue
+            nll = [
+                -math.log2((counts[bg] + 1.0) / (heads[bg[0]] + vocab))
+                for bg in bgs
+            ]
+            n, bits = got[doc_id]
+            assert n == len(bgs)
+            assert abs(bits - sum(nll) / len(nll)) < 5e-4
