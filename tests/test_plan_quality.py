@@ -683,3 +683,42 @@ class TestSpark4SurfacePlans:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+    def test_parquet_aggregate_pushdown_under_v2_source(self, spark):
+        """100 TB posture pin: bare count/min/max over parquet can be
+        answered from footer statistics alone (PushedAggregation on the
+        scan) when the v2 source is active — the zero-row-read path for
+        corpus-size audits. The suite runs the v1 source (stable plan
+        strings), so this documents the scale escape hatch rather than
+        the default."""
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.parquet.aggregatePushdown",
+                "spark.sql.sources.useV1SourceList",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+            spark.conf.set("spark.sql.sources.useV1SourceList", "")
+            df = spark.read.parquet(
+                "/root/testdata/sf0.001/lineitem.parquet"
+            )
+            # numeric columns: timestamp min/max is NOT pushable (footer
+            # stats for timestamps are not trusted), which this pin also
+            # documents by omission
+            agg = df.groupBy().agg(
+                F.count("*").alias("n"),
+                F.min("l_quantity").alias("lo"),
+                F.max("l_extendedprice").alias("hi"),
+            )
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "PushedAggregation: [COUNT(*)" in plan
+            row = agg.collect()[0]
+            assert row.n == df.count()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
