@@ -519,3 +519,66 @@ def q253_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, total_cents long, n_large long, n_purchase long",
     )
+
+
+@register(
+    "q281_python_datasource_sink",
+    # the WRITE half of the q239 engine-extension surface: documents go
+    # OUT through a custom Python DataSourceWriter (per-task private
+    # files + a driver-side commit manifest), come BACK through the
+    # plain JVM json reader, and must aggregate to exactly what the
+    # source table predicts — any dropped task output, double-written
+    # retry, or type drift in the Python sink breaks the hash.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="§2B sinks: custom Python DataSource WRITER "
+               "(pyspark.sql.datasource DataSourceWriter/"
+               "WriterCommitMessage) — task-private files + driver "
+               "commit manifest, the FileCommitProtocol contract "
+               "restated for Python-only sinks (reference app/parser.py "
+               "asset emitters)",
+    doc="Custom-sink round trip: documents write through the registered "
+        "Python sink (each task streams to a private part-<uuid>.json "
+        "and reports a WriterCommitMessage; the driver's commit() "
+        "publishes _MANIFEST.json over the successful attempt set — "
+        "retried tasks can never interleave into a shared file), then "
+        "the shards are read back by the JVM json reader and "
+        "aggregated per language. The oracle predicts the aggregate "
+        "from the source table, so the hash proves the sink moved "
+        "every row exactly once. At 100 TB the sink is "
+        "partition-parallel with zero driver data movement — only the "
+        "O(#tasks) commit messages cross to the driver.",
+)
+def q281_python_datasource_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_pysink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    register_python_datasource(spark)
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .write.format("sbp_jsonl_sink")
+        .option("path", out_dir)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        os.path.join(out_dir, "part-*.json")
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

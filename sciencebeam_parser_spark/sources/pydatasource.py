@@ -16,7 +16,15 @@ generalization.
 """
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class JsonlShardDataSource(DataSource):
@@ -86,4 +94,87 @@ def register_python_datasource(spark) -> None:
     if app_id in _REGISTERED_APPS:
         return
     spark.dataSource.register(JsonlShardDataSource)
+    spark.dataSource.register(JsonlShardSinkDataSource)
     _REGISTERED_APPS.add(app_id)
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    """Per-task commit message: where the task wrote and how much —
+    the unit the driver-side commit protocol reasons over."""
+
+    path: str = ""
+    n_rows: int = 0
+
+
+class JsonlShardSinkDataSource(DataSource):
+    """The WRITE half of the engine-extension surface: each executor
+    task streams its rows to a private ``part-<uuid>.json`` (no two
+    tasks share a file, so speculative/retried tasks can't corrupt
+    each other), and the driver's ``commit()`` publishes a
+    ``_MANIFEST.json`` naming exactly the files of the SUCCESSFUL
+    attempt set — readers that honor the manifest never see orphan
+    files from failed attempts. This is the same
+    task-temp + driver-publish contract as Spark's own
+    FileCommitProtocol, restated in Python for sinks only Python can
+    speak (reference anchor: the asset-ZIP emitters of app/parser.py).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sbp_jsonl_sink"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlShardWriter":
+        return JsonlShardWriter(self.options["path"])
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, root: str) -> None:
+        self._root = root
+
+    def write(self, iterator) -> ShardCommit:
+        # executor-side: one private file per task attempt
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._root, exist_ok=True)
+        path = os.path.join(self._root, f"part-{uuid.uuid4().hex}.json")
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return ShardCommit(path=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        # driver-side publish: the manifest is the source of truth for
+        # which files belong to the committed write
+        import json
+        import os
+
+        shards = [
+            {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "n_shards": len(shards),
+            "n_rows": sum(s["n_rows"] for s in shards),
+            "shards": sorted(shards, key=lambda s: s["path"]),
+        }
+        with open(
+            os.path.join(self._root, "_MANIFEST.json"), "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

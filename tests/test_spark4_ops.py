@@ -362,3 +362,36 @@ class TestParameterizedIdentifier:
             args={"tbl": "q279_docs", "src": "src7' OR '1'='1"},
         ).collect()
         assert rows[0].n == 0
+
+
+class TestPythonDataSourceSink:
+    def test_manifest_covers_exactly_the_shards(self, spark):
+        import json
+        import glob
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        out = REGISTRY["q281_python_datasource_sink"].build(spark, SF_DIR)
+        total = out.agg(F.sum("n_docs")).collect()[0][0]
+        n_src = table(spark, SF_DIR, "documents").count()
+        assert total == n_src
+        sink_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"sbp_pysink_{os.path.basename(SF_DIR.rstrip('/'))}"
+            f"_{spark.sparkContext.applicationId}",
+        )
+        manifest = json.load(
+            open(os.path.join(sink_dir, "_MANIFEST.json"))
+        )
+        on_disk = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(sink_dir, "part-*.json"))
+        )
+        assert [s["path"] for s in manifest["shards"]] == on_disk
+        assert manifest["n_rows"] == n_src
+        # line counts per shard match the commit messages
+        for s in manifest["shards"]:
+            with open(os.path.join(sink_dir, s["path"])) as fh:
+                assert sum(1 for _ in fh) == s["n_rows"]
