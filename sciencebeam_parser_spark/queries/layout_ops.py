@@ -582,3 +582,87 @@ def q281_python_datasource_sink(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "q282_python_stream_source",
+    # the STREAM third of the Python DataSource surface (read q239 /
+    # write q281): a custom simple stream reader replays the corpus in
+    # offset-tracked micro-batches; the complete-mode aggregate after
+    # the final batch must equal the batch GROUP BY.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="§2B streaming sources: custom Python streaming "
+               "DataSource (SimpleDataSourceStreamReader) — offset "
+               "dict checkpointing + readBetweenOffsets replay, the "
+               "Spark-native restatement of the reference's "
+               "request-polling ingest (app/parser.py)",
+    doc="Python streaming source end-to-end: sbp_doc_stream yields the "
+        "corpus in deterministic doc_id order, 200 rows per "
+        "micro-batch, offsets as JSON row positions the engine "
+        "checkpoints (exactly-once lives in the offset log, not the "
+        "source); a complete-mode per-language aggregate runs over it "
+        "into a memory sink, the driver polls until every source row "
+        "is absorbed, and the final snapshot hash-matches the batch "
+        "GROUP BY. The simple-reader protocol trades driver-side "
+        "reads for zero partition planning — right for control-plane "
+        "rates; the full streamReader (executor-side partitions per "
+        "offset range) is the data-plane variant, same contract.",
+)
+def q282_python_stream_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _start_bounded_stream,
+    )
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    expected = table(spark, sf_dir, "documents").count()
+    name = (
+        "q282_sink_"
+        + spark.sparkContext.applicationId.replace("-", "_")
+    )
+    stream = (
+        spark.readStream.format("sbp_doc_stream")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batchSize", "200")
+        .load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+    )
+    q = _start_bounded_stream(spark, writer, timeout=1, stop_on_timeout=False)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = (
+                spark.table(name)
+                .agg(F.sum("n_docs").alias("n"))
+                .collect()[0]["n"]
+            )
+            if got == expected:
+                break
+            time.sleep(0.3)
+        else:  # pragma: no cover - timeout means missing rows
+            raise TimeoutError(
+                f"python stream absorbed {got} of {expected} rows"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -95,6 +96,7 @@ def register_python_datasource(spark) -> None:
         return
     spark.dataSource.register(JsonlShardDataSource)
     spark.dataSource.register(JsonlShardSinkDataSource)
+    spark.dataSource.register(DocCorpusStreamSource)
     _REGISTERED_APPS.add(app_id)
 
 
@@ -178,3 +180,59 @@ class JsonlShardWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+class DocCorpusStreamSource(DataSource):
+    """The STREAM half of the engine-extension surface: a Python
+    streaming source replaying the document corpus in deterministic
+    doc_id order, ``batchSize`` rows per micro-batch.
+
+    Uses the SIMPLE stream-reader protocol: ``read(start)`` runs in the
+    driver-side Python worker and returns (rows, nextOffset); Spark
+    persists each prefetched batch so ``readBetweenOffsets`` only
+    replays on recovery. Offsets are plain dicts (JSON row positions) —
+    exactly-once comes from the engine checkpointing those offsets, not
+    from the source. Reference anchor: the request-polling loops of
+    app/parser.py, here as a restartable offset-tracked stream.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sbp_doc_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def simpleStreamReader(self, schema) -> "DocCorpusStreamReader":
+        return DocCorpusStreamReader(self.options)
+
+
+class DocCorpusStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self._path = options["path"]
+        self._batch = int(options.get("batchSize", "200"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _load(self, lo: int, hi: int):
+        import duckdb
+
+        return duckdb.sql(
+            "SELECT doc_id, lang, n_chars FROM read_parquet(?) "
+            "ORDER BY doc_id LIMIT ? OFFSET ?",
+            params=[self._path, hi - lo, lo],
+        ).fetchall()
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        rows = self._load(pos, pos + self._batch)
+        return iter([tuple(r) for r in rows]), {"pos": pos + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            tuple(r) for r in self._load(start["pos"], end["pos"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

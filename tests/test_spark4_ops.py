@@ -395,3 +395,43 @@ class TestPythonDataSourceSink:
         for s in manifest["shards"]:
             with open(os.path.join(sink_dir, s["path"])) as fh:
                 assert sum(1 for _ in fh) == s["n_rows"]
+
+
+class TestPythonStreamSource:
+    def test_complete_snapshot_matches_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars)
+            for r in REGISTRY["q282_python_stream_source"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        want = {
+            r.lang: (r.n, r.c)
+            for r in table(spark, SF_DIR, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+            .collect()
+        }
+        assert got == want and got
+
+    def test_source_paginates_deterministically(self, spark):
+        """The reader must page the corpus in doc_id order with stable
+        offsets: reading [0,N) in two pages equals one page, and
+        readBetweenOffsets replays exactly the first page."""
+        from sciencebeam_parser_spark.sources.pydatasource import (
+            DocCorpusStreamReader,
+        )
+
+        path = f"{SF_DIR}/documents.parquet"
+        r = DocCorpusStreamReader({"path": path, "batchSize": "100"})
+        page1, off1 = r.read(r.initialOffset())
+        page1 = list(page1)
+        page2, off2 = r.read(off1)
+        page2 = list(page2)
+        assert off1 == {"pos": 100} and off2 == {"pos": 200}
+        big = DocCorpusStreamReader({"path": path, "batchSize": "200"})
+        whole, _ = big.read(big.initialOffset())
+        assert page1 + page2 == list(whole)
+        assert list(r.readBetweenOffsets({"pos": 0}, {"pos": 100})) == page1
