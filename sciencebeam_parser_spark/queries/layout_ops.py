@@ -666,3 +666,113 @@ def q282_python_stream_source(
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "q283_python_stream_sink",
+    # the STREAMING-WRITE quarter completes the Python DataSource
+    # matrix: the custom stream source feeds a quality gate whose
+    # survivors land in the custom streaming sink (per-batch shards +
+    # per-batch manifests); the manifest-honoring read-back must equal
+    # the batch restatement of the gate.
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars >= 300
+    GROUP BY lang
+    """,
+    survey_ref="§2B streaming sinks: custom Python streaming "
+               "DataSourceStreamWriter — per-batch task shards + "
+               "batchId-keyed commit manifests, the exactly-once-for-"
+               "manifest-readers contract (reference app/parser.py "
+               "emitters, streaming form)",
+    doc="Python streaming sink end-to-end: the sbp_doc_stream source "
+        "pages the corpus, an n_chars quality gate filters in-stream, "
+        "and survivors write through sbp_jsonl_stream_sink — each "
+        "micro-batch's tasks write private shard files and the "
+        "driver's commit(messages, batchId) publishes a "
+        "_batch-<id>.json manifest; a retried batch republishes the "
+        "same batchId (last write wins) so manifest-honoring readers "
+        "get exactly-once on top of the engine's at-least-once. The "
+        "read-back unions ONLY manifest-listed shards and must "
+        "hash-match the batch restatement of the gate.",
+)
+def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import time
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _start_bounded_stream,
+    )
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    docs = table(spark, sf_dir, "documents")
+    expected = docs.filter(F.col("n_chars") >= 300).count()
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_pystreamsink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("sbp_doc_stream")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batchSize", "500")
+        .load()
+        .filter(F.col("n_chars") >= 300)
+    )
+    writer = (
+        stream.writeStream.format("sbp_jsonl_stream_sink")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+    )
+
+    def _committed_rows() -> int:
+        n = 0
+        for man in glob.glob(os.path.join(out_dir, "_batch-*.json")):
+            with open(man, encoding="utf-8") as fh:
+                for shard in json.load(fh)["shards"]:
+                    with open(
+                        os.path.join(out_dir, shard), encoding="utf-8"
+                    ) as sf:
+                        n += sum(1 for _ in sf)
+        return n
+
+    q = _start_bounded_stream(spark, writer, timeout=1, stop_on_timeout=False)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if _committed_rows() == expected:
+                break
+            time.sleep(0.3)
+        else:  # pragma: no cover
+            raise TimeoutError(
+                f"stream sink committed {_committed_rows()} of {expected}"
+            )
+    finally:
+        q.stop()
+
+    committed = sorted(
+        {
+            os.path.join(out_dir, shard)
+            for man in glob.glob(os.path.join(out_dir, "_batch-*.json"))
+            for shard in json.load(open(man, encoding="utf-8"))["shards"]
+        }
+    )
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).json(committed)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

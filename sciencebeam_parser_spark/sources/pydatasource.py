@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -97,6 +98,7 @@ def register_python_datasource(spark) -> None:
     spark.dataSource.register(JsonlShardDataSource)
     spark.dataSource.register(JsonlShardSinkDataSource)
     spark.dataSource.register(DocCorpusStreamSource)
+    spark.dataSource.register(JsonlStreamSinkDataSource)
     _REGISTERED_APPS.add(app_id)
 
 
@@ -236,3 +238,64 @@ class DocCorpusStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    """The STREAMING-WRITE quarter of the engine-extension matrix
+    (q239 batch read / q281 batch write / q282 stream read): per
+    micro-batch, each task writes a private shard and the driver's
+    ``commit(messages, batchId)`` publishes ``_batch-<id>.json`` naming
+    that batch's files — at-least-once delivery from the engine becomes
+    exactly-once for manifest-honoring readers, because a retried batch
+    re-publishes the SAME batchId manifest (last write wins) and orphan
+    shards from failed attempts are never listed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sbp_jsonl_stream_sink"
+
+    def schema(self) -> str:
+        # sinks take the incoming stream's schema; this is the default
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options["path"])
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, root: str) -> None:
+        self._root = root
+
+    def write(self, iterator) -> ShardCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self._root, exist_ok=True)
+        path = os.path.join(self._root, f"shard-{uuid.uuid4().hex}.json")
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return ShardCommit(path=path, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        shards = sorted(
+            os.path.basename(m.path) for m in messages if m is not None
+        )
+        with open(
+            os.path.join(self._root, f"_batch-{batchId}.json"), "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump({"batch_id": batchId, "shards": shards}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -435,3 +435,44 @@ class TestPythonStreamSource:
         whole, _ = big.read(big.initialOffset())
         assert page1 + page2 == list(whole)
         assert list(r.readBetweenOffsets({"pos": 0}, {"pos": 100})) == page1
+
+
+class TestPythonStreamSink:
+    def test_gate_and_manifests_round_trip(self, spark):
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars)
+            for r in REGISTRY["q283_python_stream_sink"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        want = {
+            r.lang: (r.n, r.c)
+            for r in table(spark, SF_DIR, "documents")
+            .filter(F.col("n_chars") >= 300)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+            .collect()
+        }
+        assert got == want and got
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"sbp_pystreamsink_{os.path.basename(SF_DIR.rstrip('/'))}"
+            f"_{spark.sparkContext.applicationId}",
+        )
+        manifests = glob.glob(os.path.join(out_dir, "_batch-*.json"))
+        assert manifests, "no batch manifests published"
+        listed = {
+            s
+            for m in manifests
+            for s in json.load(open(m, encoding="utf-8"))["shards"]
+        }
+        assert listed  # every manifest shard exists on disk
+        for s in listed:
+            assert os.path.exists(os.path.join(out_dir, s))
