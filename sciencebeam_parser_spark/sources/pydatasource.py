@@ -1,18 +1,25 @@
-"""Custom Python data source (``pyspark.sql.datasource``, the Spark 4
-DataSource API): a JSONL corpus-shard reader with one input partition per
-shard file.
+"""Custom Python data sources (``pyspark.sql.datasource``, the Spark 4
+DataSource API) — the full engine-extension 2x2 matrix:
 
-This is the *engine-extension* source surface: where ``spark.read.json``
-hardcodes the JVM reader, a Python DataSource lets the engine ingest a
-format only Python can parse (proprietary shard layouts, scientific
-formats) while keeping Spark's partition-parallel scan: ``partitions()``
-enumerates splits on the driver, ``read(partition)`` runs on executors —
-one Arrow-batched task per shard file.
+- batch READ (``sbp_jsonl_shards``, q239): driver-side split planning,
+  one InputPartition per shard file, executor-side JSONL parsing with
+  hive partition-column recovery;
+- batch WRITE (``sbp_jsonl_sink``, q281): task-private files +
+  WriterCommitMessage -> driver ``commit()`` manifest — the
+  FileCommitProtocol contract in Python;
+- stream READ (``sbp_doc_stream``, q282): SimpleDataSourceStreamReader
+  paging the corpus with JSON offset dicts the engine checkpoints,
+  ``readBetweenOffsets`` recovery replay;
+- stream WRITE (``sbp_jsonl_stream_sink``, q283): per-micro-batch task
+  shards + batchId-keyed commit manifests — exactly-once for
+  manifest-honoring readers over the engine's at-least-once.
 
-Reference anchor: the reference's sources are child-process wrappers
-around exactly this kind of one-file-at-a-time parser
-(``external/pdfalto/wrapper.py``); the DataSource API is its Spark-native
-generalization.
+This is how the engine mounts formats and sinks only Python can speak
+while keeping Spark's partition-parallel scan/write scheduling.
+Reference anchor: the reference's sources/sinks are child-process
+wrappers around one-file-at-a-time parsers and emitters
+(``external/pdfalto/wrapper.py``, ``app/parser.py``); the DataSource
+API is their Spark-native generalization.
 """
 from __future__ import annotations
 
