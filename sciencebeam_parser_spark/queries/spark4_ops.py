@@ -577,3 +577,78 @@ def q279_parameterized_identifier(
         """,
         args={"tbl": "q279_docs", "src": "src7"},
     )
+
+
+@register(
+    "q284_approx_top_k",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2B native sketch functions — approx_top_k "
+               "(frequent-items sketch): the engine-native heavy-hitters "
+               "path beside the hand-built CMS (q259) and exact mode "
+               "top-1 (q35)",
+    doc="Native frequent-items sketch: approx_top_k(event_type, 8) runs "
+        "as ONE mergeable sketch aggregate (map-side partials, no "
+        "row-level shuffle) and is exploded back to (item, count) rows. "
+        "k=8 exceeds the type cardinality, putting the sketch in its "
+        "EXACT regime — the oracle is the plain GROUP BY, so the hash "
+        "proves the sketch counts precisely when it has room, the same "
+        "guarantee the CMS family documents. At real cardinalities the "
+        "same plan ships fixed-size sketch partials instead of a "
+        "full-width count table — the 100 TB heavy-hitters shape.",
+)
+def q284_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("q284_events")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        FROM (
+          SELECT explode(approx_top_k(event_type, 8)) AS t
+          FROM q284_events
+        )
+        """
+    )
+
+
+@register(
+    "q285_hll_sketch_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS week_start,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY 1
+    """,
+    survey_ref="§2B native sketch functions — hll_sketch_agg / "
+               "hll_union_agg / hll_sketch_estimate (Apache DataSketches "
+               "HLL): the engine-native mergeable-distinct path beside "
+               "the hand-built register HLL (q221) and KMV (q115)",
+    doc="Native HLL rollup: per-day event-type sketches "
+        "(hll_sketch_agg) merge into weekly sketches via hll_union_agg "
+        "— re-aggregating the SKETCHES, never the rows, which is the "
+        "entire point of mergeable summaries at 100 TB (daily sketches "
+        "persist once; any calendar rollup is a cheap union). Type "
+        "cardinality is far below the sketch's exact threshold, so "
+        "estimates are exact and the oracle is the plain "
+        "count(DISTINCT) per week — the hash proves the merge loses "
+        "nothing in the exact regime. date_trunc on the normalized "
+        "timestamp matches DuckDB week boundaries (both ISO Monday).",
+)
+def q285_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.expr("hll_sketch_agg(event_type)").alias("sk"))
+    return (
+        daily.groupBy(
+            F.to_date(F.date_trunc("week", F.col("day"))).alias(
+                "week_start"
+            )
+        )
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("n_types")
+        )
+    )

@@ -476,3 +476,50 @@ class TestPythonStreamSink:
         assert listed  # every manifest shard exists on disk
         for s in listed:
             assert os.path.exists(os.path.join(out_dir, s))
+
+
+class TestNativeSketches:
+    def test_approx_topk_exact_regime(self, spark):
+        from pyspark.sql import functions as F
+
+        got = {
+            r.event_type: r.n
+            for r in REGISTRY["q284_approx_top_k"].build(spark, SF_DIR).collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and got
+
+    def test_hll_merge_equals_direct_weekly_sketch(self, spark):
+        """Merging daily sketches must estimate the same as sketching
+        the week directly — the mergeability contract itself."""
+        from pyspark.sql import functions as F
+        from sciencebeam_parser_spark.queries.registry import table as _t
+
+        ev = _t(spark, SF_DIR, "events")
+        direct = {
+            r.week_start: r.n_types
+            for r in ev.groupBy(
+                F.to_date(F.date_trunc("week", F.col("ts"))).alias(
+                    "week_start"
+                )
+            )
+            .agg(
+                F.expr("hll_sketch_estimate(hll_sketch_agg(event_type))")
+                .cast("long")
+                .alias("n_types")
+            )
+            .collect()
+        }
+        rolled = {
+            r.week_start: r.n_types
+            for r in REGISTRY["q285_hll_sketch_rollup"]
+            .build(spark, SF_DIR)
+            .collect()
+        }
+        assert rolled == direct and rolled
