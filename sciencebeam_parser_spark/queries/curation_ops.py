@@ -893,35 +893,16 @@ def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet perplexity bucketing (q280)
 # --------------------------------------------------------------------------
 
-_CCNET_SQL = "WITH " + _WORDPOS_CTE + """,
-    lm AS (
-        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        FROM bigrams GROUP BY w1, w2
-    ),
-    uni AS (
-        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1
-    ),
-    vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM lm),
-    scored AS (
-        SELECT b.doc_id,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(
-                   -log2((lm.c12 + 1.0) / (uni.c1 + vocab.v))
-               ), 4) AS ppl_bits
-        FROM bigrams b
-        JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
-        JOIN uni ON b.w1 = uni.w1
-        CROSS JOIN vocab
-        GROUP BY b.doc_id
-    )
-"""
+# q280 reuses the q168 LM-scoring chain verbatim (_LM_SCORED_SQL /
+# _lm_scored) — one definition of the tokenization and smoothing, so a
+# future fix to q168 cannot un-sync the CCNet split.
 
 
 @register(
     "q280_ccnet_perplexity_buckets",
-    oracle=_CCNET_SQL + """
-    SELECT doc_id, n_bigrams, ppl_bits,
-           CASE ntile(3) OVER (ORDER BY ppl_bits, doc_id)
+    oracle=_LM_SCORED_SQL + """
+    SELECT doc_id, n_bigrams, avg_nll AS ppl_bits,
+           CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored
@@ -947,32 +928,13 @@ _CCNET_SQL = "WITH " + _WORDPOS_CTE + """,
 def q280_ccnet_perplexity_buckets(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    bg = _bigrams(spark, sf_dir).localCheckpoint()  # LM + scoring reuse
-    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = lm.agg(F.countDistinct("w2").alias("v"))
-    scored = (
-        bg.join(lm, ["w1", "w2"])
-        .join(uni, ["w1"])
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    -F.log2(
-                        (F.col("c12") + F.lit(1.0))
-                        / (F.col("c1") + F.col("v"))
-                    )
-                ),
-                4,
-            ).alias("ppl_bits"),
-        )
+    scored = _lm_scored(spark, sf_dir).withColumnRenamed(
+        "avg_nll", "ppl_bits"
     )
     w = W.orderBy("ppl_bits", "doc_id")
     return scored.select(
         "doc_id",
-        "n_bigrams",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "ppl_bits",
         F.when(F.ntile(3).over(w) == 1, "head")
         .when(F.ntile(3).over(w) == 2, "middle")

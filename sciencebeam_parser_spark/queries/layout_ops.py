@@ -575,9 +575,21 @@ def q281_python_datasource_sink(
         .mode("append")
         .save()
     )
-    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
-        os.path.join(out_dir, "part-*.json")
-    )
+    # the read-back honors the commit protocol: only manifest-listed
+    # shards count (a crashed attempt's orphan part-file must be
+    # invisible even before abort() cleans it)
+    import json as _json
+
+    with open(
+        os.path.join(out_dir, "_MANIFEST.json"), encoding="utf-8"
+    ) as fh:
+        shards = [
+            os.path.join(out_dir, s["path"])
+            for s in _json.load(fh)["shards"]
+        ]
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).json(shards)
     return back.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -740,12 +752,16 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _committed_rows() -> int:
         n = 0
         for man in glob.glob(os.path.join(out_dir, "_batch-*.json")):
-            with open(man, encoding="utf-8") as fh:
-                for shard in json.load(fh)["shards"]:
-                    with open(
-                        os.path.join(out_dir, shard), encoding="utf-8"
-                    ) as sf:
-                        n += sum(1 for _ in sf)
+            try:
+                with open(man, encoding="utf-8") as fh:
+                    shards = json.load(fh)["shards"]
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # manifest mid-replace; next poll sees it
+            for shard in shards:
+                with open(
+                    os.path.join(out_dir, shard), encoding="utf-8"
+                ) as sf:
+                    n += sum(1 for _ in sf)
         return n
 
     q = _start_bounded_stream(spark, writer, timeout=1, stop_on_timeout=False)

@@ -453,7 +453,15 @@ def q276_streaming_state_reader(
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
     )
-    _start_bounded_stream(spark, writer)
+    q = _start_bounded_stream(spark, writer)
+    if q.isActive:  # pragma: no cover - await timed out, stream running
+        q.stop()
+        raise RuntimeError(
+            "q276 stream did not finish within the await window; "
+            "refusing to read in-flight state"
+        )
+    if q.exception() is not None:  # pragma: no cover
+        raise RuntimeError(f"q276 stream failed: {q.exception()}")
 
     state = spark.read.format("statestore").load(ckpt)
     # the state value struct holds the PHYSICAL aggregation buffer —
@@ -537,7 +545,12 @@ def q277_native_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy(F.col("_lang").alias("lang")).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.length("content")).alias("total_chars"),
+        # empty/whitespace-only <content> parses as NULL: coalesce per
+        # row so an all-blank language sums to 0 exactly like the
+        # oracle's sum(length(trim(text)))
+        F.sum(F.coalesce(F.length("content"), F.lit(0))).alias(
+            "total_chars"
+        ),
     )
 
 

@@ -139,6 +139,18 @@ class JsonlShardSinkDataSource(DataSource):
         return "doc_id bigint, lang string, n_chars bigint"
 
     def writer(self, schema, overwrite: bool) -> "JsonlShardWriter":
+        if overwrite:
+            # overwrite semantics live here, not in the caller: clear
+            # prior shards + manifest so disk matches the new manifest
+            import glob
+            import os
+
+            root = self.options["path"]
+            for p in glob.glob(os.path.join(root, "part-*.json")) + [
+                os.path.join(root, "_MANIFEST.json")
+            ]:
+                if os.path.exists(p):
+                    os.remove(p)
         return JsonlShardWriter(self.options["path"])
 
 
@@ -177,11 +189,13 @@ class JsonlShardWriter(DataSourceWriter):
             "n_rows": sum(s["n_rows"] for s in shards),
             "shards": sorted(shards, key=lambda s: s["path"]),
         }
-        with open(
-            os.path.join(self._root, "_MANIFEST.json"), "w",
-            encoding="utf-8",
-        ) as fh:
+        # atomic publish: write-temp + rename so a concurrent reader
+        # never observes a truncated manifest
+        final = os.path.join(self._root, "_MANIFEST.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, final)
 
     def abort(self, messages) -> None:
         import os
@@ -294,11 +308,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         shards = sorted(
             os.path.basename(m.path) for m in messages if m is not None
         )
-        with open(
-            os.path.join(self._root, f"_batch-{batchId}.json"), "w",
-            encoding="utf-8",
-        ) as fh:
+        # atomic publish (tmp + rename): the driver-side poll in q283
+        # reads these concurrently, and a batch retry replaces the SAME
+        # batchId manifest in one atomic step (last write wins)
+        final = os.path.join(self._root, f"_batch-{batchId}.json")
+        tmp = final + f".{batchId}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"batch_id": batchId, "shards": shards}, fh)
+        os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
         import os

