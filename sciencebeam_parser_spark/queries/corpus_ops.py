@@ -684,3 +684,222 @@ def q192_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
         F.sum("n_new_types").over(w_cum).cast("long").alias("cum_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# T5 span corruption (q286) and FIM transformation (q287)
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 3          # fixed span length (T5 uses mean-3 random spans)
+_CORRUPT_PCT = 15      # T5's 15% corruption rate
+
+
+@register(
+    "q286_span_corruption",
+    # deterministic T5 denoising objective: 3-token spans, each masked
+    # iff its md5 bucket < 15 of 100; masked spans are replaced by
+    # dense per-doc sentinels in the input and emitted after their
+    # sentinel in the target — the (input, target) pretraining pair.
+    oracle="WITH " + _TOKENS_CTE + f""",
+    sp AS (
+        SELECT doc_id, token_seq, token,
+               (token_seq - 1) // {_SPAN_LEN} AS span_id
+        FROM tokens
+    ),
+    mk AS (
+        SELECT *,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(span_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % 100 < {_CORRUPT_PCT}) AS masked
+        FROM sp
+    ),
+    ks AS (
+        SELECT doc_id, span_id,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY span_id) AS k
+        FROM (SELECT DISTINCT doc_id, span_id FROM mk WHERE masked)
+    ),
+    j AS (
+        SELECT m.doc_id, m.token_seq, m.token, m.span_id, ks.k
+        FROM mk m LEFT JOIN ks
+          ON ks.doc_id = m.doc_id AND ks.span_id = m.span_id
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_masked_spans,
+           COALESCE(string_agg(
+               CASE WHEN k IS NULL THEN token
+                    WHEN token_seq % {_SPAN_LEN} = 1
+                        THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                    ELSE NULL END, ' ' ORDER BY token_seq), '')
+               AS input_text,
+           COALESCE(string_agg(
+               CASE WHEN k IS NULL THEN NULL
+                    WHEN token_seq % {_SPAN_LEN} = 1
+                        THEN '<extra_id_' || CAST(k AS VARCHAR) || '> '
+                             || token
+                    ELSE token END, ' ' ORDER BY token_seq), '')
+               AS target_text
+    FROM j GROUP BY doc_id
+    """,
+    survey_ref="north-star pretraining-data shaping: T5/UL2 span "
+               "corruption (Raffel et al. 2020 §3.1.4) — the denoising "
+               "(input, target) pair generator beside q126 packing and "
+               "q181 negative sampling",
+    doc="Span corruption: fixed 3-token spans are masked at a "
+        "deterministic 15% (md5 bucket of (doc_id, span_id) — "
+        "re-runnable, layout-independent, the q125 idiom); masked "
+        "spans collapse to dense per-doc sentinels <extra_id_k> in the "
+        "input, and the target emits each sentinel followed by its "
+        "original tokens — byte-identical T5 semantics restated "
+        "relationally. One shuffle keys the sentinel window and the "
+        "final per-doc assembly; ordered sorted-struct aggregation "
+        "mirrors string_agg ORDER BY on both engines (the q124 "
+        "discipline). At 100 TB everything partitions by doc_id.",
+)
+def q286_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    t = toks.withColumn(
+        "span_id", F.expr(f"(token_seq - 1) div {_SPAN_LEN}")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("span_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    t = t.withColumn("masked", bucket < _CORRUPT_PCT)
+    spans = (
+        t.filter("masked").select("doc_id", "span_id").distinct()
+        .withColumn(
+            "k",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("span_id")
+            ),
+        )
+    )
+    j = t.join(spans, ["doc_id", "span_id"], "left")
+    first_of_span = F.col("token_seq") % _SPAN_LEN == 1
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")
+    )
+    input_piece = (
+        F.when(F.col("k").isNull(), F.col("token"))
+        .when(first_of_span, sentinel)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    target_piece = (
+        F.when(F.col("k").isNull(), F.lit(None).cast("string"))
+        .when(
+            first_of_span,
+            F.concat(sentinel, F.lit(" "), F.col("token")),
+        )
+        .otherwise(F.col("token"))
+    )
+
+    def _ordered_join(piece):
+        # sorted-struct assembly: array_join skips the NULL pieces the
+        # CASE dropped, matching string_agg's NULL-skipping
+        return F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("token_seq", piece.alias("p")))
+            ).p,
+            " ",
+        )
+
+    return j.groupBy("doc_id").agg(
+        F.countDistinct("k").cast("long").alias("n_masked_spans"),
+        _ordered_join(input_piece).alias("input_text"),
+        _ordered_join(target_piece).alias("target_text"),
+    )
+
+
+@register(
+    "q287_fim_transform",
+    # fill-in-middle (PSM order): the middle fifth [2n/5, 3n/5) moves to
+    # the end behind markers — the code-LLM data transformation.
+    oracle="WITH " + _TOKENS_CTE + """,
+    sized AS (
+        SELECT doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens
+    ),
+    sect AS (
+        SELECT doc_id, token_seq, token,
+               CAST(n AS BIGINT) AS n,
+               CASE WHEN token_seq - 1 < (n * 2) // 5 THEN 'p'
+                    WHEN token_seq - 1 < (n * 3) // 5 THEN 'm'
+                    ELSE 's' END AS part
+        FROM sized
+    )
+    SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens,
+           '<PRE> ' || COALESCE(string_agg(
+               CASE WHEN part = 'p' THEN token END, ' '
+               ORDER BY token_seq), '')
+           || ' <SUF> ' || COALESCE(string_agg(
+               CASE WHEN part = 's' THEN token END, ' '
+               ORDER BY token_seq), '')
+           || ' <MID> ' || COALESCE(string_agg(
+               CASE WHEN part = 'm' THEN token END, ' '
+               ORDER BY token_seq), '') AS fim_text
+    FROM sect GROUP BY doc_id
+    """,
+    survey_ref="north-star pretraining-data shaping: fill-in-middle "
+               "(Bavarian et al. 2022) PSM reordering — the code-LLM "
+               "infilling transformation beside q286 span corruption",
+    doc="FIM: each document's middle fifth (token positions "
+        "[2n/5, 3n/5), integer arithmetic so both engines cut "
+        "identically) moves behind the suffix in "
+        "<PRE> p <SUF> s <MID> m order — training the model to infill. "
+        "Deterministic by construction (no RNG: the boundaries are "
+        "functions of n alone; a production variant would hash-pick "
+        "the split like q286 picks spans). Single shuffle on doc_id; "
+        "the three sections assemble from one sorted-struct pass.",
+)
+def q287_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    sized = toks.withColumn(
+        "n", F.count("*").over(W.partitionBy("doc_id"))
+    )
+    part = (
+        F.when(
+            F.col("token_seq") - 1 < F.expr("(n * 2) div 5"), "p"
+        )
+        .when(F.col("token_seq") - 1 < F.expr("(n * 3) div 5"), "m")
+        .otherwise("s")
+    )
+    sect = sized.withColumn("part", part)
+
+    def _section(tag):
+        piece = F.when(F.col("part") == tag, F.col("token")).otherwise(
+            F.lit(None).cast("string")
+        )
+        return F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("token_seq", piece.alias("p")))
+            ).p,
+            " ",
+        )
+
+    return sect.groupBy("doc_id").agg(
+        F.min("n").cast("long").alias("n_tokens"),
+        F.concat(
+            F.lit("<PRE> "),
+            _section("p"),
+            F.lit(" <SUF> "),
+            _section("s"),
+            F.lit(" <MID> "),
+            _section("m"),
+        ).alias("fim_text"),
+    )

@@ -616,3 +616,81 @@ class TestCcnetPerplexityBuckets:
             n, bits = got[doc_id]
             assert n == len(bgs)
             assert abs(bits - sum(nll) / len(nll)) < 5e-4
+
+
+class TestSpanCorruption:
+    def test_matches_python_t5_model(self, spark):
+        import hashlib
+
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.registry import table
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["q286_span_corruption"].build(spark, sf).collect()
+        }
+        texts = {
+            r.doc_id: r.text.strip().split()
+            for r in table(spark, sf, "documents").collect()
+        }
+
+        def bucket(doc_id, span_id):
+            h = hashlib.md5(f"{doc_id}:{span_id}".encode()).hexdigest()
+            return int(h[:15], 16) % 100
+
+        some_masked = False
+        for doc_id in list(texts)[:15]:
+            toks = texts[doc_id]
+            spans = sorted(
+                {
+                    i // 3
+                    for i in range(len(toks))
+                    if bucket(doc_id, i // 3) < 15
+                }
+            )
+            k_of = {s: i + 1 for i, s in enumerate(spans)}
+            inp, tgt = [], []
+            for i, tok in enumerate(toks):
+                s = i // 3
+                if s in k_of:
+                    some_masked = True
+                    if i % 3 == 0:
+                        inp.append(f"<extra_id_{k_of[s]}>")
+                        tgt.append(f"<extra_id_{k_of[s]}> {tok}")
+                    else:
+                        tgt.append(tok)
+                else:
+                    inp.append(tok)
+            r = rows[doc_id]
+            assert r.n_masked_spans == len(spans)
+            assert r.input_text == " ".join(inp)
+            assert r.target_text == " ".join(tgt)
+        assert some_masked
+
+
+class TestFimTransform:
+    def test_psm_reorder(self, spark):
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.registry import table
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["q287_fim_transform"].build(spark, sf).collect()
+        }
+        texts = {
+            r.doc_id: r.text.strip().split()
+            for r in table(spark, sf, "documents").collect()
+        }
+        for doc_id in list(texts)[:15]:
+            toks = texts[doc_id]
+            n = len(toks)
+            lo, hi = (n * 2) // 5, (n * 3) // 5
+            want = (
+                "<PRE> " + " ".join(toks[:lo])
+                + " <SUF> " + " ".join(toks[hi:])
+                + " <MID> " + " ".join(toks[lo:hi])
+            )
+            assert rows[doc_id].n_tokens == n
+            assert rows[doc_id].fim_text == want
