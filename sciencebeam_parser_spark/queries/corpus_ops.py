@@ -903,3 +903,81 @@ def q287_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             _section("m"),
         ).alias("fim_text"),
     )
+
+
+_BATCH_SIZE = 32
+
+
+@register(
+    "q288_length_bucketed_batches",
+    # dynamic batching: docs sorted by token length, fixed-size batches
+    # cut along the sorted order — per-batch padding waste is the
+    # quantity the layout minimizes (vs random batching, where max-len
+    # outliers pad every batch).
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY n_tokens DESC, doc_id) AS rnk
+        FROM counts
+    )
+    SELECT CAST((rnk - 1) // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM ranked
+    GROUP BY 1
+    """,
+    survey_ref="north-star training-data shaping: length-bucketed "
+               "dynamic batching (padding-waste minimization) — the "
+               "batch-layout twin of q126's sequence packing (packing "
+               "concatenates to a fixed window; bucketing groups "
+               "similar lengths so per-batch padding to the batch max "
+               "is minimal)",
+    doc="Length-bucketed batching: documents rank by token length "
+        "(descending, doc_id tiebreak) and fixed-size-32 batches cut "
+        "along the sorted order; each batch reports its padding waste "
+        "(n_docs x max - sum), the cost function this layout "
+        "minimizes. The rank is a global window over ONE ROW PER "
+        "DOCUMENT (the aggregated length relation — the q233/q280 "
+        "posture: sortable at 10^9 rows, with the q213 histogram "
+        "sketch as the approximate substitute if not).",
+)
+def q288_length_bucketed_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.desc("n_tokens"), "doc_id")
+        ),
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"(rnk - 1) div {_BATCH_SIZE}")
+        )
+        .groupBy(F.col("batch_id").cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count("*") * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )

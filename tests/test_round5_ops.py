@@ -694,3 +694,32 @@ class TestFimTransform:
             )
             assert rows[doc_id].n_tokens == n
             assert rows[doc_id].fim_text == want
+
+
+class TestLengthBucketedBatches:
+    def test_waste_below_random_batching(self, spark):
+        """The sorted layout must beat the doc_id-order (quasi-random)
+        layout on total padding waste — the point of the op."""
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.registry import table
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            REGISTRY["q288_length_bucketed_batches"].build(spark, sf).collect()
+        )
+        sorted_waste = sum(r.padding_waste for r in rows)
+        lens = [
+            len(r.text.strip().split())
+            for r in table(spark, sf, "documents")
+            .orderBy("doc_id")
+            .collect()
+        ]
+        random_waste = 0
+        for i in range(0, len(lens), 32):
+            chunk = lens[i : i + 32]
+            random_waste += len(chunk) * max(chunk) - sum(chunk)
+        assert sorted_waste < random_waste
+        assert sum(r.n_docs for r in rows) == len(lens)
+        # batches are genuinely length-ordered: batch maxima non-increasing
+        maxima = [r.max_tokens for r in sorted(rows, key=lambda r: r.batch_id)]
+        assert maxima == sorted(maxima, reverse=True)
