@@ -723,3 +723,37 @@ class TestLengthBucketedBatches:
         # batches are genuinely length-ordered: batch maxima non-increasing
         maxima = [r.max_tokens for r in sorted(rows, key=lambda r: r.batch_id)]
         assert maxima == sorted(maxima, reverse=True)
+
+
+class TestSpanCorruptionReconstruction:
+    def test_input_plus_target_reconstructs_document(self, spark):
+        """Denoising invariant: replacing each <extra_id_k> in the input
+        with the tokens following that sentinel in the target must
+        reproduce the original document exactly — for EVERY document."""
+        import re
+
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.registry import table
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            REGISTRY["q286_span_corruption"].build(spark, sf).collect()
+        )
+        originals = {
+            r.doc_id: " ".join(r.text.strip().split())
+            for r in table(spark, sf, "documents").collect()
+        }
+        sentinel = re.compile(r"<extra_id_(\d+)>")
+        assert len(rows) == len(originals)
+        for r in rows:
+            spans = {}
+            if r.target_text:
+                parts = sentinel.split(r.target_text)
+                # parts = ['', k1, ' tokens ', k2, ' tokens ', ...]
+                for k, chunk in zip(parts[1::2], parts[2::2]):
+                    spans[k] = chunk.strip()
+            rebuilt = sentinel.sub(
+                lambda m: spans[m.group(1)], r.input_text
+            )
+            rebuilt = " ".join(rebuilt.split())
+            assert rebuilt == originals[r.doc_id], r.doc_id
