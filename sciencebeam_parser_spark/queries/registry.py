@@ -46,8 +46,17 @@ def events_ts_unit(path: str) -> str:
     Driver-side footer sniff (pyarrow) — the generated data has switched
     units between rounds, so the readers below adapt instead of assuming.
     """
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # directory layout (the normal cluster writer output): any part
+        # file carries the footer — all parts share one schema
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:  # pragma: no cover - empty dataset dir
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        path = parts[0]
     t = str(pq.read_schema(path).field("ts").type)
     # e.g. "timestamp[us]" / "timestamp[ns]" / "timestamp[us, tz=UTC]"
     return t.split("[", 1)[1].split(",", 1)[0].rstrip("]")

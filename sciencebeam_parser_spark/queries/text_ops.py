@@ -280,9 +280,16 @@ def q62_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 5 >= (s1.n + s2.n - n_common) * 4
     """,
     survey_ref="north-star dedup (n-gram Jaccard verification); §2B self-join + agg",
-    doc="Exact Jaccard >= 0.8 over word-trigram shingle sets via an inverted "
-        "shingle index (join on shingle), i.e. the verification stage after "
-        "LSH. Finds the planted near-duplicate pairs.",
+    doc="Exact Jaccard >= 0.8 over word-trigram shingle sets via a FULL "
+        "inverted shingle index (join on shingle) — the exhaustive exact "
+        "baseline the approximate families verify against. Measured scale "
+        "posture (BASELINE 'scale smoke'): at 10x data with dense clone "
+        "families this costs ~|true pairs| x |shared shingles| intermediate "
+        "rows regardless of candidate strategy (prefix filtering q211 "
+        "cannot prune genuinely-similar pairs), so the 100 TB path is "
+        "q62's banded LSH: bucket-bounded candidates verified on "
+        "constant-size signatures (~20x cheaper at equal pair yield), with "
+        "exact intersection reserved for the surviving candidates only.",
 )
 def q63_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

@@ -1,0 +1,141 @@
+"""Scale smoke test: FK-consistent 10x replication of sf0.1 (~sf1) into
+a temp directory, then the heaviest registered queries run against it.
+
+Purpose: empirical evidence for the 100 TB posture claims — the plans
+that are supposed to scale (bucketed LSH joins, broadcast dims,
+checkpointed iteration, partition-parallel Python stages) must survive
+a 10x data step without plan collapse, driver OOM, or quadratic
+candidate blowup. Usage:
+
+    python tools/scale_smoke.py [src_sf_dir] [out_dir] [copies] [q...]
+
+Replication keeps every foreign key consistent by offsetting keys per
+copy (copy i adds i * max_key): lineitem->orders->customer chains stay
+joinable, document/embedding ids stay aligned, and text gets a per-copy
+suffix token so near-dup structure is preserved rather than producing
+10 exact clones of the whole corpus (which would make every dedup
+family quadratically denser than any real corpus).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sciencebeam_parser_spark.session import get_spark  # noqa: E402
+from sciencebeam_parser_spark.queries import REGISTRY  # noqa: E402
+from sciencebeam_parser_spark.queries.registry import table  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",
+    "q13_left_semi_join",
+    "q63_dedup_ngram_jaccard",
+    "q62_dedup_minhash_lsh_pairs",
+    "q97_citation_matching",
+    "q110_dedup_clusters",
+    "q88_fulltext_cascade",
+    "q152_training_corpus_pipeline",
+    "q212_kmeans_integer",
+    "q226_pq_codes",
+    "q246_local_supplier_volume",
+    "q280_ccnet_perplexity_buckets",
+    "q286_span_corruption",
+]
+
+
+def replicate(spark, src: str, out: str, copies: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    copy = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c")
+
+    def offset(df, col, span):
+        return df.withColumn(col, F.col(col) + F.col("c") * F.lit(span))
+
+    # dims copy verbatim (they stay broadcast-size at any SF, as in TPC-H)
+    for name in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{src}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{name}.parquet")
+
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    c_span = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    cust.select("*", copy).transform(
+        lambda d: offset(d, "c_custkey", c_span)
+    ).drop("c").write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    o_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    orders.select("*", copy).transform(
+        lambda d: offset(offset(d, "o_orderkey", o_span), "o_custkey", c_span)
+    ).drop("c").write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    li.select("*", copy).transform(
+        lambda d: offset(d, "l_orderkey", o_span)
+    ).drop("c").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    e_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    u_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    ev.select("*", copy).transform(
+        lambda d: offset(offset(d, "event_id", e_span), "user_id", u_span)
+    ).drop("c").write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    d_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    replicated = (
+        docs.select("*", copy)
+        .withColumn("doc_id", F.col("doc_id") + F.col("c") * F.lit(d_span))
+        # distinct per-copy suffix token: copies are near-dups of their
+        # original (high Jaccard), not exact clones — preserves realistic
+        # near-dup density instead of exploding every candidate bucket
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" copytag"), F.col("c")),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("c")
+    )
+    replicated.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb_key = "doc_id" if "doc_id" in emb.columns else emb.columns[0]
+    emb.select("*", copy).transform(
+        lambda d: offset(d, emb_key, d_span)
+    ).drop("c").write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_smoke_sf1"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    names = sys.argv[4:] or DEFAULT_QUERIES
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    replicate(spark, src, out, copies)
+    print(f"replicated x{copies} in {time.time() - t0:.1f}s -> {out}",
+          flush=True)
+    # row-count sanity
+    for t in ("lineitem", "documents", "events"):
+        print(t, table(spark, out, t).count(), flush=True)
+
+    results = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            n = REGISTRY[name].build(spark, out).count()
+            results[name] = {"sec": round(time.time() - t0, 1), "rows": n}
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": str(e)[:200]}
+        print(name, results[name], flush=True)
+    print(json.dumps({"copies": copies, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
