@@ -727,17 +727,35 @@ def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = dt.alias("ta")
-    tb = dt.alias("tb")
+    # verification via per-pair array intersection: candidates join the
+    # one-row-per-doc shingle-array relation twice and n_shared computes
+    # in codegen — no exploded |cands| x |shingles| shuffle + groupBy.
+    # Measured (BASELINE scale smoke, 10x / 11M candidates): exploded
+    # join+agg 127 s vs array_intersect 34 s, identical 248,600 pairs.
+    arrs = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(_shingle_array("text"))).alias(
+            "toks"
+        ),
+    )
     overlap = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("id_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("id_b"))
-            & (F.col("tb.token") == F.col("ta.token")),
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")
+            ),
+            "id_a",
         )
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("ta", "tb")).cast("long"),
+        )
+        .drop("ta", "tb")
     )
     union_size = F.col("size_a") + F.col("size_b") - F.col("n_shared")
     return (
