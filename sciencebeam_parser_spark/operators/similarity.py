@@ -299,7 +299,14 @@ def ivf_topk(
     cluster; a query probes its n_probe nearest clusters and scores exact
     cosine against their members only. The candidate join keys on
     cluster_id — the scale shuffle key; per-cluster sizes bound the
-    quadratic term (the LSH-bucket analog with learned-ish partitions)."""
+    quadratic term (the LSH-bucket analog with learned-ish partitions).
+
+    Parameterization is the scale lever: candidates ~ N * n_probe * N /
+    n_centroids, so n_centroids must grow ~sqrt(N) (FAISS guidance:
+    4-16 x sqrt(N)) to keep per-cluster membership bounded. Measured
+    (BASELINE scale smoke, 20k vectors): n_centroids=8/probe=2 24.9 s
+    vs n_centroids=64/probe=4 13.0 s warm — more centroids is both
+    faster AND higher-recall once N outgrows the default."""
     cents = ivf_centroids(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
