@@ -59,11 +59,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        # directory layout (cluster writer output): stream the dataset
+        # dir itself — the glob filter below would silently match no
+        # leaf files and yield an empty stream
+        stream = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        # single-file testdata layout: the file source wants a
+        # directory, so stream sf_dir filtered down to the one file
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if unit == "ns":
         return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
