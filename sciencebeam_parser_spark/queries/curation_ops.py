@@ -37,6 +37,8 @@ task brief lists as first-class.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -518,6 +520,11 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(docs_path):
+        # directory layout (cluster writer output) — the glob filter
+        # below would silently match no leaf files
+        return spark.readStream.schema(schema).parquet(docs_path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -239,12 +239,21 @@ class DocCorpusStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def _load(self, lo: int, hi: int):
+        import os
+
         import duckdb
 
+        # directory layout: read every part file (global doc_id order
+        # holds across parts, so offset pagination stays correct)
+        path = (
+            os.path.join(self._path, "*.parquet")
+            if os.path.isdir(self._path)
+            else self._path
+        )
         return duckdb.sql(
             "SELECT doc_id, lang, n_chars FROM read_parquet(?) "
             "ORDER BY doc_id LIMIT ? OFFSET ?",
-            params=[self._path, hi - lo, lo],
+            params=[path, hi - lo, lo],
         ).fetchall()
 
     def read(self, start: dict):
