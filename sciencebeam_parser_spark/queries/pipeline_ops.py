@@ -26,7 +26,7 @@ from sciencebeam_parser_spark.plans.training_data import (
 )
 from sciencebeam_parser_spark.queries.docpipe import _TOKENS_CTE, _tokens
 from sciencebeam_parser_spark.queries.registry import register, table
-from sciencebeam_parser_spark.utils import repartition_for_python
+from sciencebeam_parser_spark.utils import checkpoint_big
 from sciencebeam_parser_spark.sinks.jats import tei_with_jats
 from sciencebeam_parser_spark.sinks.tei import entities_to_tei
 
@@ -52,15 +52,17 @@ def _shared_cascade(spark: SparkSession, sf_dir: str):
     hit = _CASCADE_MEMO.get(key)
     if hit is None:
         toks, labels = _mock_labeled_tokens(spark, sf_dir)
-        # repartition BEFORE materializing: the token relation is an
-        # explode of documents, so input-split sizing (pre-explode scan
-        # bytes) leaves it in a handful of partitions — at 100x scale a
-        # single localCheckpoint task then needs >1 GB and dies
-        # (measured in the BASELINE scale smoke). doc_id partitioning
-        # also pre-aligns the cascade's window stages.
-        toks = repartition_for_python(toks, "doc_id").localCheckpoint()
-        labels = repartition_for_python(labels, "doc_id").localCheckpoint()
-        ents = run_fulltext_cascade(toks, labels).localCheckpoint()
+        # checkpoint_big = repartition(doc_id) BEFORE materializing + a
+        # DISK_ONLY store. The token relation is an explode of documents,
+        # so input-split sizing (pre-explode scan bytes) leaves it in a
+        # handful of partitions, and the default MEMORY_AND_DISK level
+        # unrolls deserialized rows in-heap — at 100x scale the
+        # checkpoint stage OOM'd the JVM (measured in the BASELINE scale
+        # smoke). doc_id partitioning also pre-aligns the cascade's
+        # window stages.
+        toks = checkpoint_big(toks, "doc_id")
+        labels = checkpoint_big(labels, "doc_id")
+        ents = checkpoint_big(run_fulltext_cascade(toks, labels))
         hit = (toks, labels, ents)
         # evict ONLY dead sessions' entries: a blanket clear() would also
         # drop this session's other-sf_dir cascades (tests + bench in one

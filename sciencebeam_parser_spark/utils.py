@@ -72,7 +72,37 @@ def repartition_for_python(df, *cols):
     return df.repartition(n, *cols)
 
 
+def checkpoint_big(df, *cols):
+    """Materialize a corpus-sized relation for multi-branch reuse.
+
+    Two differences from a bare ``localCheckpoint()``, both learned at the
+    100x scale smoke:
+
+    - repartition first (by `cols`, defaultParallelism-wide via
+      :func:`repartition_for_python`): explode-derived relations inherit
+      the pre-explode scan's input-split sizing, so a handful of tasks
+      would each materialize a multi-GB partition.
+    - store DISK_ONLY: the default MEMORY_AND_DISK level unrolls
+      deserialized rows in the executor heap before spilling; with every
+      core concurrently pinning a large partition the JVM OOMs
+      (observed: q88 at 100x, GCLocker allocation failures in the
+      checkpoint stage). Disk-serialized blocks stream through a bounded
+      write buffer instead, and downstream reads pay one deserialization
+      pass — amortized when the relation feeds several queries.
+
+    Aggregate-sized relations (vocabularies, centroids, bucket counts)
+    should keep plain ``localCheckpoint()``: they are small and re-read
+    hot, so the in-memory level is right for them.
+    """
+    from pyspark import StorageLevel
+
+    if cols:
+        df = repartition_for_python(df, *cols)
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 __all__ = [
+    "checkpoint_big",
     "executor_singleton",
     "preload",
     "repartition_for_python",
