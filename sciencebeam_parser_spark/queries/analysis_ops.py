@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from sciencebeam_parser_spark.queries.registry import register, table
 from sciencebeam_parser_spark.queries.curation_ops import _WORDPOS_CTE, _bigrams
 from sciencebeam_parser_spark.queries.text_ops import _words
+from sciencebeam_parser_spark.utils import checkpoint_big
 
 
 def _ngram_array(arr, n: int):
@@ -752,11 +753,13 @@ from sciencebeam_parser_spark.queries.text_ops import (  # noqa: E402
 )
 def q249_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    src_sh = (
+    src_sh = checkpoint_big(
+        # read by the sizes aggregate AND both sides of the pair join;
+        # O(corpus shingles) rows, so DISK_ONLY + shingle partitioning
+        # (pre-aligns both sides of the self-join below)
         docs.select("source", F.explode(_shingle_array()).alias("shingle"))
-        .distinct()
-        # read by the sizes aggregate AND both sides of the pair join
-        .localCheckpoint()
+        .distinct(),
+        "shingle",
     )
     sizes = src_sh.groupBy("source").agg(
         F.count("*").cast("long").alias("n")

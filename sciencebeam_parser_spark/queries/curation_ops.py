@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.utils import checkpoint_big
 from sciencebeam_parser_spark.queries.text_ops import (
     _WORDS_SQL,
     _md5_long,
@@ -853,7 +854,9 @@ _DSIR_SQL = "WITH " + _WORDPOS_CTE + """,
         "global sort. Head-word skew is AQE skew-join territory.",
 )
 def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bg = _bigrams(spark, sf_dir).localCheckpoint()  # feeds both LMs + scoring
+    # feeds both LMs + scoring; O(corpus bigrams) rows born in
+    # input-split-sized explode partitions -> repartition + DISK_ONLY
+    bg = checkpoint_big(_bigrams(spark, sf_dir), "doc_id")
     docs = table(spark, sf_dir, "documents")
     lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import events_ts_unit, register, table
+from sciencebeam_parser_spark.utils import checkpoint_big
 
 
 def _finish_memory_sink(spark: SparkSession, name: str) -> DataFrame:
@@ -1097,12 +1098,11 @@ def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q234_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    pairs = (
-        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
-        .distinct()
+    pairs = checkpoint_big(
         # read by both the fan-out and the observed-day dimension:
-        # materialize so the events scan + dedup shuffle runs once
-        .localCheckpoint()
+        # materialize so the events scan + dedup shuffle runs once.
+        # O(distinct day x user) rows at corpus scale -> DISK_ONLY
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
     )
     days = pairs.select("day").distinct()
     fanned = pairs.select(

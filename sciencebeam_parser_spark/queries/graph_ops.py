@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.utils import checkpoint_big
 
 # rank fixed-point scale: 10^12 (85 * 10^12 stays far under int64 max)
 _PR_SCALE = 1_000_000_000_000
@@ -118,10 +119,13 @@ def q177_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("dst") != F.col("src"))
-        # joined every iteration: materialize once instead of re-scanning
-        # the corpus per round
-        .localCheckpoint()
     )
+    # joined every iteration: materialize once instead of re-scanning the
+    # corpus per round. O(docs x k) rows born in input-split-sized
+    # partitions (explode) -> repartition by the per-round join key (src)
+    # + DISK_ONLY; the hash partitioning is reused by every iteration's
+    # contrib join and the outdeg aggregate.
+    edges = checkpoint_big(edges, "src")
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = F.expr(f"(15 * {_PR_SCALE}) div (100 * n)")
     ranks = nodes.select("v", "n", F.expr(f"{_PR_SCALE} div n").alias("r"))
@@ -568,9 +572,10 @@ def q222_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("dst") != F.col("src"))
-        # joined every frontier round: materialize once
-        .localCheckpoint()
     )
+    # joined every frontier round: materialize once. Corpus-scaled explode
+    # output -> repartition by the frontier join key + DISK_ONLY.
+    edges = checkpoint_big(edges, "src")
     reached = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("v"), F.lit(0).cast("long").alias("dist")
     )
@@ -691,14 +696,15 @@ def q229_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst") != F.col("src"))
     )
-    uedges = (
+    # corpus-scaled symmetric edge set read every LPA round: repartition
+    # by the vote-join key (dst) + DISK_ONLY
+    uedges = checkpoint_big(
         edges.unionByName(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct(),
+        "dst",
     )
     labels = docs.select(
         F.col("doc_id").alias("v"), F.col("doc_id").alias("label")

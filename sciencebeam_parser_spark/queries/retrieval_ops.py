@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sciencebeam_parser_spark.queries.registry import register, table
+from sciencebeam_parser_spark.utils import checkpoint_big
 from sciencebeam_parser_spark.queries.text_ops import (
     _md5_long_sql,
     _MINHASH_SH_SQL,
@@ -305,15 +306,15 @@ def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    edges = (
+    # referenced six times (three-way self-join, degree union, edge
+    # count): checkpoint so the scan+distinct runs once, not per branch.
+    # Corpus-scaled edge set -> repartition by a join endpoint + DISK_ONLY.
+    edges = checkpoint_big(
         directed.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        # referenced six times (three-way self-join, degree union, edge
-        # count): checkpoint so the scan+distinct runs once, not per branch
-        .localCheckpoint()
+        ).distinct(),
+        "a",
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -451,13 +452,15 @@ def q206_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the signature relation is referenced on both sides
     # of the band join — without it every reference re-executes the
     # Python kernel over the full corpus (measured 10 plan copies)
-    sig = (
-        ahash_images(media)
-        .select(
+    # one row per media item with the full signature in hand -> corpus-
+    # scaled and wide: repartition (Python-kernel output keeps the binary
+    # scan's split sizing) + DISK_ONLY
+    sig = checkpoint_big(
+        ahash_images(media).select(
             "media_id",
             *[F.col("bands")[j].alias(f"b{j}") for j in range(4)],
-        )
-        .localCheckpoint()
+        ),
+        "media_id",
     )
     # each band row carries the full signature, so ONE equi-join yields
     # candidate pairs with both sides' bits in hand — no second join
@@ -1675,7 +1678,10 @@ def q250_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("q"),
-    ).localCheckpoint()
+    )
+    # corpus-scaled wide rows (quantized embedding array); the centroid
+    # join back is broadcast, so no key alignment needed — DISK_ONLY only
+    lqv = checkpoint_big(lqv)
     cent = _centroid_update(lqv.select("label", "q"), "label")
     scored = lqv.join(F.broadcast(cent), "label").withColumn(
         "dist", _km_sq_dist()
@@ -1758,8 +1764,12 @@ def q254_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
         .select("vec_id", "q", "cid")
-        .localCheckpoint()  # reused: both sides of the pair join + audit
     )
+    # reused: both sides of the pair join + audit. Corpus-scaled wide rows
+    # (q array) -> DISK_ONLY. No repartition: the vec_id window already
+    # leaves well-spread shuffle partitions, and cid is K-cardinality —
+    # repartitioning by it would create K fat partitions.
+    a3 = checkpoint_big(a3)
     lo = a3.select(
         F.col("cid").alias("cid_l"),
         F.col("vec_id").alias("lo_id"),
