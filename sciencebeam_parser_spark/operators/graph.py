@@ -31,6 +31,7 @@ def connected_components(
     src: str = "doc1",
     dst: str = "doc2",
     max_iterations: int = 20,
+    partition_by_neighbor: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edges → (doc_id, component_id) with
     component_id = the smallest doc_id reachable from doc_id.
@@ -45,12 +46,24 @@ def connected_components(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
-        # materialize ONCE: sym joins into every round, and without the
-        # checkpoint each iteration re-executes the edge lineage from
-        # scratch (for LSH pairs that's the whole minhash pipeline per
-        # round — the loop cost was dominated by recomputing its input)
-        .localCheckpoint(eager=True)
     )
+    if partition_by_neighbor:
+        # hash-partition by the per-round join key before materializing:
+        # LogicalRDD preserves the partitioning, so every round's
+        # sym-side shuffle is elided (only the changing labels relation
+        # shuffles). Measured OFF by default: warm A/B at the 10x smoke
+        # (tools/ab_cc_partition.py, 496k-row components over 26.7M LSH
+        # pairs) was a wash — 43.5 s vs 43.7 s min — because each round's
+        # cost is the groupBy(doc_id) on the join OUTPUT (keyed by `a`),
+        # which must shuffle regardless of sym's layout.
+        sym = sym.repartition(
+            sym.sparkSession.sparkContext.defaultParallelism, "b"
+        )
+    # materialize ONCE: sym joins into every round, and without the
+    # checkpoint each iteration re-executes the edge lineage from
+    # scratch (for LSH pairs that's the whole minhash pipeline per
+    # round — the loop cost was dominated by recomputing its input)
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "comp", F.col("doc_id")
     )

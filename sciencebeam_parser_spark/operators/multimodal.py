@@ -400,16 +400,23 @@ def ahash_images(media: DataFrame) -> DataFrame:
     16-bit band values (LSH-ready for hamming-bucketed dedup).
 
     Production kernel would decode pixels and hash the 8x8 downsample
-    (classic aHash); this kernel signs the byte-value histogram instead —
+    (classic aHash); this kernel signs the byte-BIGRAM histogram instead —
     a decoder-free signature with the same contract (near-identical
     payloads → near-identical bits) that runs on any binary column. Bit i
     is the PARITY of histogram bucket i: a k-byte edit flips O(k) bucket
     parities, while unrelated payloads land ~32 bits apart — mean-
     thresholded bits degenerate when payloads share a global distribution
     (every bucket sits on the same side of the mean), parity does not.
-    Integer-exact, so a SQL oracle replays it byte-for-byte. Returned as
-    4x16-bit bands rather than one 64-bit word so band-bucket joins and
-    XOR popcounts never overflow signed arithmetic in any engine.
+    Buckets key on bigrams, not single byte values: text payloads use
+    only ~30 distinct byte values, so half the single-byte buckets were
+    STRUCTURALLY empty — two whole bands constant 0 across the corpus,
+    i.e. two corpus-sized LSH buckets (measured at the 100x smoke: the
+    band self-join tried ~2.5e11 candidate pairs and never finished).
+    Bigram support is dense (~900 pairs over 64 buckets), so every band
+    discriminates. Integer-exact, so a SQL oracle replays it
+    byte-for-byte. Returned as 4x16-bit bands rather than one 64-bit
+    word so band-bucket joins and XOR popcounts never overflow signed
+    arithmetic in any engine.
     """
     import numpy as np
 
@@ -418,7 +425,8 @@ def ahash_images(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 buf = np.frombuffer(content or b"", dtype=np.uint8)
-                hist = np.bincount(buf % 64, minlength=64).astype(np.int64)
+                grams = (buf[:-1].astype(np.int64) * 31 + buf[1:]) % 64
+                hist = np.bincount(grams, minlength=64).astype(np.int64)
                 total = int(buf.size)
                 bits = (hist & 1) == 1
                 bands = []

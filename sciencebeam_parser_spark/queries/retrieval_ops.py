@@ -370,10 +370,13 @@ _AHASH_SIG_SQL = """
         SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, text
         FROM documents
     ),
+    -- byte-BIGRAM buckets (b1*31 + b2) % 64, matching the kernel: ASCII
+    -- payload assumed (ord(char) == byte), one row per adjacent pair
     bytes AS (
         SELECT media_id,
-               ord(substr(text, CAST(i AS INT) + 1, 1)) % 64 AS bkt
-        FROM media, unnest(range(0, len(text))) AS t(i)
+               (ord(substr(text, CAST(i AS INT) + 1, 1)) * 31
+                + ord(substr(text, CAST(i AS INT) + 2, 1))) % 64 AS bkt
+        FROM media, unnest(range(0, len(text) - 1)) AS t(i)
     ),
     -- totals come from media, NOT a bytes aggregate: an empty payload has
     -- no bytes rows but the kernel still signs it (bands [0,0,0,0]), so

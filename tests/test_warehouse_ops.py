@@ -211,10 +211,11 @@ class TestAhash:
             "media_id string, content binary",
         )
         rows = {r.media_id: r for r in ahash_images(media).collect()}
-        # byte 0 appears twice (even -> bit 0 clear), byte 1 once -> bit 1
-        assert rows["a"].bands == [2, 0, 0, 0]
+        # bigrams of [0,0,1]: (0,0)->bucket 0 once, (0,1)->bucket 1 once
+        # -> bits 0 and 1 set
+        assert rows["a"].bands == [3, 0, 0, 0]
         assert rows["a"].bands == rows["b"].bands  # identical payloads
-        assert rows["c"].bands == [32, 0, 0, 0]  # bit 5
+        assert rows["c"].bands == [0, 0, 0, 0]  # single byte: no bigrams
         assert rows["a"].n_bytes == 3
 
     def test_single_byte_edit_flips_few_bits(self, spark):
