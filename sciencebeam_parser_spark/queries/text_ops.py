@@ -712,7 +712,12 @@ def _ann_oracle_sql(n_planes: int = 8) -> str:
     doc="Single-table random-hyperplane LSH top-5: bucket = 8 sign bits of "
         "md5-derived hyperplane projections; candidates join on the bucket "
         "(the shuffle key at scale), scored by exact cosine within bucket. "
-        "operators/similarity.py adds the multi-table variant for recall.",
+        "operators/similarity.py adds the multi-table variant for recall. "
+        "SCALE LEVER (100x smoke): per-bucket cost is quadratic, so "
+        "n_planes must grow ~log2(N / target_bucket_size) — fixed 8-bit "
+        "buckets stalled at 200k vectors (>580 s), 14-16 planes finished "
+        "in ~160-200 s. The registered query keeps 8 so the sf0.01 "
+        "oracle stays meaningful.",
 )
 def q86_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.operators.similarity import add_lsh_bucket
