@@ -56,9 +56,9 @@ def connected_components(
         # pairs) was a wash — 43.5 s vs 43.7 s min — because each round's
         # cost is the groupBy(doc_id) on the join OUTPUT (keyed by `a`),
         # which must shuffle regardless of sym's layout.
-        sym = sym.repartition(
-            sym.sparkSession.sparkContext.defaultParallelism, "b"
-        )
+        from sciencebeam_parser_spark.utils import repartition_for_python
+
+        sym = repartition_for_python(sym, "b")
     # materialize ONCE: sym joins into every round, and without the
     # checkpoint each iteration re-executes the edge lineage from
     # scratch (for LSH pairs that's the whole minhash pipeline per

@@ -359,11 +359,14 @@ def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AHASH_HAMMING_MAX = 4
 
-# byte-histogram aHash restated in SQL: per character position, bucket =
-# ord % 64 (documents.text is ASCII, so bytes == chars); bit i = parity
-# of bucket i's count (calibrated on this corpus: planted near-dups sit
-# at hamming <= 4, random pairs median 13 — mean-threshold bits
-# degenerate to all-pairs when payloads share a global distribution);
+# byte-BIGRAM aHash restated in SQL: one row per adjacent character
+# pair, bucket = (ord(c1)*31 + ord(c2)) % 64 (documents.text is ASCII,
+# so bytes == chars); bit i = parity of bucket i's count. Bigrams, not
+# single bytes: text uses ~30 distinct byte values, so half the
+# single-byte buckets were structurally empty — two whole bands constant
+# 0 = two corpus-sized LSH buckets (the 100x smoke's 2.5e11-pair stall).
+# A k-byte edit flips O(k) parities, so planted near-dups stay under
+# _AHASH_HAMMING_MAX while unrelated payloads scatter ~32 bits apart;
 # four 16-bit bands for overflow-free XOR.
 _AHASH_SIG_SQL = """
     media AS (

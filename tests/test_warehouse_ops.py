@@ -230,7 +230,9 @@ class TestAhash:
         ham = sum(
             bin(a ^ b).count("1") for a, b in zip(rows["x"], rows["y"])
         )
-        assert ham == 2  # parities of buckets 0 and 1 flip
+        # bigram (0,1) -> (1,1): bucket (0*31+1)%64=1 loses a count,
+        # bucket (1*31+1)%64=32 gains one -> parities of 1 and 32 flip
+        assert ham == 2
 
 
 class TestSnapshotDiff:
