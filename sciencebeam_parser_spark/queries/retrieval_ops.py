@@ -2252,3 +2252,101 @@ def q268_embedding_standardize(
             F.max(zi).cast("long").alias("z_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# In-context pretraining: similarity-ordered context packing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q289_incontext_packing",
+    # The q212 integer Lloyd loop assigns every document's embedding to a
+    # cluster; within each cluster docs order by (distance-to-final-
+    # centroid, doc_id) and pack into 512-token windows along that order
+    # (q126's exclusive running sum, partitioned by cluster instead of
+    # source shard). Every quantity is exact int64, so the unrolled
+    # k-means + window restatement is bit-identical.
+    oracle="WITH "
+    + _KM_QV_SQL
+    + ", c0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < "
+    + str(_KM_K)
+    + "),"
+    + _km_assign_sql("c0", "a1")
+    + ","
+    + _km_update_sql("a1", "c1")
+    + ","
+    + _km_assign_sql("c1", "a2")
+    + ","
+    + _km_update_sql("a2", "c2")
+    + f""",
+    scored AS (
+        SELECT a.vec_id, a.cid,
+               list_sum([(a.q[i] - c.c[i]) * (a.q[i] - c.c[i])
+                         FOR i IN range(1, {_KM_DIM + 1})]) AS sq_dist
+        FROM a2 a JOIN c2 c ON c.cid = a.cid
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT s.vec_id AS doc_id, s.cid AS cluster_id,
+               CAST(s.sq_dist AS BIGINT) AS sq_dist, c.n_tokens,
+               COALESCE(sum(c.n_tokens) OVER (
+                   PARTITION BY s.cid ORDER BY s.sq_dist, s.vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS token_start
+        FROM scored s JOIN counts c ON c.doc_id = s.vec_id
+    )
+    SELECT doc_id, cluster_id, sq_dist, n_tokens,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(token_start // 512 AS BIGINT) AS pack_id,
+           CAST(token_start % 512 AS BIGINT) AS pack_offset
+    FROM ordered
+    """,
+    survey_ref="north-star training-data pipeline: in-context pretraining "
+               "layout (Shi et al. 2023) — related documents packed into "
+               "the same context window; composes q212 clustering with "
+               "q126 packing",
+    doc="Similarity-ordered context packing: the q212 integer k-means "
+        "clusters the embedding space; within each cluster documents "
+        "order by exact distance-to-centroid (ties by doc_id) and the "
+        "q126 exclusive-running-sum packer cuts 512-token windows along "
+        "that order, so each pretraining context holds semantically "
+        "related documents instead of random ones. At 100 TB: centroids "
+        "stay broadcast-sized, assignment is one broadcast join, packing "
+        "is one bounded window per cluster — and the cluster count is "
+        "the parallelism lever (scale k ~ corpus/context-budget, the "
+        "same sqrt(N)-family guidance as q93/q86).",
+)
+def q289_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quantize(spark, sf_dir)
+    assign, cent = _km_train(qv, _KM_K, iters=2)
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    scored = (
+        assign.join(F.broadcast(cent), "cid")
+        .withColumn("sq_dist", _km_sq_dist())
+        .select("vec_id", "cid", "sq_dist")
+    )
+    joined = scored.join(
+        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        scored.vec_id == F.col("doc_id"),
+    )
+    w = W.partitionBy("cid").orderBy("sq_dist", "vec_id")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return joined.select(
+        "doc_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("sq_dist").cast("long").alias("sq_dist"),
+        "n_tokens",
+        start.alias("token_start"),
+        F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
+        (start % F.lit(512)).cast("long").alias("pack_offset"),
+    )

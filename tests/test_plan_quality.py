@@ -740,3 +740,14 @@ class TestSpark4SurfacePlans:
         assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
         assert plan.count("ObjectHashAggregate") == 4
         assert plan.count("Exchange hashpartitioning") == 2
+
+
+class TestInContextPacking:
+    def test_broadcast_centroids_no_cartesian_scoring(self, spark):
+        # k-means scoring + doc join stay broadcast (centroids and the
+        # final 4-row centroid table are broadcast-sized at any corpus
+        # scale); packing is windows, never a global sort
+        plan = plan_of(spark, "q289_incontext_packing")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
