@@ -90,6 +90,13 @@ def _mock_labeled_tokens(spark: SparkSession, sf_dir: str):
         # keys are strings); the synthetic table stores int64
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     )
+    return _mock_labels_for(toks)
+
+
+def _mock_labels_for(toks):
+    """Apply the deterministic mock-label rules to ANY token stream with
+    (doc_id string, token_seq 1-based, text) — the documents-table stream
+    (q88) and the pdfalto-sidecar-derived stream (q290) share these."""
     n = F.count("*").over(W.partitionBy("doc_id"))
     # integer-exact region gates: (seq-1)/n < 0.3 and >= 0.7 restated as
     # (seq-1)*10 vs n*3 / n*7 — exact-boundary tokens (docs of 10/20 tokens
@@ -196,13 +203,18 @@ def q87_gazetteer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared cascade-oracle CTEs (through the `typed` entity relation) — used
-# by the q88 flagship oracle AND the q130 TEI structural round-trip
-_CASCADE_TYPED_SQL = _TOKENS_CTE + """,
+# by the q88 flagship oracle AND the q130 TEI structural round-trip.
+# The `base` CTE (doc_id VARCHAR, token_seq 1-based, token, n = tokens
+# per doc) is the pluggable token stream: q88 reads the documents table,
+# q290 reads the pdfalto-sidecar-derived first-20-token stream.
+_CASCADE_BASE_SQL = _TOKENS_CTE + """,
     base AS (
         SELECT CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
                count(*) OVER (PARTITION BY doc_id) AS n
         FROM tokens
-    ),
+    )"""
+
+_CASCADE_RULES_SQL = """,
     seg AS (
         SELECT *, CASE WHEN (token_seq - 1) * 10 < n * 3 THEN 'front'
                        WHEN (token_seq - 1) * 10 >= n * 7 THEN 'back'
@@ -284,17 +296,11 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
     ),
 """
 
+_CASCADE_TYPED_SQL = _CASCADE_BASE_SQL + _CASCADE_RULES_SQL
 
-@register(
-    "q88_fulltext_cascade",
-    # The cascade became fully relational once the stateful folds moved to
-    # their own queries, so the flagship gets a full oracle: mock labels
-    # (doc-fraction regions + shape rules), per-(doc,model) BIO islands,
-    # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
-    # left join (provably empty on this vocabulary — no marker tags arise,
-    # so target_content_id is NULL everywhere, exactly as Spark computes),
-    # and the per-REFERENCE validity gate.
-    oracle="WITH " + _CASCADE_TYPED_SQL + """
+# q88's oracle tail (id assignment, reference validity, final entity
+# relation) — shared verbatim by q290's file-ingest composition
+_CASCADE_FINAL_SQL = """
     with_ids AS (
         SELECT *, CASE WHEN entity_type = 'raw_reference_text'
                  THEN 'b' || CAST(row_number() OVER (
@@ -337,7 +343,19 @@ _CASCADE_TYPED_SQL = _TOKENS_CTE + """,
                 THEN (v.doc_id IS NOT NULL) END AS is_valid_reference
     FROM with_ids e LEFT JOIN valid_refs v
       ON v.doc_id = e.doc_id AND v.token_start = e.token_start
-    """,
+    """
+
+
+@register(
+    "q88_fulltext_cascade",
+    # The cascade became fully relational once the stateful folds moved to
+    # their own queries, so the flagship gets a full oracle: mock labels
+    # (doc-fraction regions + shape rules), per-(doc,model) BIO islands,
+    # tag→entity-type dispatch, 'b<n>' id assignment, the citation-marker
+    # left join (provably empty on this vocabulary — no marker tags arise,
+    # so target_content_id is NULL everywhere, exactly as Spark computes),
+    # and the per-REFERENCE validity gate.
+    oracle="WITH " + _CASCADE_TYPED_SQL + _CASCADE_FINAL_SQL,
     survey_ref="§2A A28 cascade + A14/A15/A16/A17/A18/A19/A20",
     doc="The full mock-label fulltext cascade: segmentation filter → "
         "header/fulltext/citation models → BIO entities → scalar enrichment "
@@ -2344,4 +2362,60 @@ def q266_xml_gazetteer_roundtrip(
     )
     return add_gazetteer_flag(
         probe, gz, text_col="name", flag_col="is_in_gazetteer"
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.2 library API: source files → entities, one composed chain
+# --------------------------------------------------------------------------
+
+_CONVERT_BASE_SQL = _TOKENS_CTE + """,
+    base AS (
+        SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM tokens WHERE token_seq <= 20
+    )"""
+
+
+@register(
+    "q290_convert_pipeline",
+    # the q159 ingest contract (first 20 words per file, ids re-minted as
+    # 'd<id>') feeds the EXACT q88 cascade rules + final entity relation:
+    # the oracle swaps only the `base` token stream, everything downstream
+    # is the shared q88 SQL verbatim.
+    oracle="WITH " + _CONVERT_BASE_SQL + _CASCADE_RULES_SQL
+    + _CASCADE_FINAL_SQL,
+    survey_ref="§3.2 Python library API (app/parser.py:516-543 "
+               "get_local_file_for_response_media_type: lazy_pdf_path → "
+               "lazy_alto_xml_path → parsed layout → semantic document): "
+               "the reference's primary user journey as ONE composed "
+               "Spark chain — A1 binaryFile scan + pdfalto sidecar → A2 "
+               "ALTO parse → mock models → A28 cascade",
+    doc="Source files to semantic entities end-to-end: the q159 ingest "
+        "(REAL binaryFile scan over fixture files, executor-singleton "
+        "pdfalto sidecar, ALTO parse) feeds the q88 cascade (mock "
+        "labels → BIO → dispatch → ids → validity) in one DAG — the "
+        "reference's `session.get_source(path).get_local_file_for_"
+        "response_media_type(TEI_XML)` chain, corpus-wide. The TEI/JATS "
+        "attachment is q90's sink over this same entity relation. At "
+        "100 TB: ingest is an embarrassingly parallel scan + narrow "
+        "Python stages; the cascade shuffles once per window family on "
+        "doc_id.",
+)
+def q290_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.docpipe import (
+        q159_pdf_alto_sidecar,
+    )
+
+    parsed = q159_pdf_alto_sidecar(spark, sf_dir)
+    toks = parsed.select(
+        "doc_id",
+        (F.col("token_seq") + 1).cast("long").alias("token_seq"),
+        "text",
+    )
+    toks, labels = _mock_labels_for(toks)
+    ents = run_fulltext_cascade(toks, labels)
+    return ents.select(
+        "doc_id", "model_name", "entity_group", "entity_type", "region",
+        "n_tokens", "content_id", "target_content_id", "is_valid_reference",
     )
