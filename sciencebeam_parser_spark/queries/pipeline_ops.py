@@ -2414,6 +2414,12 @@ def q290_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     toks, labels = _mock_labels_for(toks)
+    # the cascade references its inputs from many branches; without a
+    # checkpoint every branch re-runs the WHOLE ingest (file scan +
+    # sidecar + ALTO parse — measured ~20 plan copies at 10x). Same
+    # discipline as _shared_cascade: repartition(doc_id) + DISK_ONLY.
+    toks = checkpoint_big(toks, "doc_id")
+    labels = checkpoint_big(labels, "doc_id")
     ents = run_fulltext_cascade(toks, labels)
     return ents.select(
         "doc_id", "model_name", "entity_group", "entity_type", "region",
