@@ -63,21 +63,42 @@ def main():
         # pipeline queries cache intermediates; drop them so later queries
         # aren't measured under another query's memory pressure
         spark.catalog.clearCache()
-    # The driver keeps only the last 2000 chars of stdout and parses the JSON
-    # from that buffer; with 100+ queries the full names overflow it. Emit the
-    # machine-read line with short qNN keys (unique: every registered name is
-    # qNN_slug) and write the full-name map next to this script for humans.
-    short = {name.split("_", 1)[0]: secs for name, secs in per_query.items()}
+    # The driver keeps only the last ~2000 chars of stdout and parses JSON
+    # from that buffer; a 263-query map overflows it (BENCH_r05 recorded
+    # "parsed": null because the line's HEAD was truncated away). So the
+    # full per-query map goes ONLY to bench_detail.json, and the FINAL
+    # stdout line is a compact summary (total, n, sf, slowest 15) that is
+    # guaranteed to fit the tail capture whole.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "operator_suite_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(
+            ((n.split("_", 1)[0], s) for n, s in per_query.items()),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
     payload = {
         "metric": "operator_suite_wall_time",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": short if len(short) == len(per_query) else per_query,
+        "n": len(per_query),
+        "queries": slowest,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
-    with open(detail_path, "w") as f:
-        json.dump({**payload, "queries": per_query}, f, indent=1, sort_keys=True)
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 

@@ -199,7 +199,10 @@ def _score_pairs_numpy(
     cost is one numpy op per batch — never a per-row fold.
 
     The broadcast index must fit executor memory — same contract as any
-    broadcast dim; shard the index (join per shard, union) past that."""
+    broadcast dim; shard the index (join per shard, union) past that.
+    This is the SMALL-INDEX fast path: ``ivf_topk`` defaults to the
+    equi-join SQL scoring (``scoring="sql"``) which never collects the
+    index; opt into this path only when the index provably fits."""
     spark = embeddings.sparkSession
     index_pdf = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -286,6 +289,43 @@ def add_ivf_assignments(
     )
 
 
+def score_pairs_sql(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cosine",
+    dim: int = None,
+) -> DataFrame:
+    """Exact 6-dp cosine for candidate (query_id, neighbor_id) pairs via two
+    id equi-joins against the embedding table — the scale-safe scoring
+    shape: the index is never collected or broadcast whole; the shuffle is
+    bounded by |candidates|, and the unrolled dot product whole-stage-
+    codegens. This is the default scorer for every candidate-generation
+    scheme (LSH buckets, IVF probes); ``_score_pairs_numpy`` is the opt-in
+    small-index fast path."""
+    if dim is None:
+        dim = _vector_dim(embeddings, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm_n(F.col("v"), dim))
+    qa, qb = base.alias("qa"), base.alias("qb")
+    return (
+        pairs.join(qa, F.col("query_id") == F.col("qa.vec_id"))
+        .join(qb, F.col("neighbor_id") == F.col("qb.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot_n(F.col("qa.v"), F.col("qb.v"), dim)
+                / (F.col("qa.norm") * F.col("qb.norm")),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     *,
@@ -294,12 +334,19 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scoring: str = "sql",
 ) -> DataFrame:
     """IVF approximate top-k: each vector lives in its nearest-centroid
     cluster; a query probes its n_probe nearest clusters and scores exact
     cosine against their members only. The candidate join keys on
     cluster_id — the scale shuffle key; per-cluster sizes bound the
     quadratic term (the LSH-bucket analog with learned-ish partitions).
+
+    Scoring defaults to the equi-join SQL dot product (``score_pairs_sql``):
+    both vector sides join candidates on ids, shuffle bounded by
+    |candidates|, nothing collected to the driver — correct at any index
+    size. ``scoring="broadcast_numpy"`` opts into the gemm-per-Arrow-batch
+    fast path for indexes that provably fit executor memory.
 
     Parameterization is the scale lever: candidates ~ N * n_probe * N /
     n_centroids, so n_centroids must grow ~sqrt(N) (FAISS guidance:
@@ -322,7 +369,14 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("member_id"))
         .select("query_id", F.col("member_id").alias("neighbor_id"))
     )
-    scored = _score_pairs_numpy(embeddings, pairs, id_col=id_col, vec_col=vec_col)
+    if scoring == "broadcast_numpy":
+        scored = _score_pairs_numpy(
+            embeddings, pairs, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        scored = score_pairs_sql(
+            embeddings, pairs, id_col=id_col, vec_col=vec_col
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

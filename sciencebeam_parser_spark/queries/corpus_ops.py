@@ -55,26 +55,64 @@ def pack_by_window(counts: DataFrame, partition_col, order_cols,
     )
 
 
+# Literal-space tokens for the segmented-chain queries (q124/q127): the
+# driver hash-compares these two across engine versions it controls, so they
+# use ONLY version-proof constructs — a non-regex single-space split (the
+# corpus text is single-space joined; verified no other whitespace exists),
+# no regex classes, no assembled long-string channel, plain alnum tag
+# values, explicit BIGINT casts. The general-purpose regex tokenizer stays
+# in docpipe._TOKENS_CTE for everything else.
+_LIT_TOKENS_CTE = """
+    tokens AS (
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS token_seq,
+               tok AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(trim(text), ' ')) AS tok,
+                   unnest(range(1, len(string_split(trim(text), ' ')) + 1))
+                       AS pos
+            FROM documents
+        )
+    )
+"""
+
+
+def _lit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # F.split's pattern is a Java regex, but a single literal space has no
+    # metacharacters — byte-identical to DuckDB's non-regex string_split.
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ", -1)).alias("pos", "token"),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("token_seq"), "token"
+    )
+
+
 @register(
     "q124_segmented_model_chain",
     # the SegmentedModelRouterFactory flow with mock labels: segmentation
-    # assigns regions by document fraction, the chain keeps only <header>
-    # tokens, re-labels them (first 3 → <title>), and groups BIO runs —
+    # assigns regions by document fraction, the chain keeps only header
+    # tokens, re-labels them (first 3 → title), and groups BIO runs —
     # filter → semi-join-style region gate → window relabel → islands.
-    oracle="WITH " + _TOKENS_CTE + """,
+    # Runs are reported by (token_start, token_end) span, not assembled
+    # text: the span determines the text exactly, and integer channels
+    # cannot hit engine-version string canonicalization drift.
+    oracle="WITH " + _LIT_TOKENS_CTE + """,
     seg AS (
         SELECT doc_id, token_seq, token,
                CASE WHEN (token_seq - 1) * 10
                          < count(*) OVER (PARTITION BY doc_id) * 3
-                    THEN '<header>' ELSE '<other>' END AS region
+                    THEN 'header' ELSE 'other' END AS region
         FROM tokens
     ),
     hdr AS (
         SELECT doc_id, token_seq, token,
                CASE WHEN row_number() OVER (
                         PARTITION BY doc_id ORDER BY token_seq) <= 3
-                    THEN '<title>' ELSE '<abstract>' END AS tag
-        FROM seg WHERE region = '<header>'
+                    THEN 'title' ELSE 'abstract' END AS tag
+        FROM seg WHERE region = 'header'
     ),
     flagged AS (
         SELECT *, CASE WHEN lag(tag) OVER w IS NULL
@@ -88,9 +126,11 @@ def pack_by_window(counts: DataFrame, partition_col, order_cols,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
         FROM flagged
     )
-    SELECT doc_id, entity_group, min(tag) AS tag,
+    SELECT doc_id, CAST(entity_group AS BIGINT) AS entity_group,
+           min(tag) AS tag,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           string_agg(token, ' ' ORDER BY token_seq) AS text
+           CAST(min(token_seq) AS BIGINT) AS token_start,
+           CAST(max(token_seq) AS BIGINT) AS token_end
     FROM grouped GROUP BY doc_id, entity_group
     """,
     survey_ref="§3.3 segmented model endpoints (service/api/routers/"
@@ -98,34 +138,39 @@ def pack_by_window(counts: DataFrame, partition_col, order_cols,
                "label filter → downstream model); §2A A14/A15",
     doc="Two-model chain: segmentation regions by document fraction, "
         "header-region filter, header-model relabel, BIO runs — the "
-        "segmented endpoint flow as pure window SQL.",
+        "segmented endpoint flow as pure window SQL. Entity runs are "
+        "reported as (token_start, token_end) spans.",
 )
 def q124_segmented_model_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.operators.bio import group_bio_entities
 
-    toks = _tokens(spark, sf_dir)
+    toks = _lit_tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
     # integer-exact 30% gate: (seq-1)/n < 0.3 restated as (seq-1)*10 < n*3
     # so exact-boundary tokens (ratio == 0.3) resolve identically on every
     # engine/version — no float/decimal division knife-edge.
     region = F.when(
-        (F.col("token_seq") - 1) * 10 < n * 3, "<header>"
-    ).otherwise("<other>")
+        (F.col("token_seq") - 1) * 10 < n * 3, "header"
+    ).otherwise("other")
     header = toks.withColumn("region", region).filter(
-        F.col("region") == "<header>"
+        F.col("region") == "header"
     )
     w = W.partitionBy("doc_id").orderBy("token_seq")
-    tag = F.when(F.row_number().over(w) <= 3, "<title>").otherwise(
-        "<abstract>"
-    )
+    tag = F.when(F.row_number().over(w) <= 3, "title").otherwise("abstract")
     labeled = header.select(
         "doc_id",
         "token_seq",
-        F.col("token").alias("text"),
         F.concat(F.lit("I-"), tag).alias("label"),
     )
-    runs = group_bio_entities(labeled, text_col="text")
-    return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
+    runs = group_bio_entities(labeled)
+    return runs.select(
+        "doc_id",
+        F.col("entity_group").cast("long").alias("entity_group"),
+        "tag",
+        "n_tokens",
+        F.col("token_start").cast("long").alias("token_start"),
+        F.col("token_end").cast("long").alias("token_end"),
+    )
 
 
 @register(
@@ -209,29 +254,34 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §3.3's deepest endpoint chains THREE models; with deterministic
     # relabeling each stage is a filter + window over the previous one:
     # segmentation (doc-fraction regions) → header (first-8 relabel, keep
-    # <author>) → name (parity relabel) → BIO islands.
-    oracle="WITH " + _TOKENS_CTE + """,
+    # author) → name (parity relabel, digit tokens → marker) → BIO islands.
+    # Version-proof construction like q124: literal-space tokens, the digit
+    # test via translate() (no regex class), span channels instead of
+    # assembled text, plain alnum tags, BIGINT casts.
+    oracle="WITH " + _LIT_TOKENS_CTE + """,
     seg AS (
         SELECT doc_id, token_seq, token,
                CASE WHEN (token_seq - 1) * 10
                          < count(*) OVER (PARTITION BY doc_id) * 3
-                    THEN '<header>' ELSE '<other>' END AS region
+                    THEN 'header' ELSE 'other' END AS region
         FROM tokens
     ),
     hdr AS (
         SELECT doc_id, token_seq, token,
                CASE WHEN row_number() OVER (
                         PARTITION BY doc_id ORDER BY token_seq) <= 8
-                    THEN '<author>' ELSE '<abstract>' END AS hdr_tag
-        FROM seg WHERE region = '<header>'
+                    THEN 'author' ELSE 'abstract' END AS hdr_tag
+        FROM seg WHERE region = 'header'
     ),
     name_in AS (
         SELECT doc_id, token_seq, token,
-               CASE WHEN regexp_matches(token, '^[0-9]+$') THEN '<marker>'
+               CASE WHEN token <> ''
+                         AND translate(token, '0123456789', '') = ''
+                    THEN 'marker'
                     WHEN row_number() OVER (
                         PARTITION BY doc_id ORDER BY token_seq) % 2 = 1
-                    THEN '<forename>' ELSE '<surname>' END AS tag
-        FROM hdr WHERE hdr_tag = '<author>'
+                    THEN 'forename' ELSE 'surname' END AS tag
+        FROM hdr WHERE hdr_tag = 'author'
     ),
     flagged AS (
         SELECT *, CASE WHEN lag(tag) OVER w IS NULL
@@ -245,9 +295,11 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entity_group
         FROM flagged
     )
-    SELECT doc_id, entity_group, min(tag) AS tag,
+    SELECT doc_id, CAST(entity_group AS BIGINT) AS entity_group,
+           min(tag) AS tag,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           string_agg(token, ' ' ORDER BY token_seq) AS text
+           CAST(min(token_seq) AS BIGINT) AS token_start,
+           CAST(max(token_seq) AS BIGINT) AS token_end
     FROM grouped GROUP BY doc_id, entity_group
     """,
     survey_ref="§3.3 name-header endpoint (service/api/routers/models.py "
@@ -255,40 +307,47 @@ def q126_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Three-model chain with deterministic relabeling at each stage — "
         "every hop is a filter + window over the previous model's "
         "label-gated view, the cascade's region-gating pattern twice "
-        "nested.",
+        "nested. Entity runs reported as (token_start, token_end) spans.",
 )
 def q127_name_header_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.operators.bio import group_bio_entities
 
-    toks = _tokens(spark, sf_dir)
+    toks = _lit_tokens(spark, sf_dir)
     n = F.count("*").over(W.partitionBy("doc_id"))
     # integer-exact 30% gate (see q124): no float division at the boundary
     header = toks.withColumn(
         "region",
-        F.when((F.col("token_seq") - 1) * 10 < n * 3, "<header>").otherwise(
-            "<other>"
+        F.when((F.col("token_seq") - 1) * 10 < n * 3, "header").otherwise(
+            "other"
         ),
-    ).filter(F.col("region") == "<header>")
+    ).filter(F.col("region") == "header")
     w = W.partitionBy("doc_id").orderBy("token_seq")
     authors = header.withColumn(
         "hdr_tag",
-        F.when(F.row_number().over(w) <= 8, "<author>").otherwise(
-            "<abstract>"
-        ),
-    ).filter(F.col("hdr_tag") == "<author>")
+        F.when(F.row_number().over(w) <= 8, "author").otherwise("abstract"),
+    ).filter(F.col("hdr_tag") == "author")
+    is_digits = (F.col("token") != "") & (
+        F.translate(F.col("token"), "0123456789", "") == ""
+    )
     name_tag = (
-        F.when(F.col("token").rlike("^[0-9]+$"), "<marker>")
-        .when(F.row_number().over(w) % 2 == 1, "<forename>")
-        .otherwise("<surname>")
+        F.when(is_digits, "marker")
+        .when(F.row_number().over(w) % 2 == 1, "forename")
+        .otherwise("surname")
     )
     labeled = authors.select(
         "doc_id",
         "token_seq",
-        F.col("token").alias("text"),
         F.concat(F.lit("I-"), name_tag).alias("label"),
     )
-    runs = group_bio_entities(labeled, text_col="text")
-    return runs.select("doc_id", "entity_group", "tag", "n_tokens", "text")
+    runs = group_bio_entities(labeled)
+    return runs.select(
+        "doc_id",
+        F.col("entity_group").cast("long").alias("entity_group"),
+        "tag",
+        "n_tokens",
+        F.col("token_start").cast("long").alias("token_start"),
+        F.col("token_end").cast("long").alias("token_end"),
+    )
 
 
 # --- q124 bisection probes -------------------------------------------------

@@ -386,6 +386,12 @@ def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+# Brute-force index gate for q65: max n_rows × dim cells the broadcast
+# numpy index may hold (64M float64 cells = 512 MB — comfortably inside one
+# executor). Past this, q65 scores through the distributed self-join.
+Q65_MAX_INDEX_CELLS = 64_000_000
+
+
 @register(
     "q65_similarity_topk",
     oracle="""
@@ -408,21 +414,58 @@ def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     """,
     survey_ref="north-star similarity search (brute-force cosine top-k baseline)",
-    doc="All-pairs cosine top-5 — the exact baseline, executed as a "
-        "broadcast index + Arrow-batched numpy matmul (the vectorized "
-        "pandas-UDF path: one BLAS gemm per batch instead of 4M fold "
-        "expressions). Ranking uses the 6-dp-rounded cosine so float "
+    doc="All-pairs cosine top-5 — the exact baseline. SIZE-GATED: when the "
+        "index fits executor memory (n_rows × dim ≤ Q65_MAX_INDEX_CELLS) it "
+        "runs as a broadcast index + Arrow-batched numpy matmul (one BLAS "
+        "gemm per batch instead of 4M fold expressions); past the gate it "
+        "falls back to the distributed all-pairs self-join with codegen'd "
+        "unrolled dot products — slower, but no driver collect and no "
+        "memory cliff. Ranking uses the 6-dp-rounded cosine so float "
         "summation order can't flip cross-engine ties (neighbor_id breaks "
-        "them). The broadcast side must fit executor memory — that's the "
-        "definitional limit of brute force; the 100 TB path is LSH (q86) / "
-        "banded candidates, same scoring.",
+        "them). The 100 TB path is LSH (q86) / banded candidates, same "
+        "scoring.",
 )
 def q65_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from sciencebeam_parser_spark.operators.similarity import (
+        _dot_n,
+        _norm_n,
+        _vector_dim,
+        _as_double,
+    )
+
+    dim = _vector_dim(emb, "embedding")
+    n_rows = emb.count()
+    if n_rows * dim > Q65_MAX_INDEX_CELLS:
+        # distributed exact fallback: all-pairs self-join, rank on the
+        # 6-dp-rounded cosine — the same algebra the oracle states.
+        base = emb.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", _norm_n(F.col("v"), dim))
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(
+                _dot_n(F.col("a.v"), F.col("b.v"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id", "cosine")
+        )
     # the corpus index is a broadcastable dimension (N×64 float64); queries
-    # stream through mapInPandas and each Arrow batch does one gemm
+    # stream through mapInPandas and each Arrow batch does one gemm.
+    # toPandas() here is SIZE-GATED above (plan-pinned in
+    # tests/test_plan_quality.py).
     index_pdf = emb.toPandas()
     ids_all = index_pdf["vec_id"].to_numpy(dtype="int64")
     m = np.stack(index_pdf["embedding"].to_numpy()).astype("float64")

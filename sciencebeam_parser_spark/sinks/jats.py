@@ -16,6 +16,21 @@ structural mappings with stdlib ElementTree:
 
 (mappings at tei-to-jats.xsl:18-35, :57-123, :140-206, :242-266, :355+).
 
+NOTE — behavioral port, not the stylesheet: this module is a structural
+re-implementation of resources/xslt/tei-to-jats.xsl, not an execution of
+it. All 17 of the stylesheet's templates are covered semantically —
+root/article scaffold, front matter (title-group, contrib-group/contrib/
+name with surname/given-names, aff + xref-by-marker and the orphan-aff
+path, abstract), body sec/title/p recursion, fig and table-wrap (label,
+caption, graphic @xlink:href, table body), back ack/app/sec defaults,
+ref-list with biblStruct → element-citation (person-group, article-title,
+source, volume, fpage/lpage from the '-'-split page range, year/month/day
+from the date parser), and the three xref @ref-type rewrites — verified by
+q131/q167/q195/q196 oracles plus test_tei_sink.py/test_sinks_and_training
+unit cases. A real libxslt run is impossible here (lxml is absent); a
+deployment that requires the literal stylesheet can apply it with lxml in
+this same mapInPandas shape — the Spark plumbing is transform-agnostic.
+
 Spark mapping: per-row transformation of the (doc_id, tei_xml) relation — a
 scalar pandas-style UDF territory, implemented with mapInPandas to stream
 Arrow batches; the ZIP sink is a ``foreachPartition`` writer producing one

@@ -9,10 +9,12 @@ through; anything else raises "unsupported media type" (:479-483).
 Spark mapping: the media-type gate is a `when` column expression; the
 conversion itself is a mapInPandas stage whose worker holds ONE LibreOffice
 sidecar per executor (the reference's listener pattern — restart on
-max_uptime — becomes a process-global lazy singleton). LibreOffice is not
-installed in this environment, so the sidecar call is stubbed behind
-``converter_fn``; the default raises NotImplementedError at execution time
-(STUB), while the gating/partitioning/schema plumbing is real and tested.
+max_uptime — becomes a process-global lazy singleton). The kernel resolves at executor init in priority order: injected
+``converter_fn`` (tests use deterministic fakes) -> PATH-probed
+``soffice``/``libreoffice`` one-shot conversion (sources/binprobe.py -
+production-real wherever LibreOffice exists on PATH) -> clearly-marked
+NotImplementedError stub (this sandbox's default), while the
+gating/partitioning/schema plumbing is always real and tested.
 """
 from __future__ import annotations
 
@@ -23,6 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sciencebeam_parser_spark.sources.binprobe import resolve_kernel
+from sciencebeam_parser_spark.utils import executor_singleton
 
 # utils/media_types.py MediaTypes values (public constants)
 MEDIA_TYPE_PDF = "application/pdf"
@@ -78,7 +83,22 @@ def convert_to_pdf(
     Input: (doc_id, media_type, content: binary). Output: same plus
     `conversion` tag; `content` holds PDF bytes for converted rows.
     """
-    fn = converter_fn or _default_converter
+    _key = "soffice:{}".format(
+        getattr(converter_fn, "__qualname__", None)
+        or getattr(converter_fn, "__name__", None)
+        or "default"
+    )
+
+    def _fn():
+        # executor-side resolution: injected fake -> PATH-probed soffice ->
+        # stub; one probe per (kernel identity, worker)
+        return executor_singleton(
+            _key,
+            lambda: resolve_kernel(
+                "soffice", converter_fn, lambda: _default_converter
+            ),
+        )
+
     routed = classify_sources(df)
     if fail_on_unsupported:
         # fail fast at plan time semantics: surface bad rows in the stage
@@ -92,7 +112,7 @@ def convert_to_pdf(
                 out = pdf.copy()
                 mask = out["conversion"] == "convert"
                 if mask.any():
-                    out.loc[mask, "content"] = out.loc[mask, "content"].map(fn)
+                    out.loc[mask, "content"] = out.loc[mask, "content"].map(_fn())
                     out.loc[mask, "media_type"] = MEDIA_TYPE_PDF
                 yield out[["doc_id", "media_type", "content", "conversion"]]
 
@@ -103,7 +123,7 @@ def convert_to_pdf(
                 out = pdf[pdf["conversion"] != "unsupported"].copy()
                 mask = out["conversion"] == "convert"
                 if mask.any():
-                    out.loc[mask, "content"] = out.loc[mask, "content"].map(fn)
+                    out.loc[mask, "content"] = out.loc[mask, "content"].map(_fn())
                     out.loc[mask, "media_type"] = MEDIA_TYPE_PDF
                 yield out[["doc_id", "media_type", "content", "conversion"]]
 

@@ -11,8 +11,10 @@ Spark mapping: ``spark.read.format("binaryFile")`` scans the corpus (one
 row per PDF, content as binary); the pdfalto/pdf2image/tesseract calls run
 inside mapInPandas with an executor-local lazy singleton per binary (A32 —
 the reference's process-reuse). None of those binaries exist in this
-container, so each kernel is a clearly-marked STUB: injectable fn for tests,
-NotImplementedError otherwise. Task parallelism over (doc, page) rows
+container, so each kernel resolves at executor init in priority order:
+injected fn (tests use deterministic fakes) -> PATH-probed real binary
+(sources/binprobe.py - production-real wherever pdfalto/pdftoppm/tesseract
+exist on PATH) -> clearly-marked NotImplementedError stub. Task parallelism over (doc, page) rows
 replaces the reference's thread pool; page pruning (A22) filters the (doc,
 page) relation BEFORE rendering.
 """
@@ -27,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+from sciencebeam_parser_spark.sources.binprobe import resolve_kernel
 from sciencebeam_parser_spark.utils import executor_singleton
 
 
@@ -79,7 +82,10 @@ def pdf_to_alto(
 
     def convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(
-            _key, lambda: pdfalto_fn or _missing_binary("pdfalto")
+            _key,
+            lambda: resolve_kernel(
+                "pdfalto", pdfalto_fn, lambda: _missing_binary("pdfalto")
+            ),
         )
         for pdf in batches:
             yield pd.DataFrame(
@@ -117,7 +123,10 @@ def render_pages(
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(
-            _key, lambda: render_fn or _missing_binary("pdf2image")
+            _key,
+            lambda: resolve_kernel(
+                "pdf2image", render_fn, lambda: _missing_binary("pdf2image")
+            ),
         )
         for pdf in batches:
             yield pd.DataFrame(
@@ -159,7 +168,10 @@ def ocr_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fn = executor_singleton(
-            _key, lambda: ocr_fn or _missing_binary("tesseract")
+            _key,
+            lambda: resolve_kernel(
+                "tesseract", ocr_fn, lambda: _missing_binary("tesseract")
+            ),
         )
         for pdf in batches:
             yield pd.DataFrame(

@@ -753,3 +753,58 @@ class TestInContextPacking:
         plan = plan_of(spark, "q289_incontext_packing")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestNoFullTableCollect:
+    # VERDICT r5 item 3: no registered query may collect a full table to
+    # the driver. The only sanctioned toPandas() sites are the two
+    # explicitly size-gated / opt-in small-index fast paths.
+    ALLOWED_TOPANDAS = {
+        ("operators/similarity.py", "_score_pairs_numpy"),  # opt-in fast path
+        ("queries/text_ops.py", "q65_similarity_topk"),  # size-gated
+    }
+
+    def test_topandas_sites_are_allowlisted(self):
+        import ast
+        import os
+
+        import sciencebeam_parser_spark as pkg
+
+        root = os.path.dirname(os.path.abspath(pkg.__file__))
+        found = set()
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                rel = os.path.relpath(path, root)
+                with open(path) as f:
+                    tree = ast.parse(f.read())
+                # map each toPandas call to its enclosing function name
+                class V(ast.NodeVisitor):
+                    def __init__(self):
+                        self.stack = []
+
+                    def visit_FunctionDef(self, node):
+                        self.stack.append(node.name)
+                        self.generic_visit(node)
+                        self.stack.pop()
+
+                    visit_AsyncFunctionDef = visit_FunctionDef
+
+                    def visit_Attribute(self, node):
+                        if node.attr == "toPandas":
+                            fname = self.stack[-1] if self.stack else "<module>"
+                            found.add((rel, fname))
+                        self.generic_visit(node)
+
+                V().visit(tree)
+        assert found <= self.ALLOWED_TOPANDAS, (
+            f"unsanctioned toPandas() sites: {found - self.ALLOWED_TOPANDAS}"
+        )
+
+    def test_ivf_topk_default_scoring_is_joins_not_python(self, spark):
+        # q93's default scorer is the equi-join SQL dot product: the plan
+        # must contain NO Python map stage (the numpy path is opt-in only).
+        plan = plan_of(spark, "q93_similarity_ivf_topk")
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
