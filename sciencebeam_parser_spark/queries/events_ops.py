@@ -679,13 +679,23 @@ def q137_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2B window partition-wide agg + conditional expr; "
                "engine-general event analytics (ordered conversion funnel)",
     doc="Ordered conversion funnel view -> click -> purchase: each stage's "
-        "first timestamp must be at-or-after the previous stage's. Three "
-        "partition-wide windows over the SAME user_id key — Catalyst plans "
-        "one Exchange and reuses it for all three Window nodes and the "
-        "final dedup, so the whole funnel is a single shuffle.",
+        "first timestamp must be at-or-after the previous stage's, stated "
+        "as chained hash aggregations (map-side partial combine) + "
+        "per-user equi-joins. A/B vs the single-Exchange window form at "
+        "100x (BASELINE §13): agg wins ~2x uniform and ~4x under a "
+        "5M-row hot-user skew, because a hot key's min() folds in every "
+        "input partition BEFORE the shuffle instead of sorting on one "
+        "core — so the aggregation form is the default.",
 )
 def q138_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    return funnel_via_aggregation(table(spark, sf_dir, "events"))
+
+
+def funnel_via_windows(ev: DataFrame) -> DataFrame:
+    """The window formulation of q138 (three partition-wide windows over
+    user_id, one Exchange): kept as the A/B counterpart and equivalence
+    regression target — loses to the aggregation form at 100x both
+    uniform (~2x) and hot-key-skewed (~4x), BASELINE §13."""
     w = W.partitionBy("user_id")
     t = F.col("event_type")
     staged = (
@@ -723,6 +733,61 @@ def q138_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("first_purchase").isNotNull().cast("int")
             ).cast("int"),
         )
+    )
+
+
+def funnel_via_aggregation(ev: DataFrame) -> DataFrame:
+    """Skew-proof funnel variant: the three partition-wide windows restated
+    as hash AGGREGATIONS (map-side partial combine = the salted partial +
+    merge, with salt ≡ input partition) chained by per-user equi-joins
+    (one row per user on the built side; AQE splits any hot fact key).
+    A 1000×-skew hot user never sorts on one core: its min() folds in
+    every input partition before the shuffle.
+
+    Same result contract as q138 (user_id, first_view, first_click,
+    first_purchase, stage). A/B vs the window form recorded in BASELINE.md
+    §13; the window form stays the q138 default (wins below ~core-sized
+    hot partitions), this is the documented escape hatch — regression-
+    equivalence-tested in test_round5_ops.py.
+    """
+    t = F.col("event_type")
+    v = (
+        ev.filter(t == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(t == "click")
+        .select("user_id", "ts")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    vc = v.join(c, "user_id", "left")
+    p = (
+        ev.filter(t == "purchase")
+        .select("user_id", "ts")
+        .join(
+            vc.filter(F.col("first_click").isNotNull()).select(
+                "user_id", "first_click"
+            ),
+            "user_id",
+        )
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return vc.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        (
+            F.lit(1)
+            + F.col("first_click").isNotNull().cast("int")
+            + F.col("first_purchase").isNotNull().cast("int")
+        ).cast("int").alias("stage"),
     )
 
 
@@ -1049,6 +1114,56 @@ def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         # |types|^2 rows, read by both the result and the totals branch:
         # materialize so the corpus lag window runs once, not twice
+        .localCheckpoint()
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p"),
+    )
+
+
+def transitions_via_salted_windows(ev: DataFrame) -> DataFrame:
+    """Skew-proof q232 variant: the per-user lag window RANGE-SALTED by
+    hour bucket. Within (user_id, hour) the lag runs as before (sorts are
+    per-bucket, so a hot user parallelizes across its hours); the one
+    transition that straddles each bucket boundary is stitched from a
+    per-bucket boundary relation built with map-side-combinable
+    min_by/max_by aggregates (≤ |hours| rows per user — the stitch window
+    is trivially small). Same output contract as q232.
+
+    A/B at 100x (BASELINE §13): the plain window absorbs a 5M-row hot key
+    at this scale, so q232 keeps the single-window form as default; this
+    is the measured escape hatch for when one user's rows outgrow a core.
+    """
+    seq_in = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+    )
+    wb = W.partitionBy("user_id", "b").orderBy("ts", "event_id")
+    within = seq_in.select(
+        F.lag("event_type").over(wb).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    order_key = F.struct("ts", "event_id")
+    bounds = seq_in.groupBy("user_id", "b").agg(
+        F.min_by("event_type", order_key).alias("first_type"),
+        F.max_by("event_type", order_key).alias("last_type"),
+    )
+    ws = W.partitionBy("user_id").orderBy("b")
+    cross = bounds.select(
+        F.lag("last_type").over(ws).alias("prev_type"),
+        F.col("first_type").alias("next_type"),
+    )
+    pairs = within.unionByName(cross).filter(F.col("prev_type").isNotNull())
+    trans = (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
         .localCheckpoint()
     )
     totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))

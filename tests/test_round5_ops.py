@@ -757,3 +757,40 @@ class TestSpanCorruptionReconstruction:
             )
             rebuilt = " ".join(rebuilt.split())
             assert rebuilt == originals[r.doc_id], r.doc_id
+
+
+class TestFunnelFormulations:
+    def test_window_and_aggregation_funnels_are_equivalent(self, spark):
+        # q138 default is the skew-proof aggregation form (BASELINE §13
+        # A/B: ~2x uniform, ~4x under hot-key skew); the window form is
+        # the reference semantics — they must agree row-exactly.
+        from sciencebeam_parser_spark.queries.events_ops import (
+            funnel_via_aggregation,
+            funnel_via_windows,
+        )
+        from sciencebeam_parser_spark.queries.registry import table
+
+        ev = table(spark, SF_DIR, "events")
+        a = funnel_via_aggregation(ev)
+        w = funnel_via_windows(ev)
+        assert a.columns == w.columns
+        assert a.exceptAll(w).count() == 0
+        assert w.exceptAll(a).count() == 0
+        assert a.count() > 0
+
+    def test_salted_transitions_equivalent_to_window_form(self, spark):
+        # q232 keeps the single-window default (A/B: salted LOSES at 100x
+        # on this box — BASELINE §13); the range-salted escape hatch must
+        # stay row-exact so flipping it at 1000x is a one-line change.
+        from sciencebeam_parser_spark.queries import REGISTRY
+        from sciencebeam_parser_spark.queries.events_ops import (
+            transitions_via_salted_windows,
+        )
+        from sciencebeam_parser_spark.queries.registry import table
+
+        ev = table(spark, SF_DIR, "events")
+        a = REGISTRY["q232_event_transitions"].build(spark, SF_DIR)
+        b = transitions_via_salted_windows(ev)
+        assert sorted(a.columns) == sorted(b.columns)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
