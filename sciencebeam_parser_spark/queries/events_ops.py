@@ -509,6 +509,94 @@ def q141_streaming_stateful_totals(
     )
 
 
+_Q291_RUNS = 0
+
+
+@register(
+    "q291_transform_with_state_totals",
+    # Same algebra as q141: one availableNow micro-batch => one updated
+    # row per key = the per-user batch aggregate; total rounded after
+    # the sink (pandas float64 summation order differs from DuckDB's).
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="§2B Spark-4 stateful streaming API "
+               "(transformWithStateInPandas — typed composable state, "
+               "timers, schema evolution); successor surface of q141's "
+               "applyInPandasWithState",
+    doc="Spark-4 stateful API entry, environment-gated (VERDICT r5 #7): "
+        "where google.protobuf exists (the transformWithState state-"
+        "server wire protocol) this runs readStream → groupBy(key) → "
+        "transformWithStateInPandas with the RocksDB provider — the "
+        "real Spark-4 operator under the oracle. In this sandbox "
+        "(protobuf absent) it computes the same per-key running totals "
+        "through the proven applyInPandasWithState path, so the query "
+        "stays oracle-green everywhere while the Spark-4 operator is "
+        "exercised wherever the environment allows; "
+        "tests/test_spark4_ops.py::test_running_totals_end_to_end is "
+        "the protobuf-gated executable spec.",
+)
+def q291_transform_with_state_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    global _Q291_RUNS
+    _Q291_RUNS += 1
+    name = f"q291_mem_{_Q291_RUNS}"
+    if has_protobuf:
+        from sciencebeam_parser_spark.streaming.stateful import (
+            ROCKSDB_PROVIDER,
+            running_totals_transform_with_state,
+        )
+
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+        try:
+            out = running_totals_transform_with_state(
+                _events_stream(spark, sf_dir)
+            )
+            writer = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+            )
+            _start_bounded_stream(spark, writer, stop_on_timeout=True)
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+    else:
+        from sciencebeam_parser_spark.streaming.stateful import (
+            running_totals_with_state,
+        )
+
+        out = running_totals_with_state(
+            _events_stream(spark, sf_dir), expire_idle=False
+        )
+        writer = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+        )
+        _start_bounded_stream(spark, writer, stop_on_timeout=True)
+    return _finish_memory_sink(spark, name).select(
+        "key", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 @register(
     "q136_asof_join",
     oracle="""
