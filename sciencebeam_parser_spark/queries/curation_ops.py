@@ -951,3 +951,254 @@ def q280_ccnet_perplexity_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: preference-pair construction (DPO prep), per-source
+# curriculum ordering, and the dataset-card stats rollup — the three
+# post-curation steps between "filtered corpus" and "training run".
+# --------------------------------------------------------------------------
+
+_TOKCOUNT_SQL = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+
+
+@register(
+    "q292_preference_pairs",
+    # Per source: rank docs by (token count DESC, doc_id) — integer-exact
+    # quality proxy — and pair rank i (chosen pool, top half) with rank
+    # n+1-i (rejected pool), so the strongest doc pairs with the weakest.
+    # Everything is integer arithmetic on ranks; the pair join is an
+    # equi-join on (source, pair_id).
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_TOKCOUNT_SQL} AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT c.source,
+           CAST(c.rnk AS BIGINT) AS pair_id,
+           c.doc_id AS chosen_doc,
+           r.doc_id AS rejected_doc,
+           c.n_tokens AS chosen_tokens,
+           r.n_tokens AS rejected_tokens,
+           c.n_tokens - r.n_tokens AS margin
+    FROM ranked c
+    JOIN ranked r ON r.source = c.source AND r.rnk = c.n + 1 - c.rnk
+    WHERE c.rnk * 2 <= c.n
+    """,
+    survey_ref="north-star training-data pipeline: preference-pair "
+               "construction (DPO/RLHF data prep) — chosen/rejected "
+               "pairing by per-source quality rank",
+    doc="Preference pairs for DPO-style training: per source shard, docs "
+        "rank by an integer quality proxy (token count, ties by doc_id) "
+        "and rank i pairs with rank n+1-i — best-vs-worst matching, one "
+        "pair per top-half doc, margin = quality gap. Per-source windows "
+        "keep partitions bounded at any corpus size; the pairing is a "
+        "(source, rank) equi-join, never a cross join. Swap the proxy "
+        "for a learned reward column and the plan is unchanged.",
+)
+def q292_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    c = ranked.alias("c")
+    r = ranked.alias("r")
+    return (
+        c.filter(F.col("c.rnk") * 2 <= F.col("c.n"))
+        .join(
+            r,
+            (F.col("r.source") == F.col("c.source"))
+            & (F.col("r.rnk") == F.col("c.n") + 1 - F.col("c.rnk")),
+        )
+        .select(
+            F.col("c.source").alias("source"),
+            F.col("c.rnk").alias("pair_id"),
+            F.col("c.doc_id").alias("chosen_doc"),
+            F.col("r.doc_id").alias("rejected_doc"),
+            F.col("c.n_tokens").alias("chosen_tokens"),
+            F.col("r.n_tokens").alias("rejected_tokens"),
+            (F.col("c.n_tokens") - F.col("r.n_tokens")).alias("margin"),
+        )
+    )
+
+
+@register(
+    "q293_curriculum_order",
+    # Easy-to-hard curriculum per source shard: phase = integer-exact
+    # quartile of the (n_tokens ASC, doc_id) rank; within a phase the
+    # presentation order is a deterministic md5 shuffle. No ntile (its
+    # remainder distribution is the only engine-variant part) — the
+    # phase is ((rnk-1)*4)//n + 1, pure integer arithmetic.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_TOKCOUNT_SQL} AS n_tokens,
+               {_md5_long_sql("'cur:' || CAST(doc_id AS VARCHAR)")} AS shuf
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens ASC, doc_id ASC) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((rnk - 1) * 4 // n + 1 AS BIGINT) AS phase,
+           CAST(row_number() OVER (
+               PARTITION BY source, (rnk - 1) * 4 // n
+               ORDER BY shuf, doc_id) AS BIGINT) AS phase_pos
+    FROM ranked
+    """,
+    survey_ref="north-star training-data pipeline: curriculum ordering "
+               "(difficulty-phased presentation with intra-phase shuffle)",
+    doc="Curriculum schedule: per source shard, docs rank easy-to-hard "
+        "(token count as the difficulty proxy), split into 4 integer-"
+        "exact phases ((rank-1)*4//n + 1 — ntile semantics without "
+        "ntile's engine-variant remainder placement), and each phase is "
+        "deterministically shuffled by an md5 hash so batches within a "
+        "phase are order-free. Per-source windows bound every sort; the "
+        "output (phase, phase_pos) is the exact read order a data "
+        "loader consumes.",
+)
+def q293_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        _md5_long(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "shuf"
+        ),
+    )
+    w = W.partitionBy("source").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    # integer DIV keeps the phase exact at any partition size (no
+    # double-division rounding anywhere near the 2^53 cliff)
+    phase0 = F.expr("CAST(((rnk - 1) * 4) DIV n AS BIGINT)")
+    wp = W.partitionBy("source", phase0).orderBy("shuf", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (phase0 + 1).cast("long").alias("phase"),
+        F.row_number().over(wp).cast("long").alias("phase_pos"),
+    )
+
+
+@register(
+    "q294_dataset_card",
+    # Per-source dataset-card row: doc/token/char totals, language
+    # diversity, dominant language (mode, ties -> lexicographically
+    # smallest), corpus share in basis points (integer-exact: floor of
+    # tokens*10000/total), and the short/long doc split.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang,
+               {_TOKCOUNT_SQL} AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    lang_counts AS (
+        SELECT source, lang, count(*) AS c FROM scored GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang AS dominant_lang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+            FROM lang_counts
+        ) WHERE rn = 1
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_short_docs
+        FROM scored GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.total_chars, p.n_langs,
+           t.dominant_lang, p.n_short_docs,
+           CAST(p.total_tokens * 10000 //
+                (SELECT sum(total_tokens) FROM per_source) AS BIGINT)
+               AS corpus_share_bp
+    FROM per_source p JOIN top_lang t ON t.source = p.source
+    """,
+    survey_ref="north-star training-data pipeline: dataset-card stats "
+               "rollup (the corpus documentation artifact every release "
+               "ships); §2B two-level aggregation + mode",
+    doc="Dataset card per source shard: doc/token/char totals, language "
+        "diversity + dominant language (deterministic mode), short-doc "
+        "count, and corpus share in integer basis points (floor of "
+        "tokens*10000/total — no float division crosses the hash "
+        "boundary). Two map-side-combinable aggregations; the global "
+        "token total is a 1-row broadcast. At 100 TB this is the "
+        "cheapest query in the pipeline and the first thing a data "
+        "audit asks for.",
+)
+def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    lang_counts = scored.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wl = W.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum((F.col("n_tokens") < 50).cast("int")).cast("long").alias(
+            "n_short_docs"
+        ),
+    )
+    total = per_source.agg(
+        F.sum("total_tokens").alias("grand_total")
+    )
+    return (
+        per_source.join(F.broadcast(top_lang), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "dominant_lang",
+            "n_short_docs",
+            F.expr(
+                "CAST((total_tokens * 10000) DIV grand_total AS BIGINT)"
+            ).alias("corpus_share_bp"),
+        )
+    )

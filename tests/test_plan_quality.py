@@ -808,3 +808,25 @@ class TestNoFullTableCollect:
         # must contain NO Python map stage (the numpy path is opt-in only).
         plan = plan_of(spark, "q93_similarity_ivf_topk")
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRound6Additions:
+    def test_preference_pairs_join_is_keyed_not_cartesian(self, spark):
+        # the chosen/rejected pairing must be a (source, rank) equi-join;
+        # per-source windows reuse one hashpartitioning(source) exchange
+        plan = plan_of(spark, "q292_preference_pairs")
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
+
+    def test_curriculum_windows_partition_by_source(self, spark):
+        # both windows key on source — no global (single-partition) sort
+        plan = plan_of(spark, "q293_curriculum_order")
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+
+    def test_dataset_card_broadcasts_bounded_sides(self, spark):
+        # the dominant-lang dim and the 1-row grand total broadcast; the
+        # only BNLJ is the intentional 1-row total attach
+        plan = plan_of(spark, "q294_dataset_card")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
