@@ -326,6 +326,12 @@ def score_pairs_sql(
     )
 
 
+# Size gate shared by the ANN scorers: max n_rows x dim cells an index may
+# hold before the broadcast-numpy fast path is disallowed (64M float64
+# cells = 512 MB, comfortably inside one executor).
+MAX_BROADCAST_INDEX_CELLS = 64_000_000
+
+
 def ivf_topk(
     embeddings: DataFrame,
     *,
@@ -334,7 +340,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scoring: str = "sql",
+    scoring: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: each vector lives in its nearest-centroid
     cluster; a query probes its n_probe nearest clusters and scores exact
@@ -342,11 +348,13 @@ def ivf_topk(
     cluster_id — the scale shuffle key; per-cluster sizes bound the
     quadratic term (the LSH-bucket analog with learned-ish partitions).
 
-    Scoring defaults to the equi-join SQL dot product (``score_pairs_sql``):
-    both vector sides join candidates on ids, shuffle bounded by
-    |candidates|, nothing collected to the driver — correct at any index
-    size. ``scoring="broadcast_numpy"`` opts into the gemm-per-Arrow-batch
-    fast path for indexes that provably fit executor memory.
+    Scoring is SIZE-GATED (``scoring="auto"``): while the index fits the
+    broadcast budget (n_rows x dim <= MAX_BROADCAST_INDEX_CELLS) the
+    gemm-per-Arrow-batch numpy path runs (measured 4.5x faster at bench
+    scale, BASELINE §15); past the gate — or with ``scoring="sql"`` — the
+    equi-join SQL dot product (``score_pairs_sql``) takes over: both
+    vector sides join candidates on ids, shuffle bounded by |candidates|,
+    nothing collected to the driver — correct at any index size.
 
     Parameterization is the scale lever: candidates ~ N * n_probe * N /
     n_centroids, so n_centroids must grow ~sqrt(N) (FAISS guidance:
@@ -369,6 +377,14 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("member_id"))
         .select("query_id", F.col("member_id").alias("neighbor_id"))
     )
+    if scoring == "auto":
+        dim = _vector_dim(embeddings, vec_col)
+        n_rows = embeddings.count()
+        scoring = (
+            "broadcast_numpy"
+            if n_rows * dim <= MAX_BROADCAST_INDEX_CELLS
+            else "sql"
+        )
     if scoring == "broadcast_numpy":
         scored = _score_pairs_numpy(
             embeddings, pairs, id_col=id_col, vec_col=vec_col

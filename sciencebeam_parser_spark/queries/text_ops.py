@@ -386,10 +386,12 @@ def q64_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
-# Brute-force index gate for q65: max n_rows × dim cells the broadcast
-# numpy index may hold (64M float64 cells = 512 MB — comfortably inside one
-# executor). Past this, q65 scores through the distributed self-join.
-Q65_MAX_INDEX_CELLS = 64_000_000
+# Brute-force index gate for q65: shared with ivf_topk's auto gate
+# (similarity.MAX_BROADCAST_INDEX_CELLS, 64M float64 cells = 512 MB).
+# Past this, q65 scores through the distributed self-join.
+from sciencebeam_parser_spark.operators.similarity import (  # noqa: E402
+    MAX_BROADCAST_INDEX_CELLS as Q65_MAX_INDEX_CELLS,
+)
 
 
 @register(

@@ -803,10 +803,28 @@ class TestNoFullTableCollect:
             f"unsanctioned toPandas() sites: {found - self.ALLOWED_TOPANDAS}"
         )
 
-    def test_ivf_topk_default_scoring_is_joins_not_python(self, spark):
-        # q93's default scorer is the equi-join SQL dot product: the plan
-        # must contain NO Python map stage (the numpy path is opt-in only).
-        plan = plan_of(spark, "q93_similarity_ivf_topk")
+    def test_ivf_topk_scale_path_is_joins_not_python(self, spark):
+        # past the broadcast gate ivf_topk scores via the equi-join SQL
+        # dot product: NO Python map stage, nothing collected. (Under the
+        # gate the numpy fast path is allowed — q93 at bench scale takes
+        # it, measured 4.5x faster; BASELINE §15.)
+        from sciencebeam_parser_spark.operators.similarity import ivf_topk
+        from sciencebeam_parser_spark.queries.registry import table
+
+        emb = table(spark, SF_DIR, "embeddings")
+        df = ivf_topk(emb, k=5, n_centroids=8, n_probe=2, scoring="sql")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ivf_topk_auto_gate_flips_to_sql_past_budget(self, spark, monkeypatch):
+        # shrink the budget so the auto gate must pick the SQL path
+        import sciencebeam_parser_spark.operators.similarity as sim
+        from sciencebeam_parser_spark.queries.registry import table
+
+        monkeypatch.setattr(sim, "MAX_BROADCAST_INDEX_CELLS", 1)
+        emb = table(spark, SF_DIR, "embeddings")
+        df = sim.ivf_topk(emb, k=5, n_centroids=8, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
 
 
