@@ -95,6 +95,17 @@ def _vector_dim(embeddings: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def index_probe(embeddings: DataFrame, vec_col: str) -> tuple:
+    """(n_rows, dim) in ONE probe job — the broadcast-gate inputs. A
+    separate count() + first() pair costs two scan jobs per build; fused
+    they are one aggregate (min(size) == size, widths are uniform)."""
+    row = embeddings.agg(
+        F.count("*").alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    return int(row["n"]), int(row["d"])
+
+
 def add_lsh_bucket(
     embeddings: DataFrame,
     *,
@@ -377,12 +388,12 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("member_id"))
         .select("query_id", F.col("member_id").alias("neighbor_id"))
     )
+    probed_dim = None
     if scoring == "auto":
-        dim = _vector_dim(embeddings, vec_col)
-        n_rows = embeddings.count()
+        n_rows, probed_dim = index_probe(embeddings, vec_col)
         scoring = (
             "broadcast_numpy"
-            if n_rows * dim <= MAX_BROADCAST_INDEX_CELLS
+            if n_rows * probed_dim <= MAX_BROADCAST_INDEX_CELLS
             else "sql"
         )
     if scoring == "broadcast_numpy":
@@ -391,7 +402,8 @@ def ivf_topk(
         )
     else:
         scored = score_pairs_sql(
-            embeddings, pairs, id_col=id_col, vec_col=vec_col
+            embeddings, pairs, id_col=id_col, vec_col=vec_col,
+            dim=probed_dim,
         )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -434,12 +434,11 @@ def q65_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sciencebeam_parser_spark.operators.similarity import (
         _dot_n,
         _norm_n,
-        _vector_dim,
         _as_double,
+        index_probe,
     )
 
-    dim = _vector_dim(emb, "embedding")
-    n_rows = emb.count()
+    n_rows, dim = index_probe(emb, "embedding")
     if n_rows * dim > Q65_MAX_INDEX_CELLS:
         # distributed exact fallback: all-pairs self-join, rank on the
         # 6-dp-rounded cosine — the same algebra the oracle states.
