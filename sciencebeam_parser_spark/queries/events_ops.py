@@ -513,7 +513,7 @@ _Q291_RUNS = 0
 
 
 @register(
-    "q291_transform_with_state_totals",
+    "q291_streaming_transform_with_state",
     # Same algebra as q141: one availableNow micro-batch => one updated
     # row per key = the per-user batch aggregate; total rounded after
     # the sink (pandas float64 summation order differs from DuckDB's).
@@ -539,7 +539,7 @@ _Q291_RUNS = 0
         "tests/test_spark4_ops.py::test_running_totals_end_to_end is "
         "the protobuf-gated executable spec.",
 )
-def q291_transform_with_state_totals(
+def q291_streaming_transform_with_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     try:
