@@ -137,3 +137,20 @@ class TestIndexProbe:
         n, d = index_probe(emb, "embedding")
         assert n == emb.count()
         assert d == emb.select(F.size("embedding")).first()[0]
+
+
+class TestQ65Gate:
+    def test_fallback_selfjoin_matches_numpy_path(self, spark, monkeypatch):
+        # force the distributed all-pairs fallback and require row-exact
+        # agreement with the broadcast-numpy fast path
+        import sciencebeam_parser_spark.queries.text_ops as t
+        from sciencebeam_parser_spark.queries import REGISTRY
+
+        fast = REGISTRY["q65_similarity_topk"].build(spark, SF_DIR)
+        fast_rows = {tuple(r) for r in fast.collect()}
+        monkeypatch.setattr(t, "Q65_MAX_INDEX_CELLS", 1)
+        slow = REGISTRY["q65_similarity_topk"].build(spark, SF_DIR)
+        plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan  # gate actually flipped
+        slow_rows = {tuple(r) for r in slow.collect()}
+        assert fast_rows == slow_rows
