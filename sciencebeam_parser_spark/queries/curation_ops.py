@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from sciencebeam_parser_spark.queries.registry import register, table
 from sciencebeam_parser_spark.utils import checkpoint_big
 from sciencebeam_parser_spark.queries.text_ops import (
+    _LSH_PAIRS_SQL,
     _WORDS_SQL,
     _md5_long,
     _md5_long_sql,
@@ -1201,4 +1202,132 @@ def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((total_tokens * 10000) DIV grand_total AS BIGINT)"
             ).alias("corpus_share_bp"),
         )
+    )
+
+
+@register(
+    "q295_streaming_lsh_dedup",
+    # Near-dup twin of q175: arriving (odd) docs are fresh iff NONE of
+    # their MinHash-LSH bands collides with any ingested (even) doc's
+    # band. The oracle restates the band relation for the full corpus
+    # and takes the NOT EXISTS; docs too short to shingle have no bands
+    # and are trivially fresh on both sides.
+    oracle="WITH " + _LSH_PAIRS_SQL + """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM bands a
+          JOIN bands i ON a.band_idx = i.band_idx
+                      AND a.band_hash = i.band_hash
+          WHERE a.doc_id = d.doc_id AND i.doc_id % 2 = 0
+      )
+    """,
+    survey_ref="north-star dedup (MinHash-LSH) + §2B streaming composed: "
+               "incremental NEAR-dup gate — the fuzzy twin of q175's "
+               "exact-hash anti-join",
+    doc="Streaming incremental near-dup dedup: arriving documents "
+        "compute their 16-permutation MinHash as a PURE PROJECTION "
+        "(array_min over per-band XOR transforms — no streaming "
+        "aggregation, so append mode needs no watermark), explode to 4 "
+        "band keys, and stream-static LEFT ANTI join against the "
+        "ingested corpus's band table; a doc survives iff ALL its bands "
+        "survive (post-ingest reduce on the sink). At scale the static "
+        "band table is the persisted LSH index of the corpus — the "
+        "arriving increment is the only thing that shuffles, on "
+        "(band_idx, band_hash).",
+)
+def q295_streaming_lsh_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _finish_memory_sink,
+        _start_bounded_stream,
+    )
+    from sciencebeam_parser_spark.queries.text_ops import (
+        _MINHASH_XOR_CONSTS,
+        _minhash_signature,
+        _shingle_array,
+    )
+
+    def band_struct(b, minhash_col):
+        return F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ":", *[minhash_col(4 * b + i) for i in range(4)]
+                )
+            ).alias("band_hash"),
+        )
+
+    # static side: the ingested corpus's LSH band index (batch signature)
+    sig = _minhash_signature(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    )
+    ingested_bands = sig.select(
+        F.explode(
+            F.array(*[band_struct(b, lambda i: F.col(f"m{i}")) for b in range(4)])
+        ).alias("band")
+    ).select("band.band_idx", "band.band_hash").distinct()
+
+    # streaming side: signature as a projection (no aggregation) —
+    # min over the same hash multiset the batch groupBy-min computes
+    shingles = _shingle_array("text")
+    hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
+    )
+    def m(i):
+        return F.array_min(
+            F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(_MINHASH_XOR_CONSTS[i])))
+        )
+
+    arriving = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "bands",
+            F.when(
+                shingles.isNotNull(),
+                F.array(*[band_struct(b, m) for b in range(4)]),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("band_idx"),
+                        F.lit(None).cast("string").alias("band_hash"),
+                    )
+                )
+            ),
+        )
+        .withColumn("n_bands", F.size("bands"))
+        .select(
+            "doc_id", "source", "n_bands", F.explode("bands").alias("band")
+        )
+        .select(
+            "doc_id", "source", "n_bands", "band.band_idx", "band.band_hash"
+        )
+    )
+    surviving = arriving.join(
+        ingested_bands, on=["band_idx", "band_hash"], how="left_anti"
+    )
+    global _DOC_STREAM_RUNS
+    _DOC_STREAM_RUNS += 1
+    name = f"q295_mem_{_DOC_STREAM_RUNS}"
+    writer = (
+        surviving.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _start_bounded_stream(spark, writer)
+    sunk = _finish_memory_sink(spark, name)
+    # a doc is fresh iff every band it emitted survived the anti-join
+    return (
+        sunk.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_ok"),
+            F.min("n_bands").alias("n_bands"),
+        )
+        .filter(F.col("n_ok") == F.col("n_bands"))
+        .select("doc_id", "source")
     )

@@ -154,3 +154,47 @@ class TestQ65Gate:
         assert "MapInPandas" not in plan  # gate actually flipped
         slow_rows = {tuple(r) for r in slow.collect()}
         assert fast_rows == slow_rows
+
+
+class TestStreamingLshDedup:
+    def test_projection_minhash_equals_batch_minhash(self, spark):
+        # q295's streaming side computes the 16-permutation MinHash as a
+        # pure projection (array_min over XOR transforms); it must equal
+        # the batch explode+groupBy-min signature bit-for-bit
+        from sciencebeam_parser_spark.queries.registry import table
+        from sciencebeam_parser_spark.queries.text_ops import (
+            _MINHASH_XOR_CONSTS,
+            _minhash_signature,
+            _shingle_array,
+        )
+
+        docs = table(spark, SF_DIR, "documents")
+        batch = {r.doc_id: tuple(r[f"m{i}"] for i in range(16))
+                 for r in _minhash_signature(docs).collect()}
+        shingles = _shingle_array("text")
+        hashes = F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
+        )
+        def xor_min(const):
+            # NB: F.transform treats a 2-arg lambda as (element, index),
+            # so the constant must be closed over via a factory
+            return F.array_min(
+                F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(const)))
+            )
+
+        proj_cols = [
+            xor_min(c).alias(f"m{i}")
+            for i, c in enumerate(_MINHASH_XOR_CONSTS)
+        ]
+        proj = {r.doc_id: tuple(r[f"m{i}"] for i in range(16))
+                for r in docs.select("doc_id", *proj_cols)
+                .filter(F.col("m0").isNotNull()).collect()}
+        assert proj == batch
+
+    def test_fresh_docs_are_odd_and_near_dup_free(self, spark):
+        from sciencebeam_parser_spark.queries import REGISTRY
+
+        rows = REGISTRY["q295_streaming_lsh_dedup"].build(spark, SF_DIR).collect()
+        assert rows
+        assert all(r.doc_id % 2 == 1 for r in rows)
