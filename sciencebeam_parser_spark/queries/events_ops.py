@@ -80,7 +80,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _start_bounded_stream(spark, writer, timeout: int = 300,
-                          partitions: int = 8, stop_on_timeout: bool = False):
+                          partitions: int = 8, stop_on_timeout: bool = False,
+                          expect_timeout: bool = False):
     """Start an availableNow streaming writer with a BOUNDED state-store
     partition count, await termination, restore the session conf.
 
@@ -95,8 +96,28 @@ def _start_bounded_stream(spark, writer, timeout: int = 300,
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = writer.start()
-        if not q.awaitTermination(timeout) and stop_on_timeout:
-            q.stop()
+        if not q.awaitTermination(timeout):
+            if expect_timeout:
+                # continuous (processingTime) streams never terminate:
+                # the caller polls the sink for completeness itself and
+                # stops the query (q282/q283)
+                return q
+            if stop_on_timeout:
+                # intentional early stop: callers with lingering
+                # processing-time timers (q141/q291) whose DATA batches
+                # are already fully committed
+                q.stop()
+            else:
+                # NEVER silently return a running query: the memory sink
+                # would be read PARTIAL (or empty) downstream — a silent
+                # wrong-answer at scale. Found at 100x: q295's first cut
+                # overran this timeout and read 0 rows as if correct.
+                q.stop()
+                raise RuntimeError(
+                    f"bounded stream exceeded {timeout}s before "
+                    f"availableNow completion; raise the timeout or "
+                    f"reduce the batch — refusing to read a partial sink"
+                )
         return q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

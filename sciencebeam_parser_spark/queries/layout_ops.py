@@ -659,7 +659,7 @@ def q282_python_stream_source(
         .outputMode("complete")
         .trigger(processingTime="0 seconds")
     )
-    q = _start_bounded_stream(spark, writer, timeout=1, stop_on_timeout=False)
+    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
@@ -764,7 +764,7 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n += sum(1 for _ in sf)
         return n
 
-    q = _start_bounded_stream(spark, writer, timeout=1, stop_on_timeout=False)
+    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
