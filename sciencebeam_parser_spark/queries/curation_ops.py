@@ -1312,3 +1312,174 @@ def q295_streaming_lsh_dedup(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "q296_streaming_dedup_index_growth",
+    # The FULL incremental-dedup loop: the corpus replays through the
+    # deterministic Python stream source (doc_id order, 100 rows per
+    # micro-batch); each batch's docs are fresh iff none of their LSH
+    # bands collides with the index accumulated from STRICTLY EARLIER
+    # batches, then the batch's own bands append to the index (dup or
+    # not — the index records everything seen). Deterministic batches
+    # make the semantics exactly restatable: batch = (rank-1)//100 over
+    # doc_id order.
+    oracle="WITH " + _LSH_PAIRS_SQL + """,
+    pos AS (
+        SELECT doc_id,
+               CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100
+                    AS BIGINT) AS batch_id
+        FROM documents
+    ),
+    db AS (
+        SELECT b.doc_id, b.band_idx, b.band_hash, p.batch_id
+        FROM bands b JOIN pos p ON p.doc_id = b.doc_id
+    )
+    SELECT d.doc_id, p.batch_id
+    FROM documents d JOIN pos p ON p.doc_id = d.doc_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM db a
+        JOIN db e ON a.band_idx = e.band_idx
+                 AND a.band_hash = e.band_hash
+        WHERE a.doc_id = d.doc_id AND e.batch_id < p.batch_id
+    )
+    """,
+    survey_ref="north-star dedup: the index-GROWTH half of incremental "
+               "near-dup (q295 gates against a static index; this one "
+               "maintains the index across micro-batches — the complete "
+               "daily-crawl loop)",
+    doc="Self-bootstrapping streaming dedup: the corpus replays through "
+        "the deterministic Python stream source (100 docs per "
+        "micro-batch in doc_id order); foreachBatch enriches each "
+        "batch's keys from the corpus store, MinHash-bands them with "
+        "the codegen'd batch machinery, anti-joins docs whose bands "
+        "collide with the index accumulated from earlier batches, and "
+        "appends the batch's bands to the index (distinct + "
+        "localCheckpoint keeps the accumulator flat and makes retried "
+        "batches idempotent — at scale the index is a parquet/Delta "
+        "append). Batch 0 is all-fresh by construction; every later "
+        "batch dedups against everything before it. batchSize=100 keeps "
+        "the sf0.01 oracle meaningful (5 batches); the increment size "
+        "is the operational lever — a production daily-crawl batch is "
+        "whatever arrived, and per-batch cost is one band build + one "
+        "semi-join against the persisted index.",
+)
+def q296_streaming_dedup_index_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _start_bounded_stream,
+    )
+    from sciencebeam_parser_spark.queries.text_ops import (
+        _minhash_signature,
+    )
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+
+    def to_bands(docs_df: DataFrame) -> DataFrame:
+        sig = _minhash_signature(docs_df)
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ":", *[F.col(f"m{4 * b + i}") for i in range(4)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(4)
+        ]
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("band")
+        ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    # the corpus content store the stream's keys enrich from (at scale:
+    # the object-store-backed documents table)
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    state: dict = {"index": None, "seen": 0}
+    collected: dict = {}
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        if n_in == 0:
+            return
+        enriched = batch_df.select("doc_id").join(corpus, "doc_id")
+        bands = to_bands(enriched).localCheckpoint()
+        if state["index"] is None:
+            fresh = batch_df.select("doc_id")
+        else:
+            collided = (
+                bands.join(
+                    state["index"], ["band_idx", "band_hash"], "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = batch_df.select("doc_id").join(
+                collided, "doc_id", "left_anti"
+            )
+        collected[batch_id] = [
+            (r["doc_id"], batch_id) for r in fresh.collect()
+        ]
+        new_bands = bands.select("band_idx", "band_hash")
+        merged = (
+            new_bands
+            if state["index"] is None
+            else state["index"].unionByName(new_bands)
+        )
+        state["index"] = merged.distinct().localCheckpoint()
+        # progress marker LAST: the driver's poll loop stops the query
+        # once every row is seen — incrementing before the batch's
+        # output/index writes would let the stop kill them mid-flight
+        state["seen"] += n_in
+
+    stream = (
+        spark.readStream.format("sbp_doc_stream")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batchSize", "100")
+        .load()
+    )
+    global _DOC_STREAM_RUNS
+    _DOC_STREAM_RUNS += 1
+    # the simple Python stream reader does not terminate under
+    # availableNow (same contract as q282): run on a processing-time
+    # trigger and poll until every corpus row has been seen, then stop
+    expected = corpus.count()
+    import time as _time
+
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .queryName(f"q296_feb_{_DOC_STREAM_RUNS}")
+        .trigger(processingTime="0 seconds")
+    )
+    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
+    try:
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            if state["seen"] >= expected:
+                break
+            _time.sleep(0.3)
+        else:  # pragma: no cover - timeout means missing batches
+            raise TimeoutError(
+                f"doc stream absorbed {state['seen']} of {expected} rows"
+            )
+    finally:
+        q.stop()
+    rows = [r for batch in collected.values() for r in batch]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
