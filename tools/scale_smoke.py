@@ -49,6 +49,11 @@ DEFAULT_QUERIES = [
     # regress-guard here, plus the new packing capstone
     "q206_image_ahash_dedup",
     "q289_incontext_packing",
+    # round-6 100x finds: the aggregation-form funnel (BASELINE §13) and
+    # the foreachBatch streaming near-dup gate with its partial-sink
+    # guard (BASELINE §16) regress-guard here
+    "q138_user_funnel",
+    "q295_streaming_lsh_dedup",
 ]
 
 
