@@ -1325,11 +1325,14 @@ def q295_streaming_lsh_dedup(
     # make the semantics exactly restatable: batch = (rank-1)//100 over
     # doc_id order.
     oracle="WITH " + _LSH_PAIRS_SQL + """,
+    bs AS (
+        SELECT greatest(100, (count(*) + 4) // 5) AS b FROM documents
+    ),
     pos AS (
         SELECT doc_id,
-               CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100
+               CAST((row_number() OVER (ORDER BY doc_id) - 1) // bs.b
                     AS BIGINT) AS batch_id
-        FROM documents
+        FROM documents, bs
     ),
     db AS (
         SELECT b.doc_id, b.band_idx, b.band_hash, p.batch_id
@@ -1358,11 +1361,12 @@ def q295_streaming_lsh_dedup(
         "localCheckpoint keeps the accumulator flat and makes retried "
         "batches idempotent — at scale the index is a parquet/Delta "
         "append). Batch 0 is all-fresh by construction; every later "
-        "batch dedups against everything before it. batchSize=100 keeps "
-        "the sf0.01 oracle meaningful (5 batches); the increment size "
-        "is the operational lever — a production daily-crawl batch is "
-        "whatever arrived, and per-batch cost is one band build + one "
-        "semi-join against the persisted index.",
+        "batch dedups against everything before it. batchSize scales "
+        "with the corpus (max(100, ceil(n/5)) — ~5 increments at any "
+        "sf, identical integer arithmetic in the oracle); the increment "
+        "size is the operational lever — a production daily-crawl batch "
+        "is whatever arrived, and per-batch cost is one band build + "
+        "one semi-join against the persisted index.",
 )
 def q296_streaming_dedup_index_growth(
     spark: SparkSession, sf_dir: str
@@ -1443,10 +1447,14 @@ def q296_streaming_dedup_index_growth(
         # output/index writes would let the stop kill them mid-flight
         state["seen"] += n_in
 
+    expected = corpus.count()
+    # ~5 increments at any corpus size (min 100 docs per batch) — the
+    # SAME integer formula the oracle's bs CTE states
+    batch_size = max(100, (expected + 4) // 5)
     stream = (
         spark.readStream.format("sbp_doc_stream")
         .option("path", os.path.join(sf_dir, "documents.parquet"))
-        .option("batchSize", "100")
+        .option("batchSize", str(batch_size))
         .load()
     )
     global _DOC_STREAM_RUNS
@@ -1454,7 +1462,6 @@ def q296_streaming_dedup_index_growth(
     # the simple Python stream reader does not terminate under
     # availableNow (same contract as q282): run on a processing-time
     # trigger and poll until every corpus row has been seen, then stop
-    expected = corpus.count()
     import time as _time
 
     writer = (
