@@ -424,9 +424,12 @@ def _q124_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="§3.3 segmented endpoints — q124 bisection probe (gate + "
                "island numbering, no text assembly)",
-    doc="q124 with the text column dropped: if this is green while q124 is "
-        "red, the divergence is in ordered text assembly; if red, in the "
-        "region gate or island numbering.",
+    doc="Legacy-construction probe (round 4): q124's ORIGINAL regex-token "
+        "+ angle-tag construction minus the text column. q124 itself was "
+        "rewritten by construction in round 6 (literal-space tokens, span "
+        "channels); this stays registered because it green-pins the "
+        "legacy constructs (regex tokens, min(tag) over bracketed "
+        "strings) independently.",
 )
 def q154_seg_chain_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q124_runs(spark, sf_dir).select(
@@ -446,8 +449,10 @@ def q154_seg_chain_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="§3.3 segmented endpoints — q124 bisection probe (md5 of "
                "assembled text)",
-    doc="q124 with md5(text) instead of text: red here + green q154 pins "
-        "the divergence to the assembled token string bytes.",
+    doc="Legacy-construction probe (round 4): q124's ORIGINAL construction "
+        "with md5(text) instead of text — green-pins ordered string_agg "
+        "assembly through a fixed-width channel. See q154; q124/q127 "
+        "themselves were rewritten by construction in round 6.",
 )
 def q155_seg_chain_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q124_runs(spark, sf_dir).select(
