@@ -31,6 +31,12 @@ from sciencebeam_parser_spark.session import get_spark  # noqa: E402
 from sciencebeam_parser_spark.queries import REGISTRY  # noqa: E402
 from sciencebeam_parser_spark.queries.registry import table  # noqa: E402
 
+# exhaustive-verification baselines whose cost is ~|true pairs| x
+# |shared shingles| BY DESIGN (BASELINE §12): meaningful at 10x, hours at
+# 100x — dropped (loudly) above 10 copies; their scale path (q62 banding)
+# stays in.
+EXACT_BASELINES_10X_ONLY = {"q63_dedup_ngram_jaccard"}
+
 DEFAULT_QUERIES = [
     "q01_pricing_summary",
     "q13_left_semi_join",
@@ -123,6 +129,12 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_smoke_sf1"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     names = sys.argv[4:] or DEFAULT_QUERIES
+    if copies > 10 and not sys.argv[4:]:
+        dropped = [n for n in names if n in EXACT_BASELINES_10X_ONLY]
+        if dropped:
+            print(f"dropping exhaustive 10x-only baselines at {copies}x: "
+                  f"{dropped} (see BASELINE §12)", flush=True)
+        names = [n for n in names if n not in EXACT_BASELINES_10X_ONLY]
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
