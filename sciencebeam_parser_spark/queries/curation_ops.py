@@ -38,6 +38,8 @@ task brief lists as first-class.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -507,6 +509,9 @@ def q174_jsonl_shard_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_STREAM_RUNS = 0
+
+# q296's last-run band-store counters — the O(batch)-not-O(index) pin
+_LAST_Q296_STORE_STATS: dict = {}
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,17 +1361,20 @@ def q295_streaming_lsh_dedup(
         "micro-batch in doc_id order); foreachBatch enriches each "
         "batch's keys from the corpus store, MinHash-bands them with "
         "the codegen'd batch machinery, anti-joins docs whose bands "
-        "collide with the index accumulated from earlier batches, and "
-        "appends the batch's bands to the index (distinct + "
-        "localCheckpoint keeps the accumulator flat and makes retried "
-        "batches idempotent — at scale the index is a parquet/Delta "
-        "append). Batch 0 is all-fresh by construction; every later "
-        "batch dedups against everything before it. batchSize scales "
-        "with the corpus (max(100, ceil(n/5)) — ~5 increments at any "
-        "sf, identical integer arithmetic in the oracle); the increment "
-        "size is the operational lever — a production daily-crawl batch "
-        "is whatever arrived, and per-batch cost is one band build + "
-        "one semi-join against the persisted index.",
+        "collide with the APPEND-ONLY persisted band store "
+        "(operators/band_store.py), and appends ONLY the batch's own "
+        "bands as a batchId-keyed parquet shard under an atomic "
+        "manifest commit — a retried batch overwrites the same shard, "
+        "so idempotence needs no full-index distinct, and per-batch "
+        "write cost is O(batch), not O(index); the probe is a "
+        "read-only left_semi scan.  Every few appends the store "
+        "bin-packs undersized shards (the q257 next-fit plan, "
+        "executed) and swaps the manifest atomically.  Batch 0 is "
+        "all-fresh by construction; every later batch dedups against "
+        "everything before it. batchSize scales with the corpus "
+        "(max(100, ceil(n/5)) — ~5 increments at any sf, identical "
+        "integer arithmetic in the oracle); a production daily-crawl "
+        "batch is whatever arrived.",
 )
 def q296_streaming_dedup_index_growth(
     spark: SparkSession, sf_dir: str
@@ -1410,7 +1418,25 @@ def q296_streaming_dedup_index_growth(
         .localCheckpoint()
     )
 
-    state: dict = {"index": None, "seen": 0}
+    from sciencebeam_parser_spark.operators.band_store import (
+        AppendOnlyBandStore,
+    )
+
+    store = AppendOnlyBandStore(
+        spark,
+        root=os.path.join(
+            tempfile.gettempdir(),
+            f"sbp_q296_bands_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{spark.sparkContext.applicationId}",
+        ),
+        # ~5 batches per run → one mid-run compaction exercises the
+        # executed q257 bin-pack + atomic manifest swap at any sf
+        compact_every=3,
+    )
+    shutil.rmtree(store.root, ignore_errors=True)
+    os.makedirs(store.root, exist_ok=True)
+
+    state: dict = {"seen": 0}
     collected: dict = {}
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1419,29 +1445,17 @@ def q296_streaming_dedup_index_growth(
             return
         enriched = batch_df.select("doc_id").join(corpus, "doc_id")
         bands = to_bands(enriched).localCheckpoint()
-        if state["index"] is None:
-            fresh = batch_df.select("doc_id")
-        else:
-            collided = (
-                bands.join(
-                    state["index"], ["band_idx", "band_hash"], "left_semi"
-                )
-                .select("doc_id")
-                .distinct()
-            )
-            fresh = batch_df.select("doc_id").join(
-                collided, "doc_id", "left_anti"
-            )
+        # read-only left_semi probe against the manifest-listed shards
+        collided = store.probe(bands)
+        fresh = batch_df.select("doc_id").join(
+            collided, "doc_id", "left_anti"
+        )
         collected[batch_id] = [
             (r["doc_id"], batch_id) for r in fresh.collect()
         ]
-        new_bands = bands.select("band_idx", "band_hash")
-        merged = (
-            new_bands
-            if state["index"] is None
-            else state["index"].unionByName(new_bands)
-        )
-        state["index"] = merged.distinct().localCheckpoint()
+        # append ONLY this batch's bands (batchId-keyed shard + atomic
+        # manifest commit — O(batch) write, never an index rewrite)
+        store.append(bands, batch_id)
         # progress marker LAST: the driver's poll loop stops the query
         # once every row is seen — incrementing before the batch's
         # output/index writes would let the stop kill them mid-flight
@@ -1482,6 +1496,19 @@ def q296_streaming_dedup_index_growth(
             )
     finally:
         q.stop()
+    # behavior pin surface: tests assert per-append writes are O(batch)
+    # (never cumulative) and that compaction actually ran + bin-packed
+    _LAST_Q296_STORE_STATS.clear()
+    _LAST_Q296_STORE_STATS.update(
+        {
+            "rows_written_per_append": list(store.rows_written_per_append),
+            "rows_compacted": store.rows_compacted,
+            "n_compactions": store.n_compactions,
+            "n_batches": len(collected),
+            "final_shards": list(store.shards()),
+        }
+    )
+    store.cleanup()
     rows = [r for batch in collected.values() for r in batch]
     schema = T.StructType(
         [
