@@ -1757,3 +1757,184 @@ def q261_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_checksum",
     )
     return live.unionByName(deleted)
+
+
+# --------------------------------------------------------------------------
+# Compaction executor (q297) — the q257 plan, executed (VERDICT r6 #8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q297_compaction_execute",
+    # the OPTIMIZE verb on the q281/q283 manifest store: materialize a
+    # deliberately-fragmented JSONL store (one shard per (source, lang)
+    # cell — ~100 small files), bin-pack the undersized shards with
+    # q257's next-fit running-sum plan, REWRITE them as one coalesced
+    # file per bin, atomically swap the manifest, and prove content
+    # equality by aggregating the post-swap read-back per planned bin.
+    # target = (total+3) DIV 4 on both engines, so ~4-5 bins replace
+    # ~100 cell files at any sf — all integer arithmetic.
+    oracle="""
+    WITH shards AS (
+        SELECT source, lang,
+               CAST(sum(n_chars) AS BIGINT) AS bytes,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    tgt AS (SELECT CAST((sum(bytes) + 3) // 4 AS BIGINT) AS t FROM shards),
+    planned AS (
+        SELECT source, lang, bytes, n_docs,
+               CAST((sum(bytes) OVER (ORDER BY source, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - bytes) // tgt.t AS BIGINT) AS bin_id
+        FROM shards, tgt
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS total_chars,
+           min(source || '/' || lang) AS first_cell,
+           max(source || '/' || lang) AS last_cell
+    FROM planned GROUP BY bin_id
+    """,
+    survey_ref="warehouse surface: compaction EXECUTION — the OPTIMIZE "
+               "rewrite over a manifest-committed store (q257 plans the "
+               "bins; this reads manifest-listed small shards, rewrites "
+               "coalesced files, and atomically swaps the manifest — "
+               "the Delta/Iceberg OPTIMIZE verb restated)",
+    doc="Small-files compaction end-to-end: documents land as a "
+        "manifest-committed JSONL store with one shard per (source, "
+        "lang) partition cell (repartition on the cell key + "
+        "partitionBy guarantees exactly one file per cell — the "
+        "fragmented state a streaming sink leaves behind); the cell "
+        "inventory is re-derived from the manifest-listed read-back, "
+        "next-fit packed into target-sized bins via q257's single "
+        "running-sum window (target = (total+3) DIV 4), and the "
+        "rewrite tags each row with its bin through a broadcast join "
+        "on the cell key, repartitions on bin_id and writes "
+        "partitionBy(bin_id) — each bin lands wholly in one task, so "
+        "the output is exactly one file per bin. The new manifest "
+        "replaces the old via os.replace (readers see the old "
+        "inventory or the new, never a torn one), the old shards are "
+        "then deleted, and the returned per-bin aggregate comes from "
+        "the POST-SWAP read-back — the oracle's restatement from the "
+        "source table proves the rewrite moved every row exactly "
+        "once. The plan/manifest stay file-inventory-sized (driver "
+        "O(#files)); data moves only executor-side.",
+)
+def q297_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q297_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    before_dir = os.path.join(store, "before")
+    manifest_path = os.path.join(store, "_MANIFEST.json")
+
+    # 1. the fragmented store: one JSONL shard per (source, lang) cell
+    (
+        docs.select("doc_id", "n_chars", "source", "lang")
+        .repartition("source", "lang")
+        .write.partitionBy("source", "lang")
+        .json(before_dir)
+    )
+    cells = sorted(
+        os.path.relpath(os.path.dirname(p), store)
+        for p in glob.glob(
+            os.path.join(before_dir, "source=*", "lang=*", "part-*.json")
+        )
+    )
+    files_before = len(
+        glob.glob(os.path.join(before_dir, "source=*", "lang=*", "part-*.json"))
+    )
+    assert files_before == len(cells), "expected exactly one file per cell"
+    with open(manifest_path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump({"shards": cells}, fh)
+    os.replace(manifest_path + ".tmp", manifest_path)
+
+    # 2. inventory + plan from the MANIFEST-LISTED read-back (the honest
+    # OPTIMIZE input — not the original source table)
+    with open(manifest_path, encoding="utf-8") as fh:
+        listed = json.load(fh)["shards"]
+    back = (
+        spark.read.schema("doc_id bigint, n_chars bigint")
+        .option("basePath", before_dir)
+        .json([os.path.join(store, s) for s in listed])
+    )
+    inventory = back.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes")
+    )
+    tgt = inventory.agg(
+        F.expr("CAST((sum(bytes) + 3) DIV 4 AS BIGINT)").alias("t")
+    )
+    w = W.orderBy("source", "lang").rowsBetween(W.unboundedPreceding, 0)
+    planned = (
+        inventory.crossJoin(F.broadcast(tgt))
+        .select(
+            "source",
+            "lang",
+            F.expr(
+                "CAST((sum(bytes) OVER (ORDER BY source, lang "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "- bytes) DIV t AS BIGINT)"
+            ).alias("bin_id"),
+        )
+    )
+    # the plan is file-inventory-sized (one row per cell): collecting it
+    # is the q257-documented exception, and the rewrite job consumes it
+    # as a broadcast
+    plan_rows = planned.collect()
+    n_bins = max(r["bin_id"] for r in plan_rows) + 1
+    assert n_bins < files_before, "compaction must reduce the file count"
+
+    # 3. execute the rewrite: tag rows with their bin via broadcast join,
+    # one task per bin, one output file per bin
+    after_rel = "compact-g0001"
+    after_dir = os.path.join(store, after_rel)
+    tagged = back.join(
+        F.broadcast(planned), ["source", "lang"]
+    )
+    (
+        tagged.repartition(n_bins, "bin_id")
+        .write.partitionBy("bin_id")
+        .json(after_dir)
+    )
+    files_after = len(glob.glob(os.path.join(after_dir, "bin_id=*", "part-*.json")))
+    assert files_after == n_bins, (
+        f"expected one coalesced file per bin, got {files_after}/{n_bins}"
+    )
+
+    # 4. atomic manifest swap, then drop the old shards
+    new_shards = sorted(
+        os.path.relpath(os.path.dirname(p), store)
+        for p in glob.glob(os.path.join(after_dir, "bin_id=*", "part-*.json"))
+    )
+    with open(manifest_path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump({"shards": new_shards}, fh)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    shutil.rmtree(before_dir, ignore_errors=True)
+
+    # 5. prove content equality from the POST-SWAP manifest read-back
+    with open(manifest_path, encoding="utf-8") as fh:
+        committed = json.load(fh)["shards"]
+    compacted = (
+        spark.read.schema("doc_id bigint, n_chars bigint, source string, lang string")
+        .option("basePath", after_dir)
+        .json([os.path.join(store, s) for s in committed])
+    )
+    key = F.concat_ws("/", "source", "lang")
+    return compacted.groupBy(F.col("bin_id").cast("long").alias("bin_id")).agg(
+        F.countDistinct("source", "lang").cast("long").alias("n_cells"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(key).alias("first_cell"),
+        F.max(key).alias("last_cell"),
+    )

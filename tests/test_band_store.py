@@ -10,7 +10,6 @@ import pytest
 
 from sciencebeam_parser_spark.operators.band_store import (
     AppendOnlyBandStore,
-    _dir_rows,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -177,3 +176,24 @@ class TestQ296BehaviorPin:
         # compaction, not one per batch
         total_bands = sum(per_append)
         assert stats["rows_compacted"] <= stats["n_compactions"] * total_bands
+
+
+class TestQ297CompactionExecute:
+    def test_rewrite_preserves_every_row(self, spark):
+        from sciencebeam_parser_spark.queries.registry import REGISTRY, table
+
+        rows = (
+            REGISTRY["q297_compaction_execute"].build(spark, SF_DIR).collect()
+        )
+        n_docs = table(spark, SF_DIR, "documents").count()
+        n_cells = (
+            table(spark, SF_DIR, "documents")
+            .select("source", "lang")
+            .distinct()
+            .count()
+        )
+        # in-query asserts already pinned files_before == n_cells,
+        # files_after == n_bins < files_before; here: content totals
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        assert sum(r["n_cells"] for r in rows) == n_cells
+        assert len(rows) < n_cells  # genuinely fewer files than cells
