@@ -1245,10 +1245,10 @@ def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q295_streaming_lsh_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import types as T
-
     from sciencebeam_parser_spark.queries.events_ops import (
         _start_bounded_stream,
+        read_committed_shards,
+        write_batch_shard,
     )
     from sciencebeam_parser_spark.queries.text_ops import (
         _minhash_signature,
@@ -1284,7 +1284,13 @@ def q295_streaming_lsh_dedup(
         .localCheckpoint()
     )
 
-    collected: dict = {}
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q295_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         collided = (
@@ -1296,7 +1302,9 @@ def q295_streaming_lsh_dedup(
         fresh = batch_df.select("doc_id", "source").join(
             collided, "doc_id", "left_anti"
         )
-        collected[batch_id] = fresh.collect()
+        # land survivors through the batchId-keyed manifest commit —
+        # executor-side shard write, no result row through the driver
+        write_batch_shard(fresh, out_dir, batch_id)
 
     arriving = _documents_stream(spark, sf_dir).filter(
         F.col("doc_id") % 2 == 1
@@ -1309,14 +1317,9 @@ def q295_streaming_lsh_dedup(
         .trigger(availableNow=True)
     )
     _start_bounded_stream(spark, writer)
-    rows = [r for batch in collected.values() for r in batch]
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("source", T.StringType()),
-        ]
+    return read_committed_shards(
+        spark, out_dir, "doc_id long, source string"
     )
-    return spark.createDataFrame(rows, schema)
 
 
 @register(

@@ -123,6 +123,48 @@ def _start_bounded_stream(spark, writer, timeout: int = 300,
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def write_batch_shard(batch_df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """foreachBatch body helper: land a micro-batch through the q283
+    batchId-keyed commit protocol instead of a driver-side collect.
+
+    The batch writes executor-side to a batchId-keyed JSONL shard dir
+    (a retried batch OVERWRITES the same path — last write wins), then
+    the driver publishes ``_batch-<id>.json`` via tmp-write + atomic
+    ``os.replace``. Manifest-honoring readers therefore get exactly-once
+    on top of the engine's at-least-once, and no result row ever crosses
+    the driver on the data path (only the O(1) manifest commit does).
+    """
+    import json
+    import os
+
+    shard = f"batch-{batch_id:08d}"
+    batch_df.write.mode("overwrite").json(os.path.join(out_dir, shard))
+    manifest = os.path.join(out_dir, f"_batch-{batch_id:08d}.json")
+    with open(manifest + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump({"shards": [shard]}, fh)
+    os.replace(manifest + ".tmp", manifest)
+
+
+def read_committed_shards(
+    spark: SparkSession, out_dir: str, schema: str
+) -> DataFrame:
+    """Union of all manifest-listed batch shards (uncommitted/orphan
+    shard dirs are invisible), read with an explicit schema."""
+    import glob
+    import json
+    import os
+
+    paths = []
+    for man in sorted(glob.glob(os.path.join(out_dir, "_batch-*.json"))):
+        with open(man, encoding="utf-8") as fh:
+            paths.extend(
+                os.path.join(out_dir, s) for s in json.load(fh)["shards"]
+            )
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(paths)
+
+
 @register(
     "q50_tumbling_window",
     oracle="""

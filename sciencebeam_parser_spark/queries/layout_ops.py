@@ -65,9 +65,9 @@ _Q150_RUNS = 0
 @register(
     "q150_streaming_foreach_batch",
     # single-file source + availableNow => exactly one micro-batch; the
-    # foreachBatch writer projects/filters it like any batch DataFrame and
-    # appends to a driver-side accumulator, so the collected union equals
-    # the plain batch query.
+    # foreachBatch writer projects/filters it like any batch DataFrame
+    # and lands survivors through the batchId-keyed manifest sink, so
+    # the manifest-honoring read-back equals the plain batch query.
     oracle="""
     SELECT event_id, user_id, round(value, 2) AS value
     FROM events WHERE event_type = 'purchase' AND value > 50
@@ -76,29 +76,42 @@ _Q150_RUNS = 0
                "SURVEY streaming table)",
     doc="REAL streaming foreachBatch: readStream → writeStream."
         "foreachBatch(fn) under availableNow, where fn applies a batch "
-        "filter/projection and lands rows in an arbitrary sink (here a "
-        "driver-side collector; in production a JDBC upsert or multi-sink "
-        "fanout). Result hash-matches the batch oracle.",
+        "filter/projection and lands rows executor-side through the "
+        "q283 batchId-keyed shard + atomic-manifest commit protocol "
+        "(a retried batch overwrites its own shard — exactly-once for "
+        "manifest readers on top of at-least-once delivery); no result "
+        "row crosses the driver on the data path. The returned "
+        "DataFrame is the manifest-honoring read-back, hash-matched "
+        "to the batch oracle.",
 )
 def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
     from sciencebeam_parser_spark.queries.events_ops import (
         _events_stream,
         _start_bounded_stream,
+        read_committed_shards,
+        write_batch_shard,
     )
 
-    # keyed by batch_id: foreachBatch is at-least-once, so a retried
-    # micro-batch must overwrite its previous rows, not append duplicates
-    collected: dict = {}
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q150_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        collected[batch_id] = (
+        write_batch_shard(
             batch_df.filter(
                 (F.col("event_type") == "purchase") & (F.col("value") > 50)
-            )
-            .select(
+            ).select(
                 "event_id", "user_id", F.round("value", 2).alias("value")
-            )
-            .collect()
+            ),
+            out_dir,
+            batch_id,
         )
 
     global _Q150_RUNS
@@ -110,9 +123,8 @@ def q150_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     _start_bounded_stream(spark, writer)
-    rows = [r for _, batch in sorted(collected.items()) for r in batch]
-    return spark.createDataFrame(
-        rows, "event_id long, user_id long, value double"
+    return read_committed_shards(
+        spark, out_dir, "event_id long, user_id long, value double"
     )
 
 

@@ -164,3 +164,69 @@ class TestStatefulOperator:
             for r in spark.table("running_totals").collect()
         }
         assert rows == {"1": (2, 5.0), "2": (1, 5.0)}
+
+
+class TestManifestSinkProtocol:
+    """q150/q295 foreachBatch results go through the q283 batchId-keyed
+    manifest commit, not a driver-side collect (VERDICT r6 #4)."""
+
+    def test_foreach_batch_builders_never_collect(self):
+        import inspect
+
+        from sciencebeam_parser_spark.queries import curation_ops, layout_ops
+
+        for fn in (
+            layout_ops.q150_streaming_foreach_batch,
+            curation_ops.q295_streaming_lsh_dedup,
+        ):
+            assert ".collect()" not in inspect.getsource(fn), fn.__name__
+
+    def test_retried_batch_overwrites_shard(self, spark, tmp_path):
+        from sciencebeam_parser_spark.queries.events_ops import (
+            read_committed_shards,
+            write_batch_shard,
+        )
+
+        out = str(tmp_path / "sink")
+        first = spark.createDataFrame([(1, "a")], "id long, v string")
+        write_batch_shard(first, out, 0)
+        # at-least-once: the engine re-runs batch 0 with the same data
+        # semantics — last write wins, no duplicate rows
+        write_batch_shard(first, out, 0)
+        write_batch_shard(
+            spark.createDataFrame([(2, "b")], "id long, v string"), out, 1
+        )
+        back = read_committed_shards(spark, out, "id long, v string")
+        assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+
+    def test_uncommitted_shard_invisible(self, spark, tmp_path):
+        import os
+
+        from sciencebeam_parser_spark.queries.events_ops import (
+            read_committed_shards,
+            write_batch_shard,
+        )
+
+        out = str(tmp_path / "sink2")
+        write_batch_shard(
+            spark.createDataFrame([(1, "a")], "id long, v string"), out, 0
+        )
+        # crashed attempt: shard written, manifest never published
+        spark.createDataFrame([(9, "z")], "id long, v string").write.json(
+            os.path.join(out, "batch-orphan")
+        )
+        back = read_committed_shards(spark, out, "id long, v string")
+        assert [r["id"] for r in back.collect()] == [1]
+
+    def test_empty_dir_returns_empty_with_schema(self, spark, tmp_path):
+        from sciencebeam_parser_spark.queries.events_ops import (
+            read_committed_shards,
+        )
+
+        out = str(tmp_path / "empty")
+        back = read_committed_shards(spark, out, "id long, v string")
+        assert back.count() == 0
+        assert back.columns == ["id", "v"]
