@@ -169,3 +169,93 @@ def q148_python_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q148_docs d, LATERAL split_tokens(d.text) t
         """
     )
+
+
+@register(
+    "q298_wapiti_sidecar_labels",
+    # the A11 sidecar-inference path, end-to-end under oracle: each
+    # document's first 30 space-split tokens go through the PERSISTENT
+    # wapiti-protocol subprocess (stdin/stdout stream, watchdog timeout,
+    # retry-with-restart — reference models/wapiti_model_impl.py:25-164)
+    # and come back labeled. In-sandbox the sidecar is the deterministic
+    # fake LABELER PROCESS (same protocol, SQL-restatable rule); where a
+    # real `wapiti` binary is on PATH the same code drives
+    # `wapiti label --stream`.
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_slice(
+                   [x FOR x IN string_split(text, ' ') IF x <> ''],
+                   1, 30
+               ) AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM words
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+           CASE WHEN translate(token, '0123456789', '') = '' THEN 'B-num'
+                WHEN length(token) >= 6 THEN 'B-long'
+                WHEN substr(token, 1, 1) IN ('a','e','i','o','u')
+                     THEN 'B-vowel'
+                ELSE 'I-other' END AS label
+    FROM toks
+    """,
+    survey_ref="§2A A11 sequence labeling — the reference-shaped SIDECAR "
+               "inference path (persistent wapiti stream process per "
+               "worker, models/wapiti_model_impl.py:25-164), beside "
+               "q116's in-process weight-table model and q156's Viterbi "
+               "decode",
+    doc="Sequence labeling through the wapiti-protocol sidecar: token "
+        "sequences (one per document, first 30 literal-space tokens) "
+        "stream through mapInPandas; each executor worker holds ONE "
+        "persistent labeling subprocess (executor_singleton) speaking "
+        "the wapiti stream protocol — token lines + blank-line sequence "
+        "terminators in, token<TAB>label lines out — under the "
+        "reference's 20 s watchdog-kill + 10-attempt retry-with-restart "
+        "contract. Only token/label columns cross the Python boundary, "
+        "partition-parallel via repartition_for_python; process startup "
+        "amortizes across every task on the worker. The in-sandbox "
+        "labeler is a real subprocess with a deterministic rule the "
+        "oracle restates (digit/length/vowel classes), so the hash "
+        "proves the whole spawn→stream→decode chain.",
+)
+def q298_wapiti_sidecar_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sciencebeam_parser_spark.plans.wapiti_sidecar import WapitiSidecar
+    from sciencebeam_parser_spark.utils import (
+        executor_singleton,
+        repartition_for_python,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.slice(
+            F.filter(F.split("text", " "), lambda x: x != F.lit("")),
+            1,
+            30,
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+
+    def run(batches):
+        sidecar = executor_singleton("wapiti_sidecar", WapitiSidecar)
+        for pdf in batches:
+            seqs = [list(t) for t in pdf["toks"]]
+            labels = sidecar.label_sequences(seqs)
+            out = {"doc_id": [], "pos": [], "token": [], "label": []}
+            for doc_id, seq, labs in zip(pdf["doc_id"], seqs, labels):
+                for i, (tok, lab) in enumerate(zip(seq, labs), start=1):
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(i)
+                    out["token"].append(tok)
+                    out["label"].append(lab)
+            yield pd.DataFrame(out)
+
+    return repartition_for_python(toks, "doc_id").mapInPandas(
+        run, "doc_id long, pos long, token string, label string"
+    )

@@ -1,0 +1,120 @@
+"""Wapiti-protocol sidecar (SURVEY A11, VERDICT r6 #5): the persistent
+stdin/stdout stream protocol, watchdog-kill timeout, and
+retry-with-restart semantics — reference models/wapiti_model_impl.py."""
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+from sciencebeam_parser_spark.plans.wapiti_sidecar import (
+    WapitiSidecar,
+    fake_labeler_argv,
+    resolve_sidecar_argv,
+)
+
+HANGING_SRC = "import time; time.sleep(999)"
+
+CRASH_ONCE_SRC = r"""
+import os, sys
+marker = {marker!r}
+if not os.path.exists(marker):
+    open(marker, "w").close()
+    sys.exit(1)
+for line in sys.stdin:
+    line = line.rstrip("\n")
+    if not line:
+        sys.stdout.write("\n"); sys.stdout.flush(); continue
+    tok = line.split("\t", 1)[0]
+    sys.stdout.write(tok + "\tB-ok\n"); sys.stdout.flush()
+"""
+
+
+class TestProtocol:
+    def test_labels_round_trip(self):
+        s = WapitiSidecar()
+        out = s.label_sequences(
+            [["12345", "abcdef", "apple", "x"], ["zz"]]
+        )
+        assert out == [
+            ["B-num", "B-long", "B-vowel", "I-other"],
+            ["I-other"],
+        ]
+        s.stop()
+
+    def test_process_persists_across_calls(self):
+        s = WapitiSidecar()
+        s.label_sequences([["a"]])
+        pid1 = s._proc.pid
+        s.label_sequences([["b"], ["c"]])
+        assert s._proc.pid == pid1  # ONE persistent process, reused
+        assert s.restart_counter == 1
+        s.stop()
+
+    def test_empty_input(self):
+        s = WapitiSidecar()
+        assert s.label_sequences([]) == []
+
+    def test_token_with_newline_does_not_desync(self):
+        s = WapitiSidecar()
+        out = s.label_sequences([["bad\ntok", "ok"]])
+        assert len(out) == 1 and len(out[0]) == 2
+        s.stop()
+
+    def test_resolution_order(self, monkeypatch):
+        # injected argv wins
+        assert resolve_sidecar_argv(argv=["x"]) == ["x"]
+        # no wapiti on PATH -> deterministic fake
+        from sciencebeam_parser_spark.sources import binprobe
+
+        monkeypatch.setattr(binprobe, "which", lambda name: None)
+        assert resolve_sidecar_argv(model_path="/m") == fake_labeler_argv()
+        # wapiti present + model path -> real stream invocation
+        monkeypatch.setattr(
+            binprobe, "which", lambda name: "/usr/bin/wapiti"
+        )
+        argv = resolve_sidecar_argv(model_path="/m/model.wapiti")
+        assert argv[:3] == ["/usr/bin/wapiti", "label", "--stream"]
+        assert argv[-1] == "/m/model.wapiti"
+
+
+class TestTimeoutRetry:
+    def test_hanging_sidecar_times_out_kills_and_retries(self):
+        s = WapitiSidecar(
+            argv=[sys.executable, "-u", "-c", HANGING_SRC],
+            timeout_s=0.2,
+            trial_count=2,
+        )
+        with pytest.raises(Exception):
+            s.label_sequences([["tok"]])
+        # the watchdog fired once per attempt (reference
+        # on_wapiti_timeout: counter++ then kill)
+        assert s.timeout_counter == 2
+        # each retry restarted a FRESH process
+        assert s.restart_counter == 2
+        assert s._proc is None  # dead pipe never reused
+
+    def test_crash_once_then_recovers(self, tmp_path):
+        marker = str(tmp_path / "crashed_once")
+        src = CRASH_ONCE_SRC.format(marker=marker)
+        s = WapitiSidecar(
+            argv=[sys.executable, "-u", "-c", src],
+            timeout_s=5.0,
+            trial_count=3,
+        )
+        out = s.label_sequences([["a", "b"]])
+        assert out == [["B-ok", "B-ok"]]
+        assert s.restart_counter == 2  # crashed attempt + the retry
+        assert s.timeout_counter == 0  # crash path, not timeout path
+        s.stop()
+
+    def test_exhausted_retries_reraise(self):
+        # a process that always exits immediately
+        s = WapitiSidecar(
+            argv=[sys.executable, "-c", "import sys; sys.exit(1)"],
+            timeout_s=5.0,
+            trial_count=3,
+        )
+        with pytest.raises(Exception):
+            s.label_sequences([["a"]])
+        assert s.restart_counter == 3  # one fresh process per attempt
