@@ -8,6 +8,8 @@ builders use the native window operators (``F.window``, ``F.session_window``)
 """
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1252,7 +1254,14 @@ def q225_ewma_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-exact.",
 )
 def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # auto-gated (VERDICT r6 #6): one fused hot-key probe picks the
+    # plain window below the measured salting threshold, the
+    # hour-bucket-salted form past it — both row-exact (§13/§18)
+    return transitions_auto(table(spark, sf_dir, "events"))
+
+
+def transitions_via_window(ev: DataFrame) -> DataFrame:
+    """q232's default form: ONE per-user lag window + hash aggregates."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -1274,6 +1283,48 @@ def q232_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p"),
     )
+
+
+# Measured crossover (BASELINE §18, 50%-skew synthetic A/B): at a 5M-row
+# hot key the plain window still wins (§13); the two-pass salted form
+# pays off only once ONE key's sort dominates the job — set past the
+# largest measured window-wins point. At 100 TB with table statistics,
+# feed `probe_hot_key` a sample instead of the full scan.
+TRANSITIONS_SALT_MIN_HOT_ROWS = 20_000_000
+
+
+def probe_hot_key(ev: DataFrame, key: str = "user_id") -> tuple:
+    """(max per-key rows, total rows) in ONE fused agg job — the same
+    single-action discipline as q65/q93's index_probe (separate
+    count()+first() probes measurably double the gate cost)."""
+    row = (
+        ev.groupBy(key)
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("hot"), F.sum("c").alias("n"))
+        .first()
+    )
+    return (row["hot"] or 0, row["n"] or 0)
+
+
+def transitions_auto(
+    ev: DataFrame, min_hot_rows: Optional[int] = None
+) -> DataFrame:
+    """q258's skew-audit signal wired into an automatic form choice.
+
+    The probe is a map-side-combinable per-key count (|keys| shuffle
+    rows); past the measured threshold the hour-bucket-salted form
+    replaces the single window. Both forms are row-exact (equivalence
+    regression in test_round5_ops), so the gate changes only the plan.
+    """
+    threshold = (
+        TRANSITIONS_SALT_MIN_HOT_ROWS
+        if min_hot_rows is None
+        else min_hot_rows
+    )
+    hot, _total = probe_hot_key(ev)
+    if hot >= threshold:
+        return transitions_via_salted_windows(ev)
+    return transitions_via_window(ev)
 
 
 def transitions_via_salted_windows(ev: DataFrame) -> DataFrame:

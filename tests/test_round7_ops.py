@@ -1,0 +1,96 @@
+"""Round-7 operator edge cases: the transitions skew auto-gate and the
+fused hot-key probe."""
+from __future__ import annotations
+
+import datetime
+
+import sciencebeam_parser_spark.queries.events_ops as eo
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+
+
+def _fixture(spark):
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    # hot user 0: 6 events spanning 3 hours (2 per hour)
+    for h in range(3):
+        for k in range(2):
+            rows.append(
+                (
+                    0,
+                    ["view", "click", "cart"][eid % 3],
+                    base + datetime.timedelta(hours=h, minutes=10 * k),
+                    eid,
+                )
+            )
+            eid += 1
+    # two cold users, 2 events each
+    for u in (1, 2):
+        for k in range(2):
+            rows.append(
+                (
+                    u,
+                    ["view", "purchase"][k],
+                    base + datetime.timedelta(minutes=k),
+                    eid,
+                )
+            )
+            eid += 1
+    return _events(spark, rows)
+
+
+class TestTransitionsAutoGate:
+    def test_probe_is_one_fused_job(self, spark):
+        ev = _fixture(spark)
+        hot, total = eo.probe_hot_key(ev)
+        assert (hot, total) == (6, 10)
+
+    def test_gate_picks_form_by_threshold(self, spark, monkeypatch):
+        picked = []
+        real_w = eo.transitions_via_window
+        real_s = eo.transitions_via_salted_windows
+        monkeypatch.setattr(
+            eo,
+            "transitions_via_window",
+            lambda ev: (picked.append("window"), real_w(ev))[1],
+        )
+        monkeypatch.setattr(
+            eo,
+            "transitions_via_salted_windows",
+            lambda ev: (picked.append("salted"), real_s(ev))[1],
+        )
+        ev = _fixture(spark)
+        # hot key (6 rows) >= threshold 5 -> salted escape hatch
+        eo.transitions_auto(ev, min_hot_rows=5)
+        # hot key below threshold -> plain window
+        eo.transitions_auto(ev, min_hot_rows=100)
+        assert picked == ["salted", "window"]
+
+    def test_default_threshold_keeps_window_at_test_scale(
+        self, spark, monkeypatch
+    ):
+        picked = []
+        real_w = eo.transitions_via_window
+        monkeypatch.setattr(
+            eo,
+            "transitions_via_window",
+            lambda ev: (picked.append("window"), real_w(ev))[1],
+        )
+        eo.transitions_auto(_fixture(spark))
+        assert picked == ["window"]
+
+    def test_forms_row_exact_on_boundary_heavy_fixture(self, spark):
+        # 2-per-hour events make HALF the transitions bucket-boundary
+        # crossings — the stitch path carries real weight here
+        ev = _fixture(spark)
+        w = eo.transitions_via_window(ev).collect()
+        s = eo.transitions_via_salted_windows(ev).collect()
+        key = lambda r: (r["prev_type"], r["next_type"])  # noqa: E731
+        assert sorted(
+            (key(r), r["n"], r["p"]) for r in w
+        ) == sorted((key(r), r["n"], r["p"]) for r in s)
