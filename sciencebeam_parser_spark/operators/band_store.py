@@ -82,12 +82,19 @@ class AppendOnlyBandStore:
         root: Optional[str] = None,
         compact_every: int = 0,
         target_bytes: int = 64 * 1024 * 1024,
+        max_shard_files: int = 8,
     ):
         self.spark = spark
         self.root = root or tempfile.mkdtemp(prefix="sbp_bandstore_")
         os.makedirs(self.root, exist_ok=True)
         self.compact_every = compact_every
         self.target_bytes = target_bytes
+        # a batch inherits the upstream partition count (32 on the test
+        # box) but a small increment doesn't need 32 tiny files — the
+        # probe pays a footer read per file per batch. coalesce (no
+        # shuffle) caps it; at 100 TB raise this to keep the write
+        # parallel (the lever is increment size / healthy file size).
+        self.max_shard_files = max_shard_files
         # behavior counters — the O(batch)-not-O(index) pin reads these
         self.rows_written_per_append: List[int] = []
         self.rows_compacted = 0
@@ -154,6 +161,7 @@ class AppendOnlyBandStore:
         path = os.path.join(self.root, shard)
         (
             bands_df.select("band_idx", "band_hash")
+            .coalesce(self.max_shard_files)
             .write.mode("overwrite")
             .parquet(path)
         )

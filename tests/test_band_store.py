@@ -197,3 +197,18 @@ class TestQ297CompactionExecute:
         assert sum(r["n_docs"] for r in rows) == n_docs
         assert sum(r["n_cells"] for r in rows) == n_cells
         assert len(rows) < n_cells  # genuinely fewer files than cells
+
+
+class TestPlanPins:
+    def test_probe_plan_is_left_semi_scan(self, spark, store):
+        store.append(_bands(spark, [(1, 0, "a")]), 0)
+        plan = (
+            store.probe(_bands(spark, [(2, 0, "a")]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # read-only existence probe: a semi join over the parquet scan,
+        # and the write-path's old distinct-the-index shape is absent
+        assert "LeftSemi" in plan
+        assert "Scan parquet" in plan

@@ -118,3 +118,17 @@ class TestTimeoutRetry:
         with pytest.raises(Exception):
             s.label_sequences([["a"]])
         assert s.restart_counter == 3  # one fresh process per attempt
+
+
+class TestPlanPin:
+    def test_q298_is_one_python_stage_partition_parallel(self, spark):
+        from sciencebeam_parser_spark.queries.registry import REGISTRY
+
+        df = REGISTRY["q298_wapiti_sidecar_labels"].build(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE Python boundary (the sidecar mapInPandas), fed by
+        # the explicit repartition that pins partition-parallelism
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" in plan
