@@ -1382,8 +1382,6 @@ def q295_streaming_lsh_dedup(
 def q296_streaming_dedup_index_growth(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import types as T
-
     from sciencebeam_parser_spark.queries.events_ops import (
         _start_bounded_stream,
     )
@@ -1439,8 +1437,13 @@ def q296_streaming_dedup_index_growth(
     shutil.rmtree(store.root, ignore_errors=True)
     os.makedirs(store.root, exist_ok=True)
 
-    state: dict = {"seen": 0}
-    collected: dict = {}
+    from sciencebeam_parser_spark.queries.events_ops import (
+        read_committed_shards,
+        write_batch_shard,
+    )
+
+    out_dir = os.path.join(store.root, "_fresh_out")
+    state: dict = {"seen": 0, "n_batches": 0}
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
@@ -1453,12 +1456,19 @@ def q296_streaming_dedup_index_growth(
         fresh = batch_df.select("doc_id").join(
             collided, "doc_id", "left_anti"
         )
-        collected[batch_id] = [
-            (r["doc_id"], batch_id) for r in fresh.collect()
-        ]
+        # survivors land executor-side through the batchId-keyed
+        # manifest commit — no result row crosses the driver
+        write_batch_shard(
+            fresh.select(
+                "doc_id", F.lit(batch_id).cast("long").alias("batch_id")
+            ),
+            out_dir,
+            batch_id,
+        )
         # append ONLY this batch's bands (batchId-keyed shard + atomic
         # manifest commit — O(batch) write, never an index rewrite)
         store.append(bands, batch_id)
+        state["n_batches"] += 1
         # progress marker LAST: the driver's poll loop stops the query
         # once every row is seen — incrementing before the batch's
         # output/index writes would let the stop kill them mid-flight
@@ -1507,16 +1517,14 @@ def q296_streaming_dedup_index_growth(
             "rows_written_per_append": list(store.rows_written_per_append),
             "rows_compacted": store.rows_compacted,
             "n_compactions": store.n_compactions,
-            "n_batches": len(collected),
+            "n_batches": state["n_batches"],
             "final_shards": list(store.shards()),
         }
     )
+    # the result is the manifest-honoring read-back of the fresh-doc
+    # shards; materialize it before the store directory is cleaned up
+    result = read_committed_shards(
+        spark, out_dir, "doc_id long, batch_id long"
+    ).localCheckpoint()
     store.cleanup()
-    rows = [r for batch in collected.values() for r in batch]
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("batch_id", T.LongType()),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+    return result

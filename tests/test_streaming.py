@@ -178,6 +178,7 @@ class TestManifestSinkProtocol:
         for fn in (
             layout_ops.q150_streaming_foreach_batch,
             curation_ops.q295_streaming_lsh_dedup,
+            curation_ops.q296_streaming_dedup_index_growth,
         ):
             assert ".collect()" not in inspect.getsource(fn), fn.__name__
 
