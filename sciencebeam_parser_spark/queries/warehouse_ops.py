@@ -1938,3 +1938,187 @@ def q297_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key).alias("first_cell"),
         F.max(key).alias("last_cell"),
     )
+
+
+@register(
+    "q299_manifest_delete_time_travel",
+    # the DELETE verb on the manifest store, plus time travel: shards
+    # carry (min_doc_id, max_doc_id, n_rows) stats in the manifest, a
+    # range deletion prunes to ONLY the overlapping shards and rewrites
+    # just those; the new manifest shares every untouched shard file
+    # with the old one (structural sharing), the HEAD pointer swaps
+    # atomically, and BOTH versions stay readable. Result = per-lang
+    # aggregate at version 0 (pre-delete) UNION version 1 (post-delete);
+    # the deletion range is pure integer arithmetic on min/max(doc_id).
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z FROM b)
+    SELECT CAST(0 AS BIGINT) AS version, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents, r WHERE doc_id < r.a OR doc_id > r.z
+    GROUP BY lang
+    """,
+    survey_ref="warehouse surface: targeted-rewrite DELETE with "
+               "manifest column-stats file skipping + snapshot time "
+               "travel (the Delta/Iceberg DELETE + VERSION AS OF verbs) "
+               "— completes the store trilogy with q283's commit "
+               "protocol and q297's OPTIMIZE",
+    doc="Manifest-stats DELETE + time travel: documents land as 16 "
+        "doc_id-ranged JSONL shards whose manifest entries carry "
+        "(min_doc_id, max_doc_id, n_rows) stats; a GDPR-style range "
+        "deletion consults ONLY the stats to prune the affected shard "
+        "set (asserted strictly smaller than the store), reads and "
+        "rewrites JUST those shards, and publishes manifest v1 listing "
+        "rewritten shards beside the untouched originals — byte-level "
+        "structural sharing, old shards never copied or touched. The "
+        "HEAD pointer swaps via os.replace; version 0 remains fully "
+        "readable (snapshot isolation), and the returned DataFrame "
+        "aggregates BOTH versions' manifest read-backs, so the oracle "
+        "proves the delete removed exactly the range from v1 while v0 "
+        "still serves the pre-delete corpus. Work is O(affected "
+        "shards) + O(#files) driver-side — never a table rewrite.",
+)
+def q299_manifest_delete_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q299_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    # one fused probe for the id span (gate-probe discipline)
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    step = (mx - mn) // 16 + 1
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+
+    # v0: 16 doc_id-ranged shards, one file each, stats in the manifest
+    base_rel = "gen0"
+    (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("doc_id") - F.lit(mn)) / F.lit(step))
+            .cast("long")
+            .alias("shard"),
+        )
+        .repartition(16, "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, base_rel))
+    )
+
+    def shard_entries(gen_rel, shard_dirs):
+        paths = sorted(shard_dirs)
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, p) for p in paths])
+            .groupBy("shard")
+            .agg(
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, p),
+                "min_doc_id": by_shard[int(p.split("=")[1])]["mn"],
+                "max_doc_id": by_shard[int(p.split("=")[1])]["mx"],
+                "n_rows": by_shard[int(p.split("=")[1])]["n"],
+            }
+            for p in paths
+            if int(p.split("=")[1]) in by_shard
+        ]
+
+    gen0_dirs = [
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(store, base_rel, "shard=*"))
+    ]
+    v0 = shard_entries(base_rel, gen0_dirs)
+
+    def commit(version, entries):
+        man = os.path.join(store, f"_MANIFEST-v{version}.json")
+        with open(man + ".tmp", "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "shards": entries}, fh)
+        os.replace(man + ".tmp", man)
+        head = os.path.join(store, "_HEAD")
+        with open(head + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(head + ".tmp", head)
+
+    commit(0, v0)
+
+    # DELETE doc_id BETWEEN a AND z: stats-prune to overlapping shards
+    affected = [
+        e for e in v0 if not (e["max_doc_id"] < a or e["min_doc_id"] > z)
+    ]
+    untouched = [e for e in v0 if e not in affected]
+    assert 0 < len(affected) < len(v0), (
+        f"stats skipping must prune: {len(affected)}/{len(v0)} shards"
+    )
+
+    gen1_rel = "gen1"
+    (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("basePath", os.path.join(store, base_rel))
+        .json([os.path.join(store, e["path"]) for e in affected])
+        .filter((F.col("doc_id") < a) | (F.col("doc_id") > z))
+        .repartition(len(affected), "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, gen1_rel))
+    )
+    gen1_dirs = [
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(store, gen1_rel, "shard=*"))
+    ]
+    # v1 = untouched originals (structural sharing — same files) +
+    # rewritten survivors; a fully-deleted shard simply drops out
+    v1 = untouched + shard_entries(gen1_rel, gen1_dirs)
+    commit(1, v1)
+    # time travel invariant: every v0 shard file still exists untouched
+    for e in v0:
+        assert os.path.isdir(os.path.join(store, e["path"]))
+
+    def read_version(version):
+        man = os.path.join(store, f"_MANIFEST-v{version}.json")
+        with open(man, encoding="utf-8") as fh:
+            entries = json.load(fh)["shards"]
+        return spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint"
+        ).json([os.path.join(store, e["path"]) for e in entries])
+
+    def agg(df, version):
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "lang",
+            "n_docs",
+            "total_chars",
+        )
+
+    return agg(read_version(0), 0).unionByName(agg(read_version(1), 1))

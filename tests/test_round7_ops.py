@@ -94,3 +94,50 @@ class TestTransitionsAutoGate:
         assert sorted(
             (key(r), r["n"], r["p"]) for r in w
         ) == sorted((key(r), r["n"], r["p"]) for r in s)
+
+
+class TestQ299DeleteTimeTravel:
+    def test_versions_and_structural_sharing(self, spark):
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from sciencebeam_parser_spark.queries.registry import REGISTRY, table
+
+        rows = (
+            REGISTRY["q299_manifest_delete_time_travel"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        sf = "/root/testdata/sf0.001"
+        n_docs = table(spark, sf, "documents").count()
+        v0 = [r for r in rows if r["version"] == 0]
+        v1 = [r for r in rows if r["version"] == 1]
+        assert sum(r["n_docs"] for r in v0) == n_docs  # v0 = pre-delete
+        deleted = n_docs - sum(r["n_docs"] for r in v1)
+        assert 0 < deleted < n_docs  # the range genuinely deleted rows
+
+        store = [
+            d
+            for d in glob.glob(
+                os.path.join(tempfile.gettempdir(), "sbp_q299_store_sf0.001_*")
+            )
+            if os.path.isdir(d)
+        ][-1]
+        man0 = json.load(
+            open(os.path.join(store, "_MANIFEST-v0.json"))
+        )["shards"]
+        man1 = json.load(
+            open(os.path.join(store, "_MANIFEST-v1.json"))
+        )["shards"]
+        shared = {e["path"] for e in man0} & {e["path"] for e in man1}
+        rewritten = {e["path"] for e in man1} - {e["path"] for e in man0}
+        # structural sharing: untouched shards are the SAME files in both
+        # versions; only stats-overlapping shards were rewritten
+        assert shared and rewritten
+        assert all(p.startswith("gen0/") for p in shared)
+        assert all(p.startswith("gen1/") for p in rewritten)
+        assert len(shared) + len(rewritten) == len(man1)
+        # HEAD points at v1
+        assert open(os.path.join(store, "_HEAD")).read() == "1"
