@@ -2122,3 +2122,203 @@ def q299_manifest_delete_time_travel(
         )
 
     return agg(read_version(0), 0).unionByName(agg(read_version(1), 1))
+
+
+@register(
+    "q300_manifest_merge_upsert",
+    # MERGE completes the manifest-store verb set (q283 commit, q297
+    # OPTIMIZE, q299 DELETE + time travel): an arriving change feed —
+    # UPDATEs touching a contiguous doc_id range (n_chars + 1000) plus
+    # INSERTs of brand-new ids (shifted copies of every 11th doc with
+    # doubled n_chars) — merges into the ranged-shard store. The stats
+    # prune the rewrite to ONLY the shards overlapping the update range;
+    # inserts append as fresh shards; untouched shards carry over
+    # by-reference into manifest v1. Both versions aggregate under one
+    # oracle: v0 = the source table, v1 = the merged restatement.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z FROM b)
+    SELECT CAST(0 AS BIGINT) AS version, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang,
+               CASE WHEN doc_id BETWEEN r.a AND r.z
+                    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents, r
+        UNION ALL
+        SELECT lang, n_chars * 2
+        FROM documents, b WHERE doc_id % 11 = 0
+    ) GROUP BY lang
+    """,
+    survey_ref="warehouse surface: MERGE INTO the manifest store — "
+               "stats-pruned update rewrite + insert append under one "
+               "atomic version commit (the Delta/Iceberg MERGE verb; "
+               "reference analog: the training cache that updates "
+               "changed docs and appends new ones, "
+               "training/cli/generate_data.py:51-56)",
+    doc="Manifest MERGE: the v0 store is 16 doc_id-ranged JSONL shards "
+        "with (min, max, n_rows) stats; the change feed carries "
+        "UPDATEs for a contiguous key range and INSERTs with keys past "
+        "the current max. Stats prune the update rewrite to only the "
+        "overlapping shards (asserted strictly smaller than the "
+        "store); those shards re-land with the update applied via an "
+        "equi-join against the change rows (the honest MERGE shape — "
+        "at scale the join co-partitions change rows with their target "
+        "shards); inserts write as fresh shards beyond the existing "
+        "ranges. Manifest v1 = untouched-by-reference + rewritten + "
+        "appended, committed atomically with the HEAD swap; v0 stays "
+        "readable. Work is O(affected shards + inserts), never a "
+        "table rewrite; the two-version aggregate under one oracle "
+        "proves exactly-once application of both change classes.",
+)
+def q300_manifest_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q300_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    step = (mx - mn) // 16 + 1
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+
+    shard_col = ((F.col("doc_id") - F.lit(mn)) / F.lit(step)).cast(
+        "long"
+    )
+
+    def write_gen(df, gen_rel, n_parts):
+        (
+            df.withColumn("shard", shard_col)
+            .repartition(n_parts, "shard")
+            .write.partitionBy("shard")
+            .json(os.path.join(store, gen_rel))
+        )
+
+    def shard_entries(gen_rel):
+        dirs = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(store, gen_rel, "shard=*"))
+        )
+        if not dirs:
+            return []
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, d) for d in dirs])
+            .groupBy("shard")
+            .agg(
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, d),
+                "min_doc_id": by_shard[int(d.split("=")[1])]["mn"],
+                "max_doc_id": by_shard[int(d.split("=")[1])]["mx"],
+                "n_rows": by_shard[int(d.split("=")[1])]["n"],
+            }
+            for d in dirs
+            if int(d.split("=")[1]) in by_shard
+        ]
+
+    def commit(version, entries):
+        man = os.path.join(store, f"_MANIFEST-v{version}.json")
+        with open(man + ".tmp", "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "shards": entries}, fh)
+        os.replace(man + ".tmp", man)
+        head = os.path.join(store, "_HEAD")
+        with open(head + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write(str(version))
+        os.replace(head + ".tmp", head)
+
+    write_gen(docs.select("doc_id", "lang", "n_chars"), "gen0", 16)
+    v0 = shard_entries("gen0")
+    commit(0, v0)
+
+    # the change feed: updates for [a, z], inserts past mx
+    updates = docs.filter(
+        (F.col("doc_id") >= a) & (F.col("doc_id") <= z)
+    ).select("doc_id", (F.col("n_chars") + 1000).alias("new_n_chars"))
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(mx) + 1).alias("doc_id"),
+        "lang",
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+
+    # stats-pruned UPDATE rewrite: only shards overlapping [a, z]
+    affected = [
+        e for e in v0 if not (e["max_doc_id"] < a or e["min_doc_id"] > z)
+    ]
+    untouched = [e for e in v0 if e not in affected]
+    assert 0 < len(affected) < len(v0), (
+        f"stats skipping must prune: {len(affected)}/{len(v0)}"
+    )
+    merged = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("basePath", os.path.join(store, "gen0"))
+        .json([os.path.join(store, e["path"]) for e in affected])
+        .join(updates, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("new_n_chars", "n_chars").alias("n_chars"),
+        )
+    )
+    write_gen(merged, "gen1-upd", len(affected))
+    # INSERT append: brand-new key ranges land as fresh shards
+    write_gen(inserts, "gen1-ins", 4)
+
+    v1 = untouched + shard_entries("gen1-upd") + shard_entries("gen1-ins")
+    commit(1, v1)
+    for e in v0:  # time travel invariant
+        assert os.path.isdir(os.path.join(store, e["path"]))
+
+    def read_version(version):
+        man = os.path.join(store, f"_MANIFEST-v{version}.json")
+        with open(man, encoding="utf-8") as fh:
+            entries = json.load(fh)["shards"]
+        return spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint"
+        ).json([os.path.join(store, e["path"]) for e in entries])
+
+    def agg(df, version):
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "lang",
+                "n_docs",
+                "total_chars",
+            )
+        )
+
+    return agg(read_version(0), 0).unionByName(agg(read_version(1), 1))

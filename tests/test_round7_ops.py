@@ -141,3 +141,47 @@ class TestQ299DeleteTimeTravel:
         assert len(shared) + len(rewritten) == len(man1)
         # HEAD points at v1
         assert open(os.path.join(store, "_HEAD")).read() == "1"
+
+
+class TestQ300MergeUpsert:
+    def test_merge_classes_and_sharing(self, spark):
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from sciencebeam_parser_spark.queries.registry import REGISTRY, table
+
+        rows = (
+            REGISTRY["q300_manifest_merge_upsert"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        sf = "/root/testdata/sf0.001"
+        docs = table(spark, sf, "documents")
+        n_docs = docs.count()
+        n_inserts = docs.filter("doc_id % 11 = 0").count()
+        v0 = [r for r in rows if r["version"] == 0]
+        v1 = [r for r in rows if r["version"] == 1]
+        assert sum(r["n_docs"] for r in v0) == n_docs
+        # MERGE inserted exactly the shifted copies; updates changed
+        # values, not counts
+        assert sum(r["n_docs"] for r in v1) == n_docs + n_inserts
+        assert sum(r["total_chars"] for r in v1) > sum(
+            r["total_chars"] for r in v0
+        )
+
+        store = [
+            d
+            for d in glob.glob(
+                os.path.join(tempfile.gettempdir(), "sbp_q300_store_sf0.001_*")
+            )
+            if os.path.isdir(d)
+        ][-1]
+        man1 = json.load(
+            open(os.path.join(store, "_MANIFEST-v1.json"))
+        )["shards"]
+        gens = {p["path"].split("/")[0] for p in man1}
+        # v1 mixes all three entry classes: untouched-by-reference,
+        # stats-pruned update rewrites, and appended insert shards
+        assert gens == {"gen0", "gen1-upd", "gen1-ins"}
