@@ -2059,15 +2059,16 @@ def q299_manifest_delete_time_travel(
     ]
     v0 = shard_entries(base_rel, gen0_dirs)
 
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_version as manifest_read_version,
+    )
+
     def commit(version, entries):
-        man = os.path.join(store, f"_MANIFEST-v{version}.json")
-        with open(man + ".tmp", "w", encoding="utf-8") as fh:
-            json.dump({"version": version, "shards": entries}, fh)
-        os.replace(man + ".tmp", man)
-        head = os.path.join(store, "_HEAD")
-        with open(head + ".tmp", "w", encoding="utf-8") as fh:
-            fh.write(str(version))
-        os.replace(head + ".tmp", head)
+        # optimistic concurrency: version files are immutable PUT-IF-
+        # ABSENT creates — a racing writer raises ManifestConflictError
+        # and must retry against the winner's snapshot
+        commit_version(store, version, entries)
 
     commit(0, v0)
 
@@ -2103,9 +2104,7 @@ def q299_manifest_delete_time_travel(
         assert os.path.isdir(os.path.join(store, e["path"]))
 
     def read_version(version):
-        man = os.path.join(store, f"_MANIFEST-v{version}.json")
-        with open(man, encoding="utf-8") as fh:
-            entries = json.load(fh)["shards"]
+        entries = manifest_read_version(store, version)
         return spark.read.schema(
             "doc_id bigint, lang string, n_chars bigint"
         ).json([os.path.join(store, e["path"]) for e in entries])
@@ -2246,15 +2245,16 @@ def q300_manifest_merge_upsert(
             if int(d.split("=")[1]) in by_shard
         ]
 
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_version as manifest_read_version,
+    )
+
     def commit(version, entries):
-        man = os.path.join(store, f"_MANIFEST-v{version}.json")
-        with open(man + ".tmp", "w", encoding="utf-8") as fh:
-            json.dump({"version": version, "shards": entries}, fh)
-        os.replace(man + ".tmp", man)
-        head = os.path.join(store, "_HEAD")
-        with open(head + ".tmp", "w", encoding="utf-8") as fh:
-            fh.write(str(version))
-        os.replace(head + ".tmp", head)
+        # optimistic concurrency: version files are immutable PUT-IF-
+        # ABSENT creates — a racing writer raises ManifestConflictError
+        # and must retry against the winner's snapshot
+        commit_version(store, version, entries)
 
     write_gen(docs.select("doc_id", "lang", "n_chars"), "gen0", 16)
     v0 = shard_entries("gen0")
@@ -2299,9 +2299,7 @@ def q300_manifest_merge_upsert(
         assert os.path.isdir(os.path.join(store, e["path"]))
 
     def read_version(version):
-        man = os.path.join(store, f"_MANIFEST-v{version}.json")
-        with open(man, encoding="utf-8") as fh:
-            entries = json.load(fh)["shards"]
+        entries = manifest_read_version(store, version)
         return spark.read.schema(
             "doc_id bigint, lang string, n_chars bigint"
         ).json([os.path.join(store, e["path"]) for e in entries])
