@@ -2320,3 +2320,170 @@ def q300_manifest_merge_upsert(
         )
 
     return agg(read_version(0), 0).unionByName(agg(read_version(1), 1))
+
+
+@register(
+    "q301_manifest_vacuum",
+    # VACUUM closes the manifest-store verb set (commit q283, OPTIMIZE
+    # q297, DELETE + time travel q299, MERGE q300): after a
+    # stats-pruned range delete produces v1, vacuum(retain=1) drops the
+    # expired v0 manifest and physically removes every shard no kept
+    # version references — fully-deleted shards and the pre-rewrite
+    # originals — while shards shared into v1 survive untouched. The
+    # oracle aggregates the post-vacuum HEAD read-back: content is
+    # provably unchanged by vacuum; only expired history went away.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z FROM b)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents, r WHERE doc_id < r.a OR doc_id > r.z
+    GROUP BY lang
+    """,
+    survey_ref="warehouse surface: VACUUM — retention-bounded physical "
+               "removal of unreferenced shards + expired version "
+               "manifests (the Delta VACUUM / Iceberg expire_snapshots "
+               "verb), completing the store verb set",
+    doc="Manifest VACUUM: the q299 flow (ranged shards with stats, "
+        "range DELETE via pruned rewrite, v1 beside a still-readable "
+        "v0) followed by vacuum(retain=1): the live-file set is the "
+        "union of shards referenced by the RETAINED manifests; every "
+        "other shard dir — fully-deleted ranges and pre-rewrite "
+        "originals — is physically removed and the expired v0 manifest "
+        "deleted, so time travel past the retention window is "
+        "deliberately gone while every retained-version read is "
+        "byte-identical to before. In-query asserts pin that orphans "
+        "were actually removed, that every HEAD-referenced shard "
+        "survived, and that the expired manifest no longer resolves; "
+        "the oracle proves vacuum changed no live content. Work is "
+        "O(#files) driver-side listing + unlink — data never moves.",
+)
+def q301_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        manifest_path,
+        read_head,
+        read_version as manifest_read_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q301_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    step = (mx - mn) // 16 + 1
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+
+    (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("doc_id") - F.lit(mn)) / F.lit(step))
+            .cast("long")
+            .alias("shard"),
+        )
+        .repartition(16, "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, "gen0"))
+    )
+
+    def shard_entries(gen_rel):
+        dirs = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(store, gen_rel, "shard=*"))
+        )
+        if not dirs:
+            return []
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, d) for d in dirs])
+            .groupBy("shard")
+            .agg(
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+            )
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, d),
+                "min_doc_id": by_shard[int(d.split("=")[1])]["mn"],
+                "max_doc_id": by_shard[int(d.split("=")[1])]["mx"],
+            }
+            for d in dirs
+            if int(d.split("=")[1]) in by_shard
+        ]
+
+    v0 = shard_entries("gen0")
+    commit_version(store, 0, v0)
+    affected = [
+        e for e in v0 if not (e["max_doc_id"] < a or e["min_doc_id"] > z)
+    ]
+    untouched = [e for e in v0 if e not in affected]
+    (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("basePath", os.path.join(store, "gen0"))
+        .json([os.path.join(store, e["path"]) for e in affected])
+        .filter((F.col("doc_id") < a) | (F.col("doc_id") > z))
+        .repartition(max(1, len(affected)), "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, "gen1"))
+    )
+    commit_version(store, 1, untouched + shard_entries("gen1"))
+
+    # ---- VACUUM(retain=1): drop expired manifests + unreferenced shards
+    head = read_head(store)
+    retained = [head]
+    live = {
+        e["path"] for v in retained for e in manifest_read_version(store, v)
+    }
+    all_shards = {
+        os.path.relpath(d, store)
+        for d in glob.glob(os.path.join(store, "gen*", "shard=*"))
+    }
+    orphans = all_shards - live
+    assert orphans, "a delete must strand at least one unreferenced shard"
+    for rel in orphans:
+        shutil.rmtree(os.path.join(store, rel))
+    expired = [
+        v
+        for v in range(head)
+        if os.path.exists(manifest_path(store, v)) and v not in retained
+    ]
+    assert expired == [0]
+    for v in expired:
+        os.remove(manifest_path(store, v))
+
+    # post-vacuum invariants: every retained shard survives, expired
+    # history is gone
+    for e in manifest_read_version(store, head):
+        assert os.path.isdir(os.path.join(store, e["path"]))
+    assert not os.path.exists(manifest_path(store, 0))
+
+    entries = manifest_read_version(store, head)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).json([os.path.join(store, e["path"]) for e in entries])
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -185,3 +185,42 @@ class TestQ300MergeUpsert:
         # v1 mixes all three entry classes: untouched-by-reference,
         # stats-pruned update rewrites, and appended insert shards
         assert gens == {"gen0", "gen1-upd", "gen1-ins"}
+
+
+class TestQ301Vacuum:
+    def test_vacuum_drops_history_keeps_live(self, spark):
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from sciencebeam_parser_spark.queries.registry import REGISTRY, table
+
+        rows = (
+            REGISTRY["q301_manifest_vacuum"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        n_docs = table(spark, "/root/testdata/sf0.001", "documents").count()
+        live = sum(r["n_docs"] for r in rows)
+        assert 0 < live < n_docs  # post-delete HEAD, not the full corpus
+
+        store = [
+            d
+            for d in glob.glob(
+                os.path.join(tempfile.gettempdir(), "sbp_q301_store_sf0.001_*")
+            )
+            if os.path.isdir(d)
+        ][-1]
+        # expired history physically gone
+        assert not os.path.exists(os.path.join(store, "_MANIFEST-v0.json"))
+        # every on-disk shard is referenced by the retained manifest —
+        # vacuum left no orphans behind
+        man1 = json.load(
+            open(os.path.join(store, "_MANIFEST-v1.json"))
+        )["shards"]
+        on_disk = {
+            os.path.relpath(d, store)
+            for d in glob.glob(os.path.join(store, "gen*", "shard=*"))
+        }
+        assert on_disk == {e["path"] for e in man1}
