@@ -1528,3 +1528,156 @@ def q296_streaming_dedup_index_growth(
     ).localCheckpoint()
     store.cleanup()
     return result
+
+
+@register(
+    "q302_streaming_versioned_ingest",
+    # the Delta streaming-sink transaction model on the manifest store:
+    # every micro-batch commits ONE new table version (put-if-absent —
+    # a re-delivered batch hits ManifestConflictError and skips
+    # idempotently), each version = all batches so far, and the result
+    # is the METADATA-ONLY time-travel audit: per-version row/char
+    # totals read from manifest stats, no data scanned. Deterministic
+    # batches (doc_id order, the q296 rank formula) make every version
+    # boundary restatable in SQL as a cumulative join.
+    oracle="""
+    WITH bs AS (
+        SELECT greatest(100, (count(*) + 4) // 5) AS b FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_chars,
+               CAST((row_number() OVER (ORDER BY doc_id) - 1) // bs.b
+                    AS BIGINT) AS batch_id
+        FROM documents, bs
+    )
+    SELECT v.batch_id AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT DISTINCT batch_id FROM pos) v
+    JOIN pos p ON p.batch_id <= v.batch_id
+    GROUP BY v.batch_id
+    """,
+    survey_ref="§2B streaming sinks × warehouse versioning: one table "
+               "version per micro-batch under optimistic concurrency "
+               "(the Delta streaming-sink txn/idempotent-writes model) "
+               "+ metadata-only time travel over manifest stats",
+    doc="Streaming versioned ingest: the deterministic Python stream "
+        "source replays the corpus (~5 micro-batches); foreachBatch "
+        "lands each batch as a JSONL shard carrying (n_rows, "
+        "total_chars) stats and commits manifest version <batch_id> = "
+        "every shard so far through the put-if-absent protocol — a "
+        "re-delivered batch raises ManifestConflictError and skips, "
+        "which IS the exactly-once-for-manifest-readers guarantee "
+        "Delta's txn-version sink makes. The returned audit reads ONLY "
+        "manifest stats (O(#versions × #shards) driver metadata, zero "
+        "data scan — the snapshot-history query a 100 TB store answers "
+        "from its log), hash-matched against the cumulative batch "
+        "restatement.",
+)
+def q302_streaming_versioned_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    from sciencebeam_parser_spark.queries.events_ops import (
+        _start_bounded_stream,
+    )
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        ManifestConflictError,
+        commit_version,
+        read_head,
+        read_version as manifest_read_version,
+    )
+    from sciencebeam_parser_spark.sources.pydatasource import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+    expected = table(spark, sf_dir, "documents").count()
+    batch_size = max(100, (expected + 4) // 5)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q302_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    state: dict = {"seen": 0}
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        if n_in == 0:
+            return
+        shard_rel = f"gen-b{batch_id:04d}"
+        out = batch_df.select("doc_id", "lang", "n_chars")
+        out.coalesce(4).write.mode("overwrite").json(
+            os.path.join(store, shard_rel)
+        )
+        stats = out.agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("c")
+        ).first()
+        prev = read_head(store)
+        entries = (
+            list(manifest_read_version(store, prev))
+            if prev is not None
+            else []
+        )
+        entries.append(
+            {
+                "path": shard_rel,
+                "n_rows": stats["n"],
+                "total_chars": stats["c"],
+            }
+        )
+        try:
+            commit_version(store, batch_id, entries)
+        except ManifestConflictError:
+            # re-delivered batch: its version is already committed —
+            # the idempotent skip IS the exactly-once guarantee
+            pass
+        state["seen"] += n_in
+
+    stream = (
+        spark.readStream.format("sbp_doc_stream")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batchSize", str(batch_size))
+        .load()
+    )
+    global _DOC_STREAM_RUNS
+    _DOC_STREAM_RUNS += 1
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .queryName(f"q302_feb_{_DOC_STREAM_RUNS}")
+        .trigger(processingTime="0 seconds")
+    )
+    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
+    try:
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            if state["seen"] >= expected:
+                break
+            _time.sleep(0.3)
+        else:  # pragma: no cover - timeout means missing batches
+            raise TimeoutError(
+                f"doc stream absorbed {state['seen']} of {expected} rows"
+            )
+    finally:
+        q.stop()
+
+    # metadata-only time-travel audit: manifest stats, zero data scan
+    head = read_head(store)
+    rows = []
+    for v in range(head + 1):
+        entries = manifest_read_version(store, v)
+        rows.append(
+            (
+                v,
+                sum(e["n_rows"] for e in entries),
+                sum(e["total_chars"] for e in entries),
+            )
+        )
+    shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version long, n_docs long, total_chars long"
+    )

@@ -224,3 +224,23 @@ class TestQ301Vacuum:
             for d in glob.glob(os.path.join(store, "gen*", "shard=*"))
         }
         assert on_disk == {e["path"] for e in man1}
+
+
+class TestQ302VersionedIngest:
+    def test_versions_cumulative_and_monotonic(self, spark):
+        from sciencebeam_parser_spark.queries.registry import REGISTRY, table
+
+        rows = sorted(
+            REGISTRY["q302_streaming_versioned_ingest"]
+            .build(spark, "/root/testdata/sf0.001")
+            .collect(),
+            key=lambda r: r["version"],
+        )
+        n_docs = table(spark, "/root/testdata/sf0.001", "documents").count()
+        assert [r["version"] for r in rows] == list(range(len(rows)))
+        assert len(rows) >= 2  # genuinely multiple committed versions
+        # strictly growing history, final version = the whole corpus
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_docs"] > prev["n_docs"]
+            assert cur["total_chars"] > prev["total_chars"]
+        assert rows[-1]["n_docs"] == n_docs
