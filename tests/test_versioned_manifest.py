@@ -55,3 +55,34 @@ class TestOptimisticConcurrency:
         commit_version(store, 0, [{"path": "a"}])
         leftovers = [f for f in os.listdir(store) if f.endswith(".tmp")]
         assert leftovers == []
+
+
+class TestRealRace:
+    def test_eight_threads_one_winner(self, tmp_path):
+        import threading
+
+        store = str(tmp_path)
+        outcomes = []
+        lock = threading.Lock()
+
+        def writer(i):
+            try:
+                commit_version(store, 1, [{"path": f"writer-{i}"}])
+                with lock:
+                    outcomes.append(("win", i))
+            except ManifestConflictError:
+                with lock:
+                    outcomes.append(("lose", i))
+
+        threads = [
+            threading.Thread(target=writer, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wins = [i for (o, i) in outcomes if o == "win"]
+        assert len(wins) == 1  # O_EXCL: exactly one writer owns v1
+        assert len(outcomes) == 8
+        # the snapshot is the winner's, intact
+        assert read_version(store, 1) == [{"path": f"writer-{wins[0]}"}]

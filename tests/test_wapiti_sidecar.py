@@ -132,3 +132,37 @@ class TestPlanPin:
         # the explicit repartition that pins partition-parallelism
         assert plan.count("MapInPandas") == 1
         assert "Exchange" in plan
+
+
+class TestProtocolProperties:
+    def test_random_sequences_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        token = st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            min_size=1,
+            max_size=12,
+        )
+        seqs = st.lists(
+            st.lists(token, min_size=1, max_size=6), min_size=1, max_size=4
+        )
+        sidecar = WapitiSidecar()
+
+        @settings(max_examples=20, deadline=None)
+        @given(seqs=seqs)
+        def run(seqs):
+            out = sidecar.label_sequences(seqs)
+            # shape preservation: one label per token, one list per
+            # sequence, no desync across arbitrary unicode tokens
+            assert [len(s) for s in out] == [len(s) for s in seqs]
+            assert all(
+                lab in ("B-num", "B-long", "B-vowel", "I-other")
+                for s in out
+                for lab in s
+            )
+
+        run()
+        sidecar.stop()
