@@ -118,13 +118,18 @@ class TestQ299DeleteTimeTravel:
         deleted = n_docs - sum(r["n_docs"] for r in v1)
         assert 0 < deleted < n_docs  # the range genuinely deleted rows
 
-        store = [
-            d
-            for d in glob.glob(
-                os.path.join(tempfile.gettempdir(), "sbp_q299_store_sf0.001_*")
-            )
-            if os.path.isdir(d)
-        ][-1]
+        store = max(
+            (
+                d
+                for d in glob.glob(
+                    os.path.join(
+                        tempfile.gettempdir(), "sbp_q299_store_sf0.001_*"
+                    )
+                )
+                if os.path.isdir(d)
+            ),
+            key=os.path.getmtime,
+        )
         man0 = json.load(
             open(os.path.join(store, "_MANIFEST-v0.json"))
         )["shards"]
@@ -171,13 +176,18 @@ class TestQ300MergeUpsert:
             r["total_chars"] for r in v0
         )
 
-        store = [
-            d
-            for d in glob.glob(
-                os.path.join(tempfile.gettempdir(), "sbp_q300_store_sf0.001_*")
-            )
-            if os.path.isdir(d)
-        ][-1]
+        store = max(
+            (
+                d
+                for d in glob.glob(
+                    os.path.join(
+                        tempfile.gettempdir(), "sbp_q300_store_sf0.001_*"
+                    )
+                )
+                if os.path.isdir(d)
+            ),
+            key=os.path.getmtime,
+        )
         man1 = json.load(
             open(os.path.join(store, "_MANIFEST-v1.json"))
         )["shards"]
@@ -205,13 +215,18 @@ class TestQ301Vacuum:
         live = sum(r["n_docs"] for r in rows)
         assert 0 < live < n_docs  # post-delete HEAD, not the full corpus
 
-        store = [
-            d
-            for d in glob.glob(
-                os.path.join(tempfile.gettempdir(), "sbp_q301_store_sf0.001_*")
-            )
-            if os.path.isdir(d)
-        ][-1]
+        store = max(
+            (
+                d
+                for d in glob.glob(
+                    os.path.join(
+                        tempfile.gettempdir(), "sbp_q301_store_sf0.001_*"
+                    )
+                )
+                if os.path.isdir(d)
+            ),
+            key=os.path.getmtime,
+        )
         # expired history physically gone
         assert not os.path.exists(os.path.join(store, "_MANIFEST-v0.json"))
         # every on-disk shard is referenced by the retained manifest —
