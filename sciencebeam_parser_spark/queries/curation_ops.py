@@ -1366,13 +1366,15 @@ def q295_streaming_lsh_dedup(
         "the codegen'd batch machinery, anti-joins docs whose bands "
         "collide with the APPEND-ONLY persisted band store "
         "(operators/band_store.py), and appends ONLY the batch's own "
-        "bands as a batchId-keyed parquet shard under an atomic "
-        "manifest commit — a retried batch overwrites the same shard, "
-        "so idempotence needs no full-index distinct, and per-batch "
-        "write cost is O(batch), not O(index); the probe is a "
-        "read-only left_semi scan.  Every few appends the store "
-        "bin-packs undersized shards (the q257 next-fit plan, "
-        "executed) and swaps the manifest atomically.  Batch 0 is "
+        "bands as batchId-keyed, band_idx-partitioned parquet cells "
+        "under a versioned put-if-absent manifest commit (the same OCC "
+        "protocol as q297/q299-q302) — a retried batch overwrites the "
+        "same cells, so idempotence needs no full-index distinct, and "
+        "per-batch write cost is O(batch), not O(index); the probe is "
+        "a read-only left_semi scan PRUNED by the increment's per-band "
+        "hash envelope against per-cell manifest stats.  Every few "
+        "appends the store bin-packs undersized cells per band (the "
+        "q257 next-fit plan, executed) in an OPTIMIZE commit.  Batch 0 is "
         "all-fresh by construction; every later batch dedups against "
         "everything before it. batchSize scales with the corpus "
         "(max(100, ceil(n/5)) — ~5 increments at any sf, identical "
@@ -1665,10 +1667,17 @@ def q302_streaming_versioned_ingest(
     finally:
         q.stop()
 
-    # metadata-only time-travel audit: manifest stats, zero data scan
-    head = read_head(store)
+    # metadata-only time-travel audit: manifest stats, zero data scan.
+    # Enumerate COMMITTED versions rather than assuming 0..head is
+    # contiguous — an empty non-final micro-batch returns before
+    # commit_version and would leave a gap (ADVICE r7).
+    committed = sorted(
+        int(name[len("_MANIFEST-v"):-len(".json")])
+        for name in os.listdir(store)
+        if name.startswith("_MANIFEST-v") and name.endswith(".json")
+    )
     rows = []
-    for v in range(head + 1):
+    for v in committed:
         entries = manifest_read_version(store, v)
         rows.append(
             (

@@ -2487,3 +2487,717 @@ def q301_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "q303_manifest_schema_evolution",
+    # ADD COLUMN on the manifest store (the Delta/Iceberg schema-
+    # evolution verb): v0 shards carry (doc_id, lang, n_chars); v1
+    # appends shards written under an EVOLVED schema with a new
+    # `quality` column, and the manifest records each entry's schema
+    # version. A HEAD read merges the generations: old shards backfill
+    # quality as NULL — no data rewrite, ever. The oracle restates the
+    # split (old half / new half by doc_id midpoint) and the NULL
+    # backfill with integer arithmetic.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    s AS (SELECT mn + (mx - mn) // 2 AS sp FROM b)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id >= s.sp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_quality,
+           CAST(coalesce(sum(CASE WHEN doc_id >= s.sp
+                                  THEN n_chars % 97 END), 0)
+                AS BIGINT) AS sum_quality
+    FROM documents, s
+    GROUP BY lang
+    """,
+    survey_ref="warehouse surface: schema evolution — ADD COLUMN as a "
+               "manifest-metadata commit with NULL backfill on read "
+               "(the Delta mergeSchema / Iceberg add-column verb), "
+               "extending the q297-q302 verb set",
+    doc="Manifest schema evolution: the older corpus half lands as v0 "
+        "shards under schema s1 (doc_id, lang, n_chars); the newer "
+        "half arrives AFTER an ADD COLUMN and lands as v1 shards under "
+        "schema s2 (+ quality = n_chars % 97, exact int64). Each "
+        "manifest entry records its schema tag; committing v1 is "
+        "metadata-only for the old files — no rewrite. The HEAD read "
+        "back-fills quality as NULL for s1 entries and unions by name "
+        "(exactly Spark's own mergeSchema semantics, restated on the "
+        "store's terms), then aggregates per lang: total rows, rows "
+        "carrying the new column, and its exact integer sum. At scale "
+        "this is the only affordable ADD COLUMN — backfill-on-read "
+        "costs nothing until an OPTIMIZE naturally rewrites old "
+        "shards into the new schema.",
+)
+def q303_manifest_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_head,
+        read_version as manifest_read_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q303_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    sp = mn + (mx - mn) // 2
+
+    schema_v1 = "doc_id bigint, lang string, n_chars bigint"
+    schema_v2 = schema_v1 + ", quality bigint"
+
+    def write_gen(df, gen_rel, n_parts):
+        (
+            df.repartition(n_parts, "doc_id")
+            .write.mode("overwrite")
+            .json(os.path.join(store, gen_rel))
+        )
+        return [
+            os.path.relpath(p, store)
+            for p in sorted(
+                glob.glob(os.path.join(store, gen_rel, "part-*"))
+            )
+        ]
+
+    # v0: the pre-evolution half under schema s1
+    old_files = write_gen(
+        docs.filter(F.col("doc_id") < sp).select(
+            "doc_id", "lang", "n_chars"
+        ),
+        "gen0",
+        4,
+    )
+    v0 = [{"path": p, "schema": "s1"} for p in old_files]
+    commit_version(store, 0, v0)
+
+    # ADD COLUMN quality, then the newer half arrives under schema s2.
+    # v1 = all v0 entries BY REFERENCE (metadata-only evolution — the
+    # old files are never rewritten) + the new-schema shards.
+    new_files = write_gen(
+        docs.filter(F.col("doc_id") >= sp).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 97).alias("quality"),
+        ),
+        "gen1",
+        4,
+    )
+    v1 = v0 + [{"path": p, "schema": "s2"} for p in new_files]
+    commit_version(store, 1, v1)
+    for e in v0:  # evolution is metadata-only: old files untouched
+        assert os.path.exists(os.path.join(store, e["path"]))
+
+    # HEAD read: per-entry schema, NULL backfill for pre-evolution files
+    entries = manifest_read_version(store, read_head(store))
+    s1_paths = [
+        os.path.join(store, e["path"]) for e in entries if e["schema"] == "s1"
+    ]
+    s2_paths = [
+        os.path.join(store, e["path"]) for e in entries if e["schema"] == "s2"
+    ]
+    olds = (
+        spark.read.schema(schema_v1)
+        .json(s1_paths)
+        .withColumn("quality", F.lit(None).cast("long"))
+    )
+    news = spark.read.schema(schema_v2).json(s2_paths)
+    merged = olds.unionByName(news)
+    return merged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0))
+        .cast("long")
+        .alias("sum_quality"),
+    )
+
+
+@register(
+    "q304_manifest_change_data_feed",
+    # the Change Data Feed verb (Delta CDF / Iceberg changelog): a MERGE
+    # into the manifest store ALSO emits its row-level change feed —
+    # update_preimage / update_postimage / insert rows — as committed
+    # _change_data shards keyed to the version that produced them, so
+    # downstream incremental consumers (a streaming dedup index, a
+    # feature store, an index rebuild) replay exactly what changed
+    # without diffing table versions. The result is the read-back of
+    # the committed feed; the oracle restates all three change classes.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z,
+                 mx FROM b)
+    SELECT doc_id, 'update_preimage' AS change_type,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents, r WHERE doc_id BETWEEN r.a AND r.z
+    UNION ALL
+    SELECT doc_id, 'update_postimage' AS change_type,
+           CAST(n_chars + 1000 AS BIGINT) AS n_chars
+    FROM documents, r WHERE doc_id BETWEEN r.a AND r.z
+    UNION ALL
+    SELECT doc_id + r.mx + 1 AS doc_id, 'insert' AS change_type,
+           CAST(n_chars * 3 AS BIGINT) AS n_chars
+    FROM documents, r WHERE doc_id % 7 = 0
+    """,
+    survey_ref="warehouse surface: MERGE with Change Data Feed — "
+               "row-level preimage/postimage/insert emission committed "
+               "beside the version that produced it (the Delta CDF "
+               "verb), feeding incremental consumers like q296's "
+               "streaming dedup index",
+    doc="Change data feed: the q300 MERGE (range updates + key-shifted "
+        "inserts) additionally writes its row-level changes as "
+        "_change_data JSONL shards partitioned by change_type, and the "
+        "commit for table v1 records the feed files alongside the data "
+        "entries. Preimages come from the SAME stats-pruned shard read "
+        "the update rewrite uses (no second scan class), postimages "
+        "from the applied join, inserts from the append set. The "
+        "returned DataFrame is the committed feed's read-back — "
+        "proving the feed is durable and replayable, not a by-product "
+        "kept in memory. At 100 TB the CDF is what makes downstream "
+        "incremental maintenance O(changes) instead of O(table-diff).",
+)
+def q304_manifest_change_data_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_head,
+        read_version as manifest_read_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q304_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    step = (mx - mn) // 16 + 1
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+
+    # v0: ranged shards with stats (the q299/q300 store shape)
+    (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("doc_id") - F.lit(mn)) / F.lit(step))
+            .cast("long")
+            .alias("shard"),
+        )
+        .repartition(16, "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, "gen0"))
+    )
+
+    def shard_entries(gen_rel):
+        dirs = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(store, gen_rel, "shard=*"))
+        )
+        if not dirs:
+            return []
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, d) for d in dirs])
+            .groupBy("shard")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, d),
+                "min_doc_id": by_shard[int(d.split("=")[1])]["mn"],
+                "max_doc_id": by_shard[int(d.split("=")[1])]["mx"],
+            }
+            for d in dirs
+            if int(d.split("=")[1]) in by_shard
+        ]
+
+    v0 = shard_entries("gen0")
+    commit_version(store, 0, v0)
+
+    updates = docs.filter(
+        (F.col("doc_id") >= a) & (F.col("doc_id") <= z)
+    ).select("doc_id", (F.col("n_chars") + 1000).alias("new_n_chars"))
+    inserts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(mx) + 1).alias("doc_id"),
+        "lang",
+        (F.col("n_chars") * 3).alias("n_chars"),
+    )
+
+    # stats-pruned update rewrite (one read serves BOTH the rewrite and
+    # the preimage side of the feed)
+    affected = [
+        e for e in v0 if not (e["max_doc_id"] < a or e["min_doc_id"] > z)
+    ]
+    untouched = [e for e in v0 if e not in affected]
+    assert 0 < len(affected) < len(v0)
+    affected_rows = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("basePath", os.path.join(store, "gen0"))
+        .json([os.path.join(store, e["path"]) for e in affected])
+        .join(updates, "doc_id", "left")
+        .localCheckpoint()  # one scan feeds rewrite + preimage + postimage
+    )
+    merged = affected_rows.select(
+        "doc_id", "lang", F.coalesce("new_n_chars", "n_chars").alias("n_chars"),
+        "shard",
+    )
+    (
+        merged.repartition(len(affected), "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, "gen1-upd"))
+    )
+    (
+        inserts.withColumn(
+            "shard",
+            ((F.col("doc_id") - F.lit(mn)) / F.lit(step)).cast("long"),
+        )
+        .repartition(4, "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(store, "gen1-ins"))
+    )
+
+    # the change feed: preimage/postimage from the touched rows only,
+    # inserts verbatim — written partitioned by change_type and
+    # committed as _change_data entries on version 1
+    touched = affected_rows.filter(F.col("new_n_chars").isNotNull())
+    feed = (
+        touched.select(
+            "doc_id",
+            F.lit("update_preimage").alias("change_type"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .unionByName(
+            touched.select(
+                "doc_id",
+                F.lit("update_postimage").alias("change_type"),
+                F.col("new_n_chars").cast("long").alias("n_chars"),
+            )
+        )
+        .unionByName(
+            inserts.select(
+                "doc_id",
+                F.lit("insert").alias("change_type"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+        )
+    )
+    feed_rel = "_change_data/v1"
+    (
+        feed.repartition(3, "change_type")
+        .write.partitionBy("change_type")
+        .json(os.path.join(store, feed_rel))
+    )
+    feed_entries = [
+        {"path": os.path.relpath(d, store), "change_data": True}
+        for d in sorted(
+            glob.glob(os.path.join(store, feed_rel, "change_type=*"))
+        )
+    ]
+    v1 = (
+        untouched
+        + shard_entries("gen1-upd")
+        + shard_entries("gen1-ins")
+        + feed_entries
+    )
+    commit_version(store, 1, v1)
+
+    # the deliverable is the COMMITTED feed's read-back
+    entries = manifest_read_version(store, read_head(store))
+    cdf_paths = [
+        os.path.join(store, e["path"])
+        for e in entries
+        if e.get("change_data")
+    ]
+    assert len(cdf_paths) == 3  # one cell per change class
+    return (
+        spark.read.schema("doc_id bigint, n_chars bigint")
+        .option("basePath", os.path.join(store, feed_rel))
+        .json(cdf_paths)
+        .select("doc_id", F.col("change_type").cast("string"), "n_chars")
+    )
+
+
+@register(
+    "q305_manifest_shallow_clone",
+    # the SHALLOW CLONE verb (Delta CLONE / Iceberg snapshot ref): a new
+    # table whose manifest REFERENCES the source's shard files — zero
+    # data copied — after which the clone evolves independently (here: a
+    # stats-pruned range DELETE) by rewriting only what it touches into
+    # its OWN directory. The source's files and HEAD are byte-untouched
+    # throughout (asserted), proving isolation-by-reference. Result =
+    # both tables' HEAD read-backs under one oracle.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z FROM b)
+    SELECT 'source' AS tbl, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'clone' AS tbl, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents, r WHERE doc_id < r.a OR doc_id > r.z
+    GROUP BY lang
+    """,
+    survey_ref="warehouse surface: SHALLOW CLONE — zero-copy table "
+               "branching via manifest file references, with "
+               "copy-on-write divergence (the Delta CLONE verb; the "
+               "dev/test-on-production-data and experiment-branching "
+               "pattern), extending the q297-q304 verb set",
+    doc="Shallow clone: the source store is 16 doc_id-ranged stat-"
+        "carrying JSONL shards at v0; CLONE commits a new store whose "
+        "v0 entries hold ABSOLUTE references to the source's files — "
+        "O(#entries) metadata, zero bytes moved. A range DELETE on the "
+        "clone then stats-prunes to the overlapping referenced shards, "
+        "rewrites the survivors into the CLONE's own directory, and "
+        "commits clone-v1 = untouched source references + local "
+        "rewrites. Asserts pin that every source file still exists and "
+        "the source HEAD never moved; the two-table aggregate oracle "
+        "proves the source serves the full corpus while the clone "
+        "serves the deleted view. At 100 TB this is how experiment "
+        "branches and reproducible snapshots cost metadata, not "
+        "storage.",
+)
+def q305_manifest_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_head,
+        read_version as manifest_read_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q305_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    src_store = os.path.join(base, "source")
+    clone_store = os.path.join(base, "clone")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_store, exist_ok=True)
+    os.makedirs(clone_store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    mn, mx = span["mn"], span["mx"]
+    step = (mx - mn) // 16 + 1
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+
+    (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("doc_id") - F.lit(mn)) / F.lit(step))
+            .cast("long")
+            .alias("shard"),
+        )
+        .repartition(16, "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(src_store, "gen0"))
+    )
+
+    def shard_entries(store, gen_rel):
+        dirs = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(store, gen_rel, "shard=*"))
+        )
+        if not dirs:
+            return []
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, d) for d in dirs])
+            .groupBy("shard")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .collect()
+        )
+        by_shard = {r["shard"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, d),
+                "min_doc_id": by_shard[int(d.split("=")[1])]["mn"],
+                "max_doc_id": by_shard[int(d.split("=")[1])]["mx"],
+            }
+            for d in dirs
+            if int(d.split("=")[1]) in by_shard
+        ]
+
+    def resolve(store, entry):
+        p = entry["path"]
+        return p if os.path.isabs(p) else os.path.join(store, p)
+
+    src_v0 = shard_entries(src_store, "gen0")
+    commit_version(src_store, 0, src_v0)
+
+    # CLONE: metadata-only — absolute references to the source's files
+    clone_v0 = [
+        {**e, "path": os.path.join(src_store, e["path"])} for e in src_v0
+    ]
+    commit_version(clone_store, 0, clone_v0)
+
+    # DELETE on the CLONE: stats-prune, rewrite survivors LOCALLY
+    affected = [
+        e
+        for e in clone_v0
+        if not (e["max_doc_id"] < a or e["min_doc_id"] > z)
+    ]
+    untouched = [e for e in clone_v0 if e not in affected]
+    assert 0 < len(affected) < len(clone_v0)
+    (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("basePath", os.path.join(src_store, "gen0"))
+        .json([resolve(clone_store, e) for e in affected])
+        .filter((F.col("doc_id") < a) | (F.col("doc_id") > z))
+        .repartition(max(1, len(affected)), "shard")
+        .write.partitionBy("shard")
+        .json(os.path.join(clone_store, "gen1"))
+    )
+    commit_version(
+        clone_store, 1, untouched + shard_entries(clone_store, "gen1")
+    )
+
+    # isolation-by-reference invariants: the source never noticed
+    assert read_head(src_store) == 0
+    for e in src_v0:
+        assert os.path.isdir(os.path.join(src_store, e["path"]))
+
+    def read_store(store):
+        entries = manifest_read_version(store, read_head(store))
+        return spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint"
+        ).json([resolve(store, e) for e in entries])
+
+    def agg(df, tbl):
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        ).select(F.lit(tbl).alias("tbl"), "lang", "n_docs", "total_chars")
+
+    return agg(read_store(src_store), "source").unionByName(
+        agg(read_store(clone_store), "clone")
+    )
+
+
+@register(
+    "q306_zorder_clustering",
+    # multi-dimensional clustering (Delta Z-ORDER / OPTIMIZE ZORDER BY,
+    # Iceberg sort-order z-curve): re-cluster the store's files on the
+    # INTERLEAVED bits of two dimensions so per-file min/max stats are
+    # tight on BOTH — a 2-D box predicate then prunes files that a
+    # single-dimension (linear) layout must read. Both layouts carry
+    # identical per-file (min,max) stats for both dims and use the SAME
+    # pruning rule; the in-query assert pins that the z-layout scans
+    # strictly fewer files for the same box. The result is the box
+    # aggregate from the PRUNED z-order read, under an integer-
+    # arithmetic oracle.
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+                      min(n_chars) AS cmn, max(n_chars) AS cmx
+               FROM documents),
+    r AS (SELECT mn + (mx - mn) // 4 AS a, mn + (mx - mn) // 2 AS z,
+                 cmn + (cmx - cmn) // 4 AS ca, cmn + (cmx - cmn) // 2 AS cz
+          FROM b)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents, r
+    WHERE doc_id BETWEEN r.a AND r.z AND n_chars BETWEEN r.ca AND r.cz
+    GROUP BY lang
+    """,
+    survey_ref="warehouse surface: Z-ORDER clustering — space-filling-"
+               "curve file layout for multi-dimensional stats pruning "
+               "(the Delta OPTIMIZE ZORDER BY verb), completing the "
+               "layout-management verbs beside q297's OPTIMIZE "
+               "bin-packing",
+    doc="Z-order clustering: documents land twice as 16-file stores — "
+        "LINEAR (ranged by doc_id only, the q299 layout) and Z-ORDERED "
+        "(files keyed by the bit-interleave of each dimension's 2-bit "
+        "bucket: cell = bx0 | by0<<1 | bx1<<2 | by1<<3 — a 4x4 "
+        "z-curve over (doc_id, n_chars)). Every manifest entry carries "
+        "per-file (min,max) for BOTH dims, measured from the data. A "
+        "2-D box query (middle quarter of each dimension) prunes both "
+        "stores with the identical stats rule; the linear layout is "
+        "tight on doc_id but spans all of n_chars per file, so it "
+        "keeps more files than the z-layout, which is tight on both — "
+        "asserted strictly fewer. The returned aggregate reads ONLY "
+        "the z-pruned files, so correctness of pruning is "
+        "oracle-proven, not just counted. At 100 TB this is the verb "
+        "that turns multi-predicate scans from full-partition reads "
+        "into a handful of files.",
+)
+def q306_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sciencebeam_parser_spark.sinks.versioned_manifest import (
+        commit_version,
+        read_head,
+        read_version as manifest_read_version,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"sbp_q306_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    span = docs.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.min("n_chars").alias("cmn"),
+        F.max("n_chars").alias("cmx"),
+    ).first()
+    mn, mx, cmn, cmx = span["mn"], span["mx"], span["cmn"], span["cmx"]
+    a = mn + (mx - mn) // 4
+    z = mn + (mx - mn) // 2
+    ca = cmn + (cmx - cmn) // 4
+    cz = cmn + (cmx - cmn) // 2
+
+    # 2-bit bucket per dimension (exact integer arithmetic)
+    bx = ((F.col("doc_id") - F.lit(mn)) * 4 / F.lit(mx - mn + 1)).cast(
+        "long"
+    )
+    by = ((F.col("n_chars") - F.lit(cmn)) * 4 / F.lit(cmx - cmn + 1)).cast(
+        "long"
+    )
+    # z-curve cell: interleave the two 2-bit buckets
+    zcell = (
+        (bx.bitwiseAND(F.lit(1)))
+        + F.shiftleft(by.bitwiseAND(F.lit(1)), 1)
+        + F.shiftleft(F.shiftright(bx, 1).bitwiseAND(F.lit(1)), 2)
+        + F.shiftleft(F.shiftright(by, 1).bitwiseAND(F.lit(1)), 3)
+    )
+    # linear cell: 16 ranged doc_id shards (the q299 layout)
+    step = (mx - mn) // 16 + 1
+    lcell = ((F.col("doc_id") - F.lit(mn)) / F.lit(step)).cast("long")
+
+    base = docs.select("doc_id", "lang", "n_chars")
+
+    def write_layout(cell_col, gen_rel):
+        (
+            base.withColumn("cell", cell_col)
+            .repartition(16, "cell")
+            .write.partitionBy("cell")
+            .json(os.path.join(store, gen_rel))
+        )
+        dirs = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(store, gen_rel, "cell=*"))
+        )
+        stats = (
+            spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+            .option("basePath", os.path.join(store, gen_rel))
+            .json([os.path.join(store, gen_rel, d) for d in dirs])
+            .groupBy("cell")
+            .agg(
+                F.min("doc_id").alias("dmn"),
+                F.max("doc_id").alias("dmx"),
+                F.min("n_chars").alias("cmn"),
+                F.max("n_chars").alias("cmx"),
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in stats}
+        return [
+            {
+                "path": os.path.join(gen_rel, d),
+                "min_doc_id": by_cell[int(d.split("=")[1])]["dmn"],
+                "max_doc_id": by_cell[int(d.split("=")[1])]["dmx"],
+                "min_n_chars": by_cell[int(d.split("=")[1])]["cmn"],
+                "max_n_chars": by_cell[int(d.split("=")[1])]["cmx"],
+            }
+            for d in dirs
+            if int(d.split("=")[1]) in by_cell
+        ]
+
+    linear = write_layout(lcell, "linear")
+    zorder = write_layout(zcell, "zorder")
+    commit_version(store, 0, linear)
+    commit_version(store, 1, zorder)  # the OPTIMIZE ZORDER commit
+
+    # identical stats rule, both layouts: keep files whose (min,max)
+    # box intersects the query box on BOTH dims
+    def prune(entries):
+        return [
+            e
+            for e in entries
+            if not (
+                e["max_doc_id"] < a
+                or e["min_doc_id"] > z
+                or e["max_n_chars"] < ca
+                or e["min_n_chars"] > cz
+            )
+        ]
+
+    l_kept = prune(manifest_read_version(store, 0))
+    z_kept = prune(manifest_read_version(store, read_head(store)))
+    # THE clustering claim: tight stats on both dims prune harder
+    assert len(z_kept) < len(l_kept), (
+        f"z-order must out-prune linear: {len(z_kept)} vs {len(l_kept)}"
+    )
+    assert len(z_kept) < len(zorder)
+
+    # the box aggregate from ONLY the z-pruned files — pruning
+    # correctness is oracle-proven, not just counted
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .json([os.path.join(store, e["path"]) for e in z_kept])
+        .filter(
+            (F.col("doc_id") >= a)
+            & (F.col("doc_id") <= z)
+            & (F.col("n_chars") >= ca)
+            & (F.col("n_chars") <= cz)
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1,15 +1,20 @@
-"""Append-only band store (VERDICT r6 #1): the O(batch)-not-O(index)
-write-path pin, manifest-commit idempotence/atomicity, executed
-compaction, and the q296 end-to-end behavior pin."""
+"""Append-only band store (VERDICT r6 #1, r7 #3/#4): the
+O(batch)-not-O(index) write-path pin, versioned-manifest OCC commits,
+band-partitioned stats-pruned probes, executed compaction, vacuum, and
+the q296 end-to-end behavior pin."""
 from __future__ import annotations
 
-import json
 import os
+import threading
 
 import pytest
 
 from sciencebeam_parser_spark.operators.band_store import (
     AppendOnlyBandStore,
+)
+from sciencebeam_parser_spark.sinks.versioned_manifest import (
+    read_head,
+    read_version,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -60,27 +65,158 @@ class TestAppendProbe:
         index = store.read_index()
         assert index.count() == 2  # last write wins — no duplicates
 
-    def test_manifest_commit_is_atomic_json(self, spark, store):
-        store.append(_bands(spark, [(1, 0, "a")]), 0)
-        with open(os.path.join(store.root, "_MANIFEST.json")) as fh:
-            manifest = json.load(fh)
-        assert [s["path"] for s in manifest["shards"]] == [
-            "bands-batch-00000000"
-        ]
-        # no torn temp file left behind after os.replace
-        assert not os.path.exists(
-            os.path.join(store.root, "_MANIFEST.json.tmp")
-        )
-
     def test_uncommitted_shard_is_invisible(self, spark, store):
         store.append(_bands(spark, [(1, 0, "a")]), 0)
         # a crashed attempt's orphan shard (written, never committed)
         orphan = _bands(spark, [(9, 0, "zz")])
-        orphan.select("band_idx", "band_hash").write.parquet(
-            os.path.join(store.root, "bands-batch-orphan")
+        orphan.select("band_hash").write.parquet(
+            os.path.join(store.root, "bands-batch-orphan/band_idx=0")
         )
         probe = _bands(spark, [(5, 0, "zz")])
         assert store.probe(probe).count() == 0
+
+
+class TestVersionedCommits:
+    def test_each_append_commits_one_version(self, spark, store):
+        store.append(_bands(spark, [(1, 0, "a")]), 0)
+        assert read_head(store.root) == 0
+        store.append(_bands(spark, [(2, 0, "b")]), 1)
+        assert read_head(store.root) == 1
+        # version files are immutable history: v0 still reads back
+        v0 = read_version(store.root, 0)
+        assert [e["batch_id"] for e in v0] == [0]
+        v1 = read_version(store.root, 1)
+        assert sorted(e["batch_id"] for e in v1) == [0, 1]
+
+    def test_entries_carry_band_and_hash_stats(self, spark, store):
+        store.append(
+            _bands(spark, [(1, 0, "aa"), (1, 0, "cc"), (1, 1, "mm")]), 0
+        )
+        by_band = {e["band_idx"]: e for e in store.entries()}
+        assert set(by_band) == {0, 1}
+        assert by_band[0]["min_hash"] == "aa"
+        assert by_band[0]["max_hash"] == "cc"
+        assert by_band[0]["rows"] == 2
+        assert by_band[1]["rows"] == 1
+        assert all(e["path"].startswith("bands-batch-") for e in by_band.values())
+
+    def test_concurrent_appends_both_land_via_occ(self, spark, tmp_path):
+        # two writers race: put-if-absent versions mean neither clobbers
+        s = AppendOnlyBandStore(spark, root=str(tmp_path / "r"))
+        dfs = {
+            1: _bands(spark, [(1, 0, "a")]),
+            2: _bands(spark, [(2, 0, "b")]),
+        }
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def run(bid):
+            try:
+                barrier.wait()
+                s.append(dfs[bid], bid)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        ts = [threading.Thread(target=run, args=(b,)) for b in (1, 2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert read_head(s.root) == 1  # two commits, versions 0 and 1
+        hashes = {r["band_hash"] for r in s.read_index().collect()}
+        assert hashes == {"a", "b"}  # no lost update
+        s.cleanup()
+
+    def test_concurrent_append_and_compact_resolve(self, spark, tmp_path):
+        # VERDICT r7 #4: the append-vs-OPTIMIZE race on one protocol —
+        # whoever loses the version CAS re-reads and retries; compaction
+        # aborts if its sources vanished. Final state must contain every
+        # appended row exactly once per (band, hash).
+        s = AppendOnlyBandStore(
+            spark, root=str(tmp_path / "ac"), target_bytes=1 << 30
+        )
+        for b in range(4):
+            s.append(_bands(spark, [(b, 0, f"h{b}")]), b)
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def appender():
+            try:
+                barrier.wait()
+                s.append(_bands(spark, [(99, 0, "h99")]), 99)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        def compactor():
+            try:
+                barrier.wait()
+                s.compact()
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        ts = [
+            threading.Thread(target=appender),
+            threading.Thread(target=compactor),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        hashes = sorted(
+            r["band_hash"] for r in s.read_index().collect()
+        )
+        assert hashes == ["h0", "h1", "h2", "h3", "h99"]
+        s.cleanup()
+
+
+class TestProbePruning:
+    def test_probe_prunes_untouched_bands(self, spark, store):
+        # VERDICT r7 #3 pin: an increment touching a SUBSET of bands
+        # reads fewer entries than the manifest lists
+        # two rows per band cell -> wide [a_, z_] hash envelopes, so
+        # only the band filter prunes here (range pruning has its own
+        # test below)
+        store.append(
+            _bands(
+                spark,
+                [(1, b, f"a{b}") for b in range(4)]
+                + [(1, b, f"z{b}") for b in range(4)],
+            ),
+            0,
+        )
+        probe = _bands(spark, [(9, 0, "a0"), (9, 1, "m1")])
+        hits = {r["doc_id"] for r in store.probe(probe).collect()}
+        assert hits == {9}
+        assert store.probe_entries_total[-1] == 4
+        assert store.probe_entries_scanned[-1] == 2  # bands 0 and 1 only
+
+    def test_probe_prunes_disjoint_hash_ranges(self, spark, store):
+        # stats skipping (q299's rule) on the band_hash envelope
+        store.append(
+            _bands(spark, [(1, 0, "aa"), (1, 0, "ab")]), 0
+        )
+        store.append(
+            _bands(spark, [(2, 0, "xa"), (2, 0, "xb")]), 1
+        )
+        probe = _bands(spark, [(9, 0, "ab")])
+        hits = {r["doc_id"] for r in store.probe(probe).collect()}
+        assert hits == {9}
+        assert store.probe_entries_total[-1] == 2
+        # the [xa, xb] entry cannot overlap the [ab, ab] envelope
+        assert store.probe_entries_scanned[-1] == 1
+
+    def test_pruned_probe_remains_correct(self, spark, store):
+        store.append(
+            _bands(spark, [(1, 0, "aa"), (2, 1, "bb"), (3, 2, "cc")]), 0
+        )
+        probe = _bands(
+            spark,
+            [(10, 0, "aa"), (11, 1, "zz"), (12, 2, "cc"), (13, 3, "dd")],
+        )
+        hits = {r["doc_id"] for r in store.probe(probe).collect()}
+        assert hits == {10, 12}
 
 
 class TestCompaction:
@@ -94,10 +230,14 @@ class TestCompaction:
             (r["band_idx"], r["band_hash"])
             for r in store.read_index().collect()
         }
-        assert len(store.shards()) == 5
+        assert len(store.entries()) == 10  # 5 batches x 2 band cells
         store.compact()
-        # all five undersized shards pack into ONE bin (q257 next-fit)
-        assert store.shards() == ["compact-g0001-b0000"]
+        # per-band next-fit: each band's five undersized cells pack into
+        # ONE merged cell (bands never merge — pruning depends on it)
+        ents = store.entries()
+        assert len(ents) == 2
+        assert sorted(e["band_idx"] for e in ents) == [0, 1]
+        assert all(e["path"].startswith("compact-") for e in ents)
         after_df = store.read_index()
         after = {
             (r["band_idx"], r["band_hash"]) for r in after_df.collect()
@@ -105,8 +245,8 @@ class TestCompaction:
         assert after == before  # content equality
         # the deferred distinct ran: 'shared' collapsed from 5 rows to 1
         assert after_df.count() == len(before)
-        # old shard dirs are gone after the swap
-        assert not os.path.exists(
+        # pre-compaction cells remain ON DISK until vacuum (time travel)
+        assert os.path.exists(
             os.path.join(store.root, "bands-batch-00000000")
         )
         store.cleanup()
@@ -119,7 +259,7 @@ class TestCompaction:
         for b in range(3):
             store.append(_bands(spark, [(b, 0, f"h{b}")]), b)
         store.compact()
-        assert len(store.shards()) == 3
+        assert len(store.entries()) == 3
         store.cleanup()
 
     def test_auto_compaction_every_n_appends(self, spark, tmp_path):
@@ -144,6 +284,76 @@ class TestCompaction:
         hits = {r["doc_id"] for r in store.probe(probe).collect()}
         assert hits == {100}
         store.cleanup()
+
+    def test_reopened_store_compaction_never_clobbers(self, spark, tmp_path):
+        # ADVICE r7 regression: the old per-instance generation counter
+        # reset to 0 on reopen and could overwrite a still-referenced
+        # compact-g0001-* dir; nonce names make that impossible
+        root = str(tmp_path / "reopen")
+        s1 = AppendOnlyBandStore(spark, root=root)
+        for b in range(3):
+            s1.append(_bands(spark, [(b, 0, f"h{b}")]), b)
+        s1.compact()
+        first_compact = [e["path"] for e in s1.entries()]
+        assert len(first_compact) == 1
+        # a NEW instance on the same root (fresh counters)
+        s2 = AppendOnlyBandStore(spark, root=root)
+        for b in range(3, 6):
+            s2.append(_bands(spark, [(b, 0, f"h{b}")]), b)
+        s2.compact()
+        hashes = sorted(r["band_hash"] for r in s2.read_index().collect())
+        assert hashes == [f"h{b}" for b in range(6)]
+        # the first compaction's output was merged, not overwritten:
+        # its path is gone from entries but was never reused as a name
+        second_paths = [e["path"] for e in s2.entries()]
+        assert len(second_paths) == 1
+        assert second_paths != first_compact
+        s2.cleanup()
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_pre_compaction_cells(self, spark, tmp_path):
+        store = AppendOnlyBandStore(spark, root=str(tmp_path / "v"))
+        for b in range(4):
+            store.append(_bands(spark, [(b, 0, f"h{b}")]), b)
+        store.compact()
+        assert os.path.exists(
+            os.path.join(store.root, "bands-batch-00000000")
+        )
+        deleted = store.vacuum(retain_versions=1)
+        assert deleted  # the four superseded batch cells went away
+        assert not os.path.exists(
+            os.path.join(store.root, "bands-batch-00000000")
+        )
+        # the live index is untouched
+        hashes = sorted(r["band_hash"] for r in store.read_index().collect())
+        assert hashes == ["h0", "h1", "h2", "h3"]
+        # manifests older than the retention window are gone; head stays
+        head = read_head(store.root)
+        assert head is not None
+        assert not os.path.exists(
+            os.path.join(store.root, "_MANIFEST-v0.json")
+        )
+        store.cleanup()
+
+    def test_vacuum_removes_uncommitted_orphans(self, spark, store):
+        store.append(_bands(spark, [(1, 0, "a")]), 0)
+        orphan = os.path.join(store.root, "compact-deadbeef-band00-b0000")
+        _bands(spark, [(9, 0, "zz")]).select("band_hash").write.parquet(
+            orphan
+        )
+        deleted = store.vacuum(retain_versions=1)
+        assert "compact-deadbeef-band00-b0000" in deleted
+        assert not os.path.exists(orphan)
+
+    def test_vacuum_respects_retention(self, spark, store):
+        store.append(_bands(spark, [(1, 0, "a")]), 0)
+        store.append(_bands(spark, [(2, 0, "b")]), 1)
+        # retain both versions: nothing referenced by either is deleted
+        assert store.vacuum(retain_versions=2) == []
+        assert os.path.exists(
+            os.path.join(store.root, "_MANIFEST-v0.json")
+        )
 
 
 class TestQ296BehaviorPin:

@@ -60,6 +60,11 @@ DEFAULT_QUERIES = [
     # guard (BASELINE §16) regress-guard here
     "q138_user_funnel",
     "q295_streaming_lsh_dedup",
+    # round-8: the remaining lakehouse verbs (VERDICT r7 #5) — q301's
+    # vacuum walk and q302's per-version manifest-stats loop must stay
+    # O(#versions x #shards) driver-side at 500k docs
+    "q301_manifest_vacuum",
+    "q302_streaming_versioned_ingest",
 ]
 
 
