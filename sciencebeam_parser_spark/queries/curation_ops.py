@@ -1500,7 +1500,10 @@ def q296_streaming_dedup_index_growth(
     )
     q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
     try:
-        deadline = _time.time() + 240
+        # completeness poll, not a data-path bound: the deadline scales
+        # with corpus size (1k docs/s floor — q296 measured ~5k docs/s
+        # at 100x) so a 10x-bigger replay doesn't trip a fixed ceiling
+        deadline = _time.time() + max(240, expected // 1000)
         while _time.time() < deadline:
             if state["seen"] >= expected:
                 break
@@ -1655,7 +1658,10 @@ def q302_streaming_versioned_ingest(
     )
     q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
     try:
-        deadline = _time.time() + 240
+        # completeness poll, not a data-path bound: scales with corpus
+        # size so a bigger replay doesn't trip a fixed ceiling (q302
+        # measured ~27k docs/s at 100x; 1k docs/s floor)
+        deadline = _time.time() + max(240, expected // 1000)
         while _time.time() < deadline:
             if state["seen"] >= expected:
                 break

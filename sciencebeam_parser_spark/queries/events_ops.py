@@ -8,6 +8,7 @@ builders use the native window operators (``F.window``, ``F.session_window``)
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -93,7 +94,13 @@ def _start_bounded_stream(spark, writer, timeout: int = 300,
     partitions; a bounded availableNow run over one file wants few, large
     state partitions (measured 2-3x per-query wall clock at sf0.1:
     q179 9.2s -> 3.3s, q134 3.2s -> 1.7s warm). At real scale this knob
-    is sized to key cardinality, not inherited from the batch setting."""
+    is sized to key cardinality, not inherited from the batch setting.
+
+    The completion timeout is a PARTIAL-SINK guard, not a data-path
+    bound — the defaults fit the test scale factors. Above them (the
+    1000x smoke, a real backfill) raise it via SBP_STREAM_TIMEOUT_S;
+    a fixed wall-clock ceiling is otherwise itself a scale bug."""
+    timeout = max(timeout, int(os.environ.get("SBP_STREAM_TIMEOUT_S", "0")))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
