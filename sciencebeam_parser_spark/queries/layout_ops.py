@@ -626,8 +626,8 @@ def q281_python_datasource_sink(
                "Spark-native restatement of the reference's "
                "request-polling ingest (app/parser.py)",
     doc="Python streaming source end-to-end: sbp_doc_stream yields the "
-        "corpus in deterministic doc_id order, 200 rows per "
-        "micro-batch, offsets as JSON row positions the engine "
+        "corpus in deterministic doc_id order over ~5 scale-adaptive "
+        "micro-batches, offsets as JSON row positions the engine "
         "checkpoints (exactly-once lives in the offset log, not the "
         "source); a complete-mode per-language aggregate runs over it "
         "into a memory sink, the driver polls until every source row "
@@ -655,10 +655,16 @@ def q282_python_stream_source(
         "q282_sink_"
         + spark.sparkContext.applicationId.replace("-", "_")
     )
+    # scale-adaptive paging (same ~5-increment formula as q296): each
+    # micro-batch costs a full plan+schedule+state-commit round, so a
+    # batch count FIXED by corpus size (not a constant row count tuned
+    # for one sf) keeps replay cost O(1) rounds at any scale while
+    # still exercising multi-batch offset checkpointing everywhere
+    batch_size = max(200, (expected + 4) // 5)
     stream = (
         spark.readStream.format("sbp_doc_stream")
         .option("path", os.path.join(sf_dir, "documents.parquet"))
-        .option("batchSize", "200")
+        .option("batchSize", str(batch_size))
         .load()
     )
     agg = stream.groupBy("lang").agg(
@@ -744,10 +750,13 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # same scale-adaptive ~5-increment paging as q282/q296: micro-batch
+    # count, not row count, is the fixed cost unit of the replay
+    batch_size = max(500, (docs.count() + 4) // 5)
     stream = (
         spark.readStream.format("sbp_doc_stream")
         .option("path", os.path.join(sf_dir, "documents.parquet"))
-        .option("batchSize", "500")
+        .option("batchSize", str(batch_size))
         .load()
         .filter(F.col("n_chars") >= 300)
     )

@@ -234,37 +234,54 @@ class DocCorpusStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
         self._path = options["path"]
         self._batch = int(options.get("batchSize", "200"))
+        self._rows: list | None = None
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
+    def _corpus(self) -> list:
+        # Sort the offset index ONCE per reader lifetime, not once per
+        # micro-batch: the previous shape re-read and re-sorted the
+        # parquet on every read()/readBetweenOffsets() call — O(batches
+        # x n log n) driver-side work that grows with replay length.
+        # The cached rows are the stream's OFFSET INDEX (id, lang,
+        # n_chars — tens of bytes/doc, no payload), which is exactly
+        # what a driver-paged simple reader must be able to hold; the
+        # payload-bearing data plane is the partition-parallel batch
+        # reader in this module.
+        if self._rows is None:
+            import os
+
+            import duckdb
+
+            # directory layout: read every part file (global doc_id
+            # order holds across parts, so offset pagination stays
+            # correct)
+            path = (
+                os.path.join(self._path, "*.parquet")
+                if os.path.isdir(self._path)
+                else self._path
+            )
+            self._rows = [
+                tuple(r)
+                for r in duckdb.sql(
+                    "SELECT doc_id, lang, n_chars FROM read_parquet(?) "
+                    "ORDER BY doc_id",
+                    params=[path],
+                ).fetchall()
+            ]
+        return self._rows
+
     def _load(self, lo: int, hi: int):
-        import os
-
-        import duckdb
-
-        # directory layout: read every part file (global doc_id order
-        # holds across parts, so offset pagination stays correct)
-        path = (
-            os.path.join(self._path, "*.parquet")
-            if os.path.isdir(self._path)
-            else self._path
-        )
-        return duckdb.sql(
-            "SELECT doc_id, lang, n_chars FROM read_parquet(?) "
-            "ORDER BY doc_id LIMIT ? OFFSET ?",
-            params=[path, hi - lo, lo],
-        ).fetchall()
+        return self._corpus()[lo:hi]
 
     def read(self, start: dict):
         pos = start["pos"]
         rows = self._load(pos, pos + self._batch)
-        return iter([tuple(r) for r in rows]), {"pos": pos + len(rows)}
+        return iter(rows), {"pos": pos + len(rows)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            tuple(r) for r in self._load(start["pos"], end["pos"])
-        )
+        return iter(self._load(start["pos"], end["pos"]))
 
     def commit(self, end: dict) -> None:
         pass
