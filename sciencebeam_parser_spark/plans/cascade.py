@@ -405,6 +405,20 @@ def run_fulltext_cascade(
             "text",
             "entity_group",
         )
+        # Adaptive marker probe: the ~12-stage fuzzy matcher
+        # (match_content_ids: stacked-key window join + inverted token
+        # index + plurality-vote windows) schedules its full shuffle
+        # chain even when there are zero citation markers — in which
+        # case marker_targets is empty by construction and the final
+        # left join is the identity plus a null column. Probing the
+        # CACHED entities relation (one filter over rows the downstream
+        # validity/output branches materialize anyway) skips all of it;
+        # with markers present the path is byte-identical to before.
+        if config.cache_entities and markers.isEmpty():
+            entities = entities.withColumn(
+                "target_content_id", F.lit(None).cast("string")
+            )
+            return _finish_cascade(entities, config)
         targets = entities.filter(F.col("content_id").isNotNull()).select(
             "doc_id",
             "content_id",
@@ -428,6 +442,11 @@ def run_fulltext_cascade(
             "target_content_id", F.lit(None).cast("string")
         )
 
+    return _finish_cascade(entities, config)
+
+
+def _finish_cascade(entities: DataFrame, config: "CascadeConfig") -> DataFrame:
+    """A18 validity + final shape — shared tail of run_fulltext_cascade."""
     # A18 — validity PER REFERENCE (citation/extract.py:67-74,165-179):
     # a raw reference is valid iff the CITATION model produced >=1
     # valid-type entity overlapping ITS token span — not "any model,
