@@ -1390,49 +1390,62 @@ def q130_tei_structure_roundtrip(
     span_toks = styled.join(spans, "doc_id").filter(
         F.col("token_seq").between(F.col("token_start"), F.col("token_end"))
     )
-    w_run = W.partitionBy("doc_id", "model_name", "entity_group").orderBy(
-        "token_seq"
-    )
-    boundary = (
-        F.lag("is_bold").over(w_run).isNull()
-        | (F.col("is_bold") != F.lag("is_bold").over(w_run))
-    ).cast("int")
-    run_toks = span_toks.withColumn(
-        "run_id",
-        F.sum(boundary).over(w_run.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    run_rows = run_toks.groupBy(
-        "doc_id", "model_name", "entity_group", "run_id"
-    ).agg(
-        F.min("token_seq").alias("_ord"),
-        F.max(F.col("is_bold").cast("int")).alias("_bold"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("token_seq", "text"))),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("_text"),
-    )
-    runs_arr = run_rows.groupBy("doc_id", "model_name", "entity_group").agg(
-        F.transform(
+    # gaps-and-islands in ONE shuffle: the former shape was two window
+    # passes (lag boundary + running sum) plus two groupBys — three
+    # exchanges on the same (doc, model, entity_group) key family. Here
+    # the span's tokens are collected once per entity and the bold-run
+    # islands are folded with array expressions over the sorted token
+    # array: run boundaries are positions where is_bold differs from the
+    # predecessor; each run keeps its first token_seq for ordering,
+    # texts joined in token order — bit-identical runs, 1 exchange.
+    tok_arr = (
+        span_toks.groupBy("doc_id", "model_name", "entity_group")
+        .agg(
             F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "_ord",
-                        F.struct(
-                            F.when(
-                                F.col("_bold") == 1, F.array(F.lit("bold"))
-                            )
-                            .otherwise(F.array().cast("array<string>"))
-                            .alias("styles"),
-                            F.col("_text").alias("text"),
-                        ).alias("run"),
-                    )
+                F.collect_list(F.struct("token_seq", "text", "is_bold"))
+            ).alias("_toks")
+        )
+    )
+    idx = F.sequence(F.lit(0), F.size("_toks") - 1)
+    starts = F.filter(
+        idx,
+        lambda i: (i == 0)
+        | (
+            F.col("_toks")[i]["is_bold"]
+            != F.col("_toks")[i - 1]["is_bold"]
+        ),
+    )
+    bounds = F.arrays_zip(
+        starts.alias("lo"),
+        F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(F.size("_toks")),
+        ).alias("hi"),
+    )
+    runs_arr = tok_arr.select(
+        "doc_id",
+        "model_name",
+        "entity_group",
+        F.transform(
+            bounds,
+            lambda b: F.struct(
+                F.when(
+                    F.col("_toks")[b["lo"]]["is_bold"],
+                    F.array(F.lit("bold")),
                 )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("styles"),
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("_toks"), b["lo"] + 1, b["hi"] - b["lo"]
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text"),
             ),
-            lambda s: s["run"],
-        ).alias("style_runs")
+        ).alias("style_runs"),
     )
     ents = ents.join(
         runs_arr, ["doc_id", "model_name", "entity_group"], "left"
