@@ -696,9 +696,14 @@ def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_shingle_array("text")).alias("token")
     ).distinct()
     freq = dt.groupBy("token").agg(F.count("*").alias("df"))
-    freq = freq.withColumn(
-        "rnk", F.row_number().over(W.orderBy("df", "token"))
-    ).select("token", "rnk")
+    # Rarest-first position WITHOUT a global rank: the oracle's rnk is
+    # row_number() over the total order (df, token); ordering each doc's
+    # tokens by rnk is therefore identical to ordering by (df, token)
+    # directly. The former shape materialized that rank with a global
+    # single-partition window over the entire token universe — the one
+    # operator in this query that cannot scale (every distinct shingle
+    # through one task). Per-doc order by (df, token) picks the same
+    # prefixes with no global sort at all.
     sized = (
         dt.join(F.broadcast(freq), "token")
         .withColumn(
@@ -706,7 +711,9 @@ def q211_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "pos",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("rnk")),
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "token")
+            ),
         )
     )
     prefix_len = (
