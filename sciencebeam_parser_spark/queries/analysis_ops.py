@@ -595,13 +595,14 @@ def _bpe_train(wc: DataFrame):
     """Run _BPE_ROUNDS merge rounds on the top-_BPE_VOCAB word histogram.
     Returns (merged vocab with `seq`, [1-row (a, b) DataFrames in merge
     order]). Every relation in the loop is vocabulary-sized."""
+    spark = wc.sparkSession
     vocab = (
         wc.orderBy(F.desc("cnt"), "word")
         .limit(_BPE_VOCAB)
         .select("word", "cnt", _char_seq(F.col("word")).alias("seq"))
-        # the vocab is <= _BPE_VOCAB rows; checkpointing it here (and per
-        # round below) keeps every best-pair branch reading ~100 rows
-        # instead of re-deriving the corpus-wide histogram per branch
+        # the vocab is <= _BPE_VOCAB rows; checkpointing it ONCE keeps
+        # every round's pair scan reading ~100 rows instead of
+        # re-deriving the corpus-wide histogram per branch
         .localCheckpoint()
     )
     bests = []
@@ -620,12 +621,22 @@ def _bpe_train(wc: DataFrame):
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("wsum"))
         )
-        best = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).select("a", "b")
+        # The best pair is ONE row of control-plane state (the same O(1)
+        # driver fingerprint pattern as the graph convergence probe):
+        # collecting it here costs one job over the <=100-row vocab chain
+        # and turns every downstream use into a LocalTableScan, where the
+        # former lazy 1-row DataFrame re-executed its agg+limit subquery
+        # per consuming broadcast AND forced a localCheckpoint per round
+        # (2-3 jobs/round -> 1). An empty round stays an empty relation,
+        # so the NULL-pass-through left-join semantics are unchanged.
+        row = pairs.orderBy(F.desc("wsum"), "a", "b").limit(1).collect()
+        best = spark.createDataFrame(
+            [(row[0]["a"], row[0]["b"])] if row else [],
+            "a string, b string",
+        )
         bests.append(best)
-        vocab = (
-            vocab.join(F.broadcast(best), F.lit(True), "left")
-            .select("word", "cnt", _apply_merge(F.col("seq")).alias("seq"))
-            .localCheckpoint()
+        vocab = vocab.join(F.broadcast(best), F.lit(True), "left").select(
+            "word", "cnt", _apply_merge(F.col("seq")).alias("seq")
         )
     return vocab, bests
 
