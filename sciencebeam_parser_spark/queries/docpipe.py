@@ -1542,71 +1542,73 @@ def q114_alto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('" HEIGHT="10.0"/>'),
     )
     toks = lt.select(
-        "doc_id", "page_number", "block_id", "line_id", "token_seq",
-        token_xml.alias("tok_xml"),
-    )
-    lines = toks.groupBy("doc_id", "page_number", "block_id", "line_id").agg(
-        F.concat(
-            F.lit("<TextLine>"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("token_seq", "tok_xml"))),
-                    lambda s: s["tok_xml"],
-                ),
-                "",
-            ),
-            F.lit("</TextLine>"),
-        ).alias("line_xml"),
-    )
-    blocks = lines.groupBy("doc_id", "page_number", "block_id").agg(
-        F.concat(
-            F.lit("<TextBlock>"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_id", "line_xml"))),
-                    lambda s: s["line_xml"],
-                ),
-                "",
-            ),
-            F.lit("</TextBlock>"),
-        ).alias("block_xml"),
-    )
-    pages = blocks.groupBy("doc_id", "page_number").agg(
-        F.concat(
-            F.lit('<Page PHYSICAL_IMG_NR="'),
-            (F.col("page_number") + 1).cast("string"),
-            F.lit('" WIDTH="612.0" HEIGHT="792.0">'),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("block_id", "block_xml"))),
-                    lambda s: s["block_xml"],
-                ),
-                "",
-            ),
-            F.lit("</Page>"),
-        ).alias("page_xml"),
+        "doc_id",
+        F.struct(
+            "page_number", "block_id", "line_id", "token_seq",
+            token_xml.alias("tok_xml"),
+        ).alias("t"),
     )
     styles = "".join(
         f'<TextStyle ID="s{i}" FONTFAMILY="fam{i}" FONTSIZE="{8 + i}"'
         f' FONTSTYLE="{"bold" if i == 0 else ""}"/>'
         for i in range(3)
     )
-    docs_xml = pages.groupBy("doc_id").agg(
+    # ONE shuffle instead of four: the former shape aggregated
+    # line -> block -> page -> doc through four chained groupBys (each an
+    # exchange on a narrowing key). Nesting is a property of the SORTED
+    # token sequence — lexicographic (page, block, line, seq) order IS
+    # the hierarchical traversal — so the whole document serializes from
+    # a single per-doc collect: each token contributes closing/opening
+    # tags exactly where its (page, block, line) differs from its
+    # predecessor. Byte-identical XML, 1 exchange, 1 aggregation stage.
+    arr = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("t")).alias("ts")
+    )
+
+    def open_page(t):
+        return F.concat(
+            F.lit('<Page PHYSICAL_IMG_NR="'),
+            (t["page_number"] + 1).cast("string"),
+            F.lit('" WIDTH="612.0" HEIGHT="792.0"><TextBlock><TextLine>'),
+        )
+
+    def frag(i):
+        cur = F.col("ts")[i]
+        prev = F.col("ts")[i - 1]
+        boundary = (
+            F.when(
+                i == 0, open_page(cur)
+            )
+            .when(
+                prev["page_number"] != cur["page_number"],
+                F.concat(
+                    F.lit("</TextLine></TextBlock></Page>"), open_page(cur)
+                ),
+            )
+            .when(
+                prev["block_id"] != cur["block_id"],
+                F.lit("</TextLine></TextBlock><TextBlock><TextLine>"),
+            )
+            .when(
+                prev["line_id"] != cur["line_id"],
+                F.lit("</TextLine><TextLine>"),
+            )
+            .otherwise(F.lit(""))
+        )
+        return F.concat(boundary, cur["tok_xml"])
+
+    idx = F.sequence(F.lit(0), F.size("ts") - 1)
+    docs_xml = arr.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
         F.concat(
             F.lit(
                 '<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">'
                 f"<Styles>{styles}</Styles><Layout>"
             ),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("page_number", "page_xml"))),
-                    lambda s: s["page_xml"],
-                ),
-                "",
-            ),
-            F.lit("</Layout></alto>"),
+            F.array_join(F.transform(idx, frag), ""),
+            F.lit("</TextLine></TextBlock></Page></Layout></alto>"),
         ).alias("xml"),
-    ).select(F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"), "xml")
+    )
     parsed = parse_alto_tokens_df(docs_xml)
     return parsed.select(
         "doc_id", "page_number", "block_id", "line_id", "token_seq",
