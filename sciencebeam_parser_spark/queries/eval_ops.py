@@ -468,16 +468,20 @@ def q193_minhash_accuracy_eval(
         ).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    # intersections computed ONLY for the LSH candidate pairs (what the
+    # docstring always promised): the former shape self-joined the FULL
+    # inverted index (every co-shingled doc pair materialized, the q63
+    # blowup) and discarded the non-candidates in the final left join.
+    # Anchoring the join on the candidate-pair relation bounds the
+    # intermediate at |pairs| x |shingles per doc| — the evaluation now
+    # scales exactly like the dedup it measures.
+    shx = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("doc2"), "shingle")
     inter = (
-        x.join(
-            y,
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2")
-        )
+        pairs.select("doc1", "doc2")
+        .join(shx, "doc1")
+        .join(shy, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("c"))
     )
     sa = sizes.select(

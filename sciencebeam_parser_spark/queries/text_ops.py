@@ -698,10 +698,16 @@ def q69_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - 15),
         lambda i: F.col("text").substr(i, F.lit(16)),
     )
+    # build the gram array ONCE and dedup BEFORE hashing: min(md5) over
+    # duplicates equals min(md5) over the distinct set (md5 is a pure
+    # function), so the md5 count drops to the distinct-gram count and
+    # the array is constructed once instead of per-aggregate
     return docs.select(
+        "doc_id", F.array_distinct(grams).alias("g")
+    ).select(
         "doc_id",
-        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
+        F.array_min(F.transform("g", F.md5)).alias("fingerprint"),
+        F.size("g").cast("long").alias("n_distinct_grams"),
     )
 
 
