@@ -891,13 +891,18 @@ def _km_train(qv: DataFrame, k: int, iters: int = 2):
     )
     assign = None
     for _ in range(iters):
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        # argmin as a hash aggregate, not a sort-window: min over
+        # struct(dist, cid) is lexicographic = the (dist, cid) order the
+        # former row_number window used, and (dist, cid) is total (cids
+        # unique), so the same centroid wins — but the aggregate gets
+        # map-side partial aggregation, shuffling 1 row per vector
+        # instead of k sorted candidates (guide §2.3)
         assign = (
             qv.crossJoin(F.broadcast(cent))
             .withColumn("dist", _km_sq_dist())
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "q", "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "q")).alias("s"))
+            .select("vec_id", F.col("s.q").alias("q"), F.col("s.cid").alias("cid"))
         )
         cent = _centroid_update(assign, "cid")
     return assign, cent
@@ -1178,13 +1183,16 @@ def _pq_encode(qv: DataFrame, cent_all: DataFrame) -> DataFrame:
             )
         ).alias("m", "sq"),
     )
-    w = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    # same min-struct argmin as _km_train: identical (dist, cid) winner,
+    # map-side combinable instead of a per-(vec, m) sort window
     return (
         subv.join(F.broadcast(cent_all), "m")
         .withColumn("dist", _km_sq_dist("sq", "c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid", "dist")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("s"))
+        .select(
+            "vec_id", "m", F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist")
+        )
     )
 
 
@@ -1329,13 +1337,13 @@ def q228_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse quantizer + inverted file (the q215 path)
     _, coarse = _km_train(qv, _IVF_K, iters=2)
     coarse = coarse.localCheckpoint()
-    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    # min-struct argmin (see _km_train): same winner, map-side combinable
     inv = (
         qv.crossJoin(F.broadcast(coarse))
         .withColumn("dist", _km_sq_dist())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
     )
     # per-subspace PQ codebooks + encoding (shared with q226)
     cent_all = _pq_codebooks(qv)
