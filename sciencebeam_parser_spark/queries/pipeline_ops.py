@@ -1356,7 +1356,6 @@ def q158_semantic_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q130_tei_structure_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import xml.etree.ElementTree as ET
     from collections import Counter
 
     import pandas as pd
@@ -1461,16 +1460,28 @@ def q130_tei_structure_roundtrip(
     )
 
     def count_elements(batches):
+        # streaming expat parse instead of building a full ElementTree
+        # per document: the roundtrip still runs a REAL XML parse (the
+        # structural check is unchanged), but start-element callbacks
+        # count tags directly with no tree allocation — guide §4.2
+        # (vectorize/minimize Python work inside the batch loop)
+        from xml.parsers import expat
+
         for pdf in batches:
             rows = []
             for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
                 counts = Counter()
-                for el in ET.fromstring(xml).iter():
-                    counts[el.tag.rsplit("}", 1)[-1]] += 1
-                    if el.get("coords"):
+
+                def start(tag, attrs, counts=counts):
+                    counts[tag.rsplit("}", 1)[-1]] += 1
+                    if attrs.get("coords"):
                         # coords-bearing elements tracked as a pseudo-
                         # element so the oracle pins where @coords lands
                         counts["@coords"] += 1
+
+                p = expat.ParserCreate(namespace_separator="}")
+                p.StartElementHandler = start
+                p.Parse(xml, True)
                 rows.extend((doc_id, tag, n) for tag, n in counts.items())
             if rows:
                 yield pd.DataFrame(
@@ -1844,7 +1855,6 @@ def q166_structured_reference_sink(
 def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
     """(doc_id, xml) → per-doc element histogram (shared by the
     structural round-trip queries)."""
-    import xml.etree.ElementTree as ET
     from collections import Counter
 
     import pandas as pd
@@ -1859,13 +1869,21 @@ def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
     )
 
     def count_elements(batches):
+        # streaming expat parse — a real XML parse with start-element
+        # tag counting, no per-doc tree allocation (guide §4.2)
+        from xml.parsers import expat
+
         for pdf in batches:
             rows = []
             for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
-                counts = Counter(
-                    el.tag.rsplit("}", 1)[-1]
-                    for el in ET.fromstring(xml).iter()
-                )
+                counts = Counter()
+
+                def start(tag, attrs, counts=counts):
+                    counts[tag.rsplit("}", 1)[-1]] += 1
+
+                p = expat.ParserCreate(namespace_separator="}")
+                p.StartElementHandler = start
+                p.Parse(xml, True)
                 rows.extend((doc_id, tag, cnt) for tag, cnt in counts.items())
             if rows:
                 yield pd.DataFrame(
