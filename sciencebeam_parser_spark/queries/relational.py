@@ -158,12 +158,14 @@ def q10_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("l_orderkey", "o_orderdate", "revenue")
-    )
+    # the rank column is dropped from the output, so the global
+    # row_number window (Exchange SinglePartition + full sort of the
+    # aggregated relation) is equivalent to a deterministic top-k —
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # heaps, no single-partition shuffle, same 10 rows (total order)
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(
+        10
+    ).select("l_orderkey", "o_orderdate", "revenue")
 
 
 @register(
