@@ -107,30 +107,50 @@ def _ngram_array(arr, n: int):
 )
 def q216_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    ws = _words()
-    # duplicate-n-gram fractions: pure projections, no shuffle
-    proj = docs.select(
+    # stage the arrays ONCE (the former shape re-derived the word split
+    # per consuming expression), and compute the top-word count in
+    # array-land too: the max count of any word equals the longest
+    # equal-run in the SORTED word array — a linear fold, which turns
+    # the former explode + two shuffled aggregates + join into a pure
+    # projection. The whole query is now map-only: zero exchanges.
+    staged = docs.select(
         "doc_id",
-        F.size(ws).cast("long").alias("n_words"),
-        F.size(_ngram_array(ws, 2)).alias("n_bi"),
-        F.size(F.array_distinct(_ngram_array(ws, 2))).alias("d_bi"),
-        F.size(_ngram_array(ws, 3)).alias("n_tri"),
-        F.size(F.array_distinct(_ngram_array(ws, 3))).alias("d_tri"),
+        _words().alias("ws"),
+        _ngram_array(_words(), 2).alias("bi"),
+        _ngram_array(_words(), 3).alias("tri"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("bi").alias("n_bi"),
+        F.size(F.array_distinct("bi")).alias("d_bi"),
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("d_tri"),
+        F.array_sort("ws").alias("sw"),
     ).filter(F.col("n_words") >= 3)
-    # top-word mass: the one aggregate (map-side combinable both levels)
-    top = (
-        docs.select("doc_id", F.explode(ws).alias("w"))
-        .groupBy("doc_id", "w")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").cast("long").alias("top_word_count"))
+
+    run = F.aggregate(
+        F.sequence(F.lit(1), F.size("sw") - 1),
+        F.struct(
+            F.lit(1).cast("long").alias("cur"),
+            F.lit(1).cast("long").alias("best"),
+        ),
+        lambda acc, i: F.struct(
+            F.when(F.col("sw")[i] == F.col("sw")[i - 1], acc["cur"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    F.col("sw")[i] == F.col("sw")[i - 1], acc["cur"] + 1
+                ).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return proj.join(top, "doc_id").select(
+    return staged.select(
         "doc_id",
         "n_words",
-        F.round(F.col("top_word_count") / F.col("n_words"), 4).alias(
-            "top_word_frac"
-        ),
+        F.round(run / F.col("n_words"), 4).alias("top_word_frac"),
         F.round(1.0 - F.col("d_bi") / F.col("n_bi"), 4).alias(
             "dup_bigram_frac"
         ),
