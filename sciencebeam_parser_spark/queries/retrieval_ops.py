@@ -1053,13 +1053,13 @@ def q215_ivf_trained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _km_quantize(spark, sf_dir)
     _, cent = _km_train(qv, _IVF_K, iters=2)
     cent = cent.localCheckpoint()  # reused: final assignment + probes
-    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    # min-struct argmin (see _km_train): same winner, map-side combinable
     a3 = (
         qv.crossJoin(F.broadcast(cent))
         .withColumn("dist", _km_sq_dist())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q")).alias("s"))
+        .select("vec_id", F.col("s.q").alias("q"), F.col("s.cid").alias("cid"))
     )
     qset = qv.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq")
@@ -1553,13 +1553,15 @@ def q248_residual_ivfpq_search(
     qv = _km_quantize(spark, sf_dir)
     _, coarse = _km_train(qv, _IVF_K, iters=2)
     coarse = coarse.localCheckpoint()
-    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    # min-struct argmin (see _km_train): same winner, map-side combinable
     inv = (
         qv.crossJoin(F.broadcast(coarse))
         .withColumn("dist", _km_sq_dist())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", F.col("cid").alias("inv_cid"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q")).alias("s"))
+        .select(
+            "vec_id", F.col("s.q").alias("q"), F.col("s.cid").alias("inv_cid")
+        )
     )
     # residuals: vector minus its coarse centroid (map-side projection)
     res = (
@@ -1778,13 +1780,13 @@ _SEMDEDUP_T = 1_400_000  # int64 sq-dist on 1e-3-quantized coords
 def q254_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _km_quantize(spark, sf_dir)
     _, cent = _km_train(qv, _IVF_K, iters=2)
-    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    # min-struct argmin (see _km_train): same winner, map-side combinable
     a3 = (
         qv.crossJoin(F.broadcast(cent))
         .withColumn("dist", _km_sq_dist())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q")).alias("s"))
+        .select("vec_id", F.col("s.q").alias("q"), F.col("s.cid").alias("cid"))
     )
     # reused: both sides of the pair join + audit. Corpus-scaled wide rows
     # (q array) -> DISK_ONLY. No repartition: the vec_id window already
@@ -2168,13 +2170,13 @@ def q267_cluster_balanced_sample(
 
     qv = _km_quantize(spark, sf_dir)
     _, cent = _km_train(qv, _IVF_K, iters=2)
-    w1 = W.partitionBy("vec_id").orderBy("dist", "cid")
+    # min-struct argmin (see _km_train): same winner, map-side combinable
     a3 = (
         qv.crossJoin(F.broadcast(cent))
         .withColumn("dist", _km_sq_dist())
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
     )
     wr = W.partitionBy("cid").orderBy(
         _md5_long(F.col("vec_id").cast("string")), "vec_id"
