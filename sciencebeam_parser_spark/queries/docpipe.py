@@ -1969,16 +1969,26 @@ def q159_pdf_alto_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sbp_pdf_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    shutil.rmtree(corpus_dir, ignore_errors=True)
-    os.makedirs(corpus_dir, exist_ok=True)
+    # fixture SETUP (not a result): the source-file corpus is immutable
+    # per (session, sf_dir) — writing its 5000 files once per session
+    # instead of once per build saves a full foreachPartition pass when
+    # q159 and q290 both ingest in one run (the _SUCCESS-style marker is
+    # written only after the write completes, so a half-written corpus
+    # from a crashed build is rewritten, never trusted)
+    marker = os.path.join(corpus_dir, "_CORPUS_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        os.makedirs(corpus_dir, exist_ok=True)
 
-    def write_partition(rows) -> None:
-        for row in rows:
-            path = os.path.join(corpus_dir, f"{row['doc_id']}.pdf")
-            with open(path, "wb") as f:
-                f.write(bytes(row["content"]))
+        def write_partition(rows) -> None:
+            for row in rows:
+                path = os.path.join(corpus_dir, f"{row['doc_id']}.pdf")
+                with open(path, "wb") as f:
+                    f.write(bytes(row["content"]))
 
-    docs.foreachPartition(write_partition)
+        docs.foreachPartition(write_partition)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
 
     def fake_pdfalto(content: bytes) -> bytes:
         # deterministic sidecar stand-in: first 20 words on one text line
