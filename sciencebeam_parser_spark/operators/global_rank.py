@@ -1,0 +1,111 @@
+"""Exact global row_number / ntile over a total order, with a
+scale-parameterised execution mode (guide §2: a global rank's
+single-partition window is THE unscalable operator once the ranked
+relation outgrows one task).
+
+Mode comes from the session conf ``spark.sbp.globalRank.mode`` (falling
+back to the env var ``SBP_GLOBAL_RANK_MODE``, default ``single``):
+
+* ``single`` — the plain unpartitioned window. One partition carries
+  the whole relation; correct and CHEAPEST while that relation is small
+  (every consumer here ranks an aggregated one-row-per-document /
+  per-user / per-order relation, which fits one task at bench scale).
+  This is the local default so the driver's bench plans are unchanged.
+* ``two-phase`` — the production form: range-repartition by the order
+  columns, rank within each partition in parallel, then add
+  per-partition row-count offsets (one O(#partitions)-row driver
+  collect — control-plane, like the graph convergence probe). Output is
+  IDENTICAL for any total order (the order columns must be tie-broken,
+  which every consumer's oracle already requires for determinism);
+  pinned by tests/test_global_rank.py over every consumer's relation.
+
+ntile(n) derives from the global row number and the total count with
+Spark's exact bucket-size rule (first ``total % n`` buckets get one
+extra row), so two-phase ntile matches the built-in bit-for-bit.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _mode(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.conf.get(
+            "spark.sbp.globalRank.mode",
+            os.environ.get("SBP_GLOBAL_RANK_MODE", "single"),
+        )
+    except Exception:  # pragma: no cover - conf access always works
+        return "single"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols,
+    *,
+    out: str = "rnk",
+    ntile_n: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``out`` = global row_number (or ntile(ntile_n)) over the
+    total order ``order_cols``. All input columns pass through."""
+    order_cols = list(order_cols)
+    if _mode(df) != "two-phase":
+        w = W.orderBy(*order_cols)
+        col = (
+            F.ntile(ntile_n).over(w)
+            if ntile_n is not None
+            else F.row_number().over(w)
+        )
+        return df.withColumn(out, col)
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    # materialize the range layout ONCE: the counts pass and the rank
+    # pass must see the same partitioning
+    s = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_gpid"], r["c"])
+        for r in s.groupBy("_gpid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k, c in counts:
+        offsets[k] = acc
+        acc += c
+    total = acc
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = W.partitionBy("_gpid").orderBy(*order_cols)
+    rn = (
+        F.row_number().over(w)
+        + F.coalesce(off_map[F.col("_gpid")], F.lit(0))
+    ).cast("int")
+    if ntile_n is None:
+        return df_out(s, rn.alias(out))
+    rn_col = rn.cast("long")
+    q, r = divmod(total, ntile_n)
+    boundary = r * (q + 1)
+    if q == 0:
+        bucket = rn_col.cast("int")
+    else:
+        bucket = (
+            F.when(
+                rn_col <= boundary,
+                F.floor((rn_col - 1) / (q + 1)) + 1,
+            )
+            .otherwise(r + F.floor((rn_col - 1 - boundary) / q) + 1)
+            .cast("int")
+        )
+    return df_out(s, bucket.alias(out))
+
+
+def df_out(s: DataFrame, col: Column) -> DataFrame:
+    return s.select("*", col).drop("_gpid")

@@ -1043,11 +1043,14 @@ def q288_length_bucketed_batches(
             "n_tokens"
         ),
     )
-    ranked = counts.withColumn(
-        "rnk",
-        F.row_number().over(
-            W.orderBy(F.desc("n_tokens"), "doc_id")
-        ),
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_rank,
+    )
+
+    # mode-gated exact global rank (see global_rank.py): single-window
+    # locally, two-phase range-partitioned in production
+    ranked = with_global_rank(
+        counts, [F.desc("n_tokens"), F.asc("doc_id")], out="rnk"
     )
     return (
         ranked.withColumn(

@@ -944,16 +944,24 @@ def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q280_ccnet_perplexity_buckets(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_rank,
+    )
+
     scored = _lm_scored(spark, sf_dir).withColumnRenamed(
         "avg_nll", "ppl_bits"
     )
-    w = W.orderBy("ppl_bits", "doc_id")
-    return scored.select(
+    # mode-gated exact tertile (see global_rank.py): single-window
+    # locally, two-phase range-partitioned in production
+    tiled = with_global_rank(
+        scored, ["ppl_bits", "doc_id"], out="_t", ntile_n=3
+    )
+    return tiled.select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "ppl_bits",
-        F.when(F.ntile(3).over(w) == 1, "head")
-        .when(F.ntile(3).over(w) == 2, "middle")
+        F.when(F.col("_t") == 1, "head")
+        .when(F.col("_t") == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

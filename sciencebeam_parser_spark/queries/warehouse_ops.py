@@ -566,9 +566,16 @@ def q205_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535"
         ).alias("yb"),
     )
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_rank,
+    )
+
     z = keyed.withColumn("zval", F.expr(_ZVAL_SQL))
-    filed = z.withColumn(
-        "file_id", F.ntile(16).over(W.orderBy("zval", "o_orderkey"))
+    # exact global ntile via the mode-gated rank operator: single-window
+    # locally (this is the exact-boundary reference; see its doc), the
+    # two-phase range-partitioned form in production
+    filed = with_global_rank(
+        z, ["zval", "o_orderkey"], out="file_id", ntile_n=16
     )
     return filed.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -1061,12 +1068,21 @@ def q221_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reference for that sketch.",
 )
 def q233_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_rank,
+    )
+
     orders = table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    # mode-gated exact ntile (see global_rank.py): the two-phase form is
+    # the production path; this query stays the exact-boundary reference
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        with_global_rank(
+            orders.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            out="bucket",
+            ntile_n=10,
         )
+        .select("o_totalprice", "bucket")
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -1235,13 +1251,27 @@ def q244_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = rfm.select(
-        "user_id",
-        F.ntile(5).over(W.orderBy("recency_days", "user_id")).alias("r"),
-        F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id")).alias("f"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("monetary_cents"), "user_id"))
-        .alias("m"),
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_rank,
+    )
+
+    # three mode-gated exact quintiles (see global_rank.py) — the
+    # two-phase form range-partitions per dimension in production
+    scored = with_global_rank(
+        with_global_rank(
+            with_global_rank(
+                rfm,
+                ["recency_days", "user_id"],
+                out="r",
+                ntile_n=5,
+            ),
+            [F.desc("frequency"), F.asc("user_id")],
+            out="f",
+            ntile_n=5,
+        ),
+        [F.desc("monetary_cents"), F.asc("user_id")],
+        out="m",
+        ntile_n=5,
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_users")
