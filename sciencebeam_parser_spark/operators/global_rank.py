@@ -109,3 +109,65 @@ def with_global_rank(
 
 def df_out(s: DataFrame, col: Column) -> DataFrame:
     return s.select("*", col).drop("_gpid")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols,
+    sums: dict,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach exact running sums over the total order ``order_cols``:
+    ``sums`` maps output column -> input column. Same mode gate as
+    ``with_global_rank``; the two-phase form adds per-partition PARTIAL
+    SUMS (not counts) as the offsets."""
+    order_cols = list(order_cols)
+    if _mode(df) != "two-phase":
+        w = W.orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
+        out = df
+        for out_col, in_col in sums.items():
+            out = out.withColumn(out_col, F.sum(in_col).over(w))
+        return out
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    s = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    partials = sorted(
+        (r["_gpid"], tuple(r[f"_s_{c}"] for c in sums.values()))
+        for r in s.groupBy("_gpid")
+        .agg(
+            *[
+                F.sum(in_col).alias(f"_s_{in_col}")
+                for in_col in sums.values()
+            ]
+        )
+        .collect()
+    )
+    offsets: dict[int, tuple] = {}
+    acc = [0] * len(sums)
+    for k, vals in partials:
+        offsets[k] = tuple(acc)
+        acc = [a + (v or 0) for a, v in zip(acc, vals)]
+    w = W.partitionBy("_gpid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    out = s
+    for i, (out_col, in_col) in enumerate(sums.items()):
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, vals in offsets.items()
+                for x in (k, vals[i])
+            ]
+        ) if offsets else F.create_map()
+        out = out.withColumn(
+            out_col,
+            F.sum(in_col).over(w)
+            + F.coalesce(off_map[F.col("_gpid")], F.lit(0)),
+        )
+    return out.drop("_gpid")

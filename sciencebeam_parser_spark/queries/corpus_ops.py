@@ -758,13 +758,23 @@ def q192_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("is_new").cast("long").alias("n_new_types"),
     )
-    w_cum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    return per_doc.select(
+    from sciencebeam_parser_spark.operators.global_rank import (
+        with_global_cumsum,
+    )
+
+    # mode-gated exact running sums (see global_rank.py): single-window
+    # locally, two-phase partial-sum offsets in production
+    cum = with_global_cumsum(
+        per_doc,
+        ["doc_id"],
+        {"_ct": "n_tokens", "_cv": "n_new_types"},
+    )
+    return cum.select(
         "doc_id",
         "n_tokens",
         "n_new_types",
-        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
-        F.sum("n_new_types").over(w_cum).cast("long").alias("cum_vocab"),
+        F.col("_ct").cast("long").alias("cum_tokens"),
+        F.col("_cv").cast("long").alias("cum_vocab"),
     )
 
 

@@ -67,3 +67,30 @@ class TestTwoPhaseEquivalence:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" in plan
+
+
+class TestTwoPhaseCumsum:
+    def test_matches_single_window(self, spark, two_phase):
+        from sciencebeam_parser_spark.operators.global_rank import (
+            with_global_cumsum,
+        )
+
+        df = spark.range(257).select(
+            F.col("id"),
+            (F.col("id") * 7 % 13).alias("a"),
+            (F.col("id") % 5).alias("b"),
+        )
+        got = _rows(
+            with_global_cumsum(df, ["id"], {"ca": "a", "cb": "b"})
+        )
+        spark.conf.set("spark.sbp.globalRank.mode", "single")
+        want = _rows(
+            with_global_cumsum(df, ["id"], {"ca": "a", "cb": "b"})
+        )
+        assert got == want
+
+    def test_q192_identical_in_both_modes(self, spark, two_phase):
+        got = _rows(REGISTRY["q192_vocab_growth"].build(spark, SF_DIR))
+        spark.conf.set("spark.sbp.globalRank.mode", "single")
+        want = _rows(REGISTRY["q192_vocab_growth"].build(spark, SF_DIR))
+        assert got == want and got
