@@ -443,9 +443,11 @@ def q220_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = wordpos.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words")
     )
-    covn = cov.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_removed")
-    )
+    # n_removed is DERIVED (n_words - n_kept): every covered position is a
+    # valid word position (a gram at pos p needs words p..p+4), so counting
+    # cov separately would recompute the whole gram subtree a second time
+    # for a number the kept aggregate already determines (r8 guide §1.2;
+    # plan: 6 scans -> 4, the duplicated explode+distinct branch is gone).
     keptagg = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(
@@ -458,14 +460,14 @@ def q220_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("long")
     return (
-        stats.join(covn, "doc_id", "left")
-        .join(keptagg, "doc_id", "left")
+        stats.join(keptagg, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - n_kept).cast("long").alias("n_removed"),
+            n_kept.alias("n_kept"),
             F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
