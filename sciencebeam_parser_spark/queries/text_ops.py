@@ -967,7 +967,10 @@ _SIMHASH_CTE = f"""
         "bit_count(xor) on the candidates.",
 )
 def q100_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = q64_dedup_simhash(spark, sf_dir)
+    # One row per doc; checkpointed so the words-explode + 32-vote
+    # aggregate runs ONCE — the self-join otherwise duplicates the whole
+    # subtree (ReuseExchange cannot fire across the BroadcastExchange).
+    sig = q64_dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
     chunks = sig.select(
         "doc_id",
         "simhash",
