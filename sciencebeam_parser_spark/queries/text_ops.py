@@ -235,7 +235,12 @@ _LSH_PAIRS_SQL = (
         "all-pairs).",
 )
 def q62_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(table(spark, sf_dir, "documents"))
+    # One row per doc; checkpointed so the shingle-explode + 16-minhash
+    # aggregate runs ONCE — as in q100, the (band) self-join broadcasts
+    # one side, and ReuseExchange cannot dedup across a BroadcastExchange.
+    sig = _minhash_signature(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
