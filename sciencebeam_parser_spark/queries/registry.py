@@ -62,6 +62,17 @@ def events_ts_unit(path: str) -> str:
     return t.split("[", 1)[1].split(",", 1)[0].rstrip("]")
 
 
+# (applicationId, sf_dir, name) -> unexecuted scan DataFrame. PLAN reuse,
+# not data caching: spark.read.parquet() re-reads the footer and re-lists
+# the path on EVERY call to infer the schema — ~90 ms of driver work per
+# call, and a 279-query suite builds ~500 scans (measured ~35-55 s of the
+# bench total). The memoized object is the immutable logical plan; every
+# action on it still scans the parquet files. Keyed by applicationId so a
+# new session (new JVM, possibly regenerated data) never sees a stale
+# handle; the synthetic sf dirs are read-only inputs within a session.
+_TABLE_MEMO: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one synthetic table (filters/projections push down).
 
@@ -75,6 +86,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       cast to TIMESTAMP (session tz is pinned UTC, so the wall clock is
       preserved and epoch functions like unix_micros become available).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

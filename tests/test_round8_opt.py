@@ -160,3 +160,49 @@ class TestAltoSingleAggSerializer:
             assert ordered[0][:3] == (1, 1, 1), doc
             for a, b in zip(ordered, ordered[1:]):
                 assert b[:3] >= a[:3], (doc, a, b)
+
+
+class TestTableHandleMemo:
+    """The registry table() memo is PLAN reuse, never data caching: the
+    same unexecuted scan object comes back within one session (saving the
+    ~90 ms/call footer re-inference), keys isolate sf dirs and sessions,
+    and executing the memoized handle still reads the parquet files."""
+
+    def test_same_handle_within_session(self, spark):
+        from sciencebeam_parser_spark.queries.registry import table
+
+        a = table(spark, SF_DIR, "documents")
+        b = table(spark, SF_DIR, "documents")
+        assert a is b
+
+    def test_distinct_keys_per_sf_dir_and_table(self, spark):
+        from sciencebeam_parser_spark.queries.registry import table
+
+        docs = table(spark, SF_DIR, "documents")
+        other_sf = table(spark, "/root/testdata/sf0.01", "documents")
+        orders = table(spark, SF_DIR, "orders")
+        assert docs is not other_sf
+        assert docs is not orders
+
+    def test_memoized_handle_still_scans_parquet(self, spark):
+        import duckdb
+
+        from sciencebeam_parser_spark.queries.registry import table
+
+        expected = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        # second call returns the memoized plan; the action must still
+        # compute from the files
+        table(spark, SF_DIR, "documents")
+        got = table(spark, SF_DIR, "documents").count()
+        assert got == expected
+
+    def test_key_includes_application_id(self, spark):
+        from sciencebeam_parser_spark.queries import registry
+
+        keys = [
+            k for k in registry._TABLE_MEMO
+            if k[1:] == (SF_DIR, "documents")
+        ]
+        assert all(k[0] == spark.sparkContext.applicationId for k in keys)
