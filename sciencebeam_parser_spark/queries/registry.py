@@ -86,10 +86,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       cast to TIMESTAMP (session tz is pinned UTC, so the wall clock is
       preserved and epoch functions like unix_micros become available).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
+    # drop handles of other (stopped) sessions so a long-lived process
+    # that cycles sessions never accumulates dead plan references
+    for stale in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        del _TABLE_MEMO[stale]
     df = _read_table(spark, sf_dir, name)
     _TABLE_MEMO[key] = df
     return df
