@@ -389,14 +389,28 @@ def chain_graphic_matchers(graphics: DataFrame, stages) -> DataFrame:
     accumulated matches — at scale each round is one equi-anti-join keyed
     on (doc_id, graphic_id), and the chain length is a small constant (the
     reference chains 3 matchers).
+
+    Each non-final stage's match relation is localCheckpoint(eager=False)-ed
+    before it is consumed: without that, stage N's plan embeds every earlier
+    stage's FULL subtree (stage N-1's matches appear both in the final union
+    and inside stage N's anti-joined remainder), so the chain re-plans and
+    re-executes earlier matchers ~2^k times — measured on q132 as 14 scans
+    of the same base table and 72 Window nodes in one plan. The checkpointed
+    relation is a few rows per doc (the matches), computed once per session;
+    no cross-run persistence.
     """
     matched = None
     remaining = graphics
-    for name, fn in stages:
+    last = len(stages) - 1
+    for i, (name, fn) in enumerate(stages):
         m = fn(remaining).select(
             "doc_id", "graphic_id", "content_id",
             F.lit(name).alias("match_stage"),
         )
+        if i < last:
+            # consumed twice (union + next stage's anti-join): truncate the
+            # lineage so the matcher subtree executes once
+            m = m.localCheckpoint(eager=False)
         matched = m if matched is None else matched.unionByName(m)
         remaining = remaining.join(
             m.select("doc_id", "graphic_id"),
