@@ -69,37 +69,54 @@ def main():
     # full per-query map goes ONLY to bench_detail.json, and the FINAL
     # stdout line is a compact summary (total, n, sf, slowest 15) that is
     # guaranteed to fit the tail capture whole.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "operator_suite_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    detail = {
+        "metric": "operator_suite_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # a scaling run (different $SPARK_GRAFT_CPUS) must not clobber the
+    # canonical 32-core detail: keep one full map per core count too
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open(os.path.join(repo_dir, f"bench_detail_{cpus}c.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # slowest-N in the stdout line: sized so the whole JSON line still fits
+    # the driver's ~2000-char stdout tail capture. 40 short-name entries is
+    # ~600 bytes; the full payload stays under ~1300 bytes.
     slowest = dict(
         sorted(
             ((n.split("_", 1)[0], s) for n, s in per_query.items()),
             key=lambda kv: -kv[1],
-        )[:15]
+        )[:40]
     )
+    # additions-only digest: per-module wall-time subtotals, so a
+    # round-over-round comparison sees every query family move even when
+    # individual queries churn in and out of the slowest-N set
+    families: dict[str, float] = {}
+    for name, s in per_query.items():
+        mod = REGISTRY[name].build.__module__.rsplit(".", 1)[-1]
+        families[mod] = round(families.get(mod, 0.0) + s, 1)
     payload = {
         "metric": "operator_suite_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "n": len(per_query),
         "queries": slowest,
+        "families": families,
         "sf": sf_val,
     }
-    print(json.dumps(payload, separators=(",", ":")))
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # never risk the tail capture truncating the line
+        payload.pop("families")
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # still too long: fall back to the r8 top-15 shape
+        payload["queries"] = dict(list(slowest.items())[:15])
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

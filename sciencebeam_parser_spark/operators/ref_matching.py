@@ -149,6 +149,14 @@ def match_content_ids(
             "citation_id",
             F.col("content_id").alias("target_content_id"),
         )
+        # m12 is consumed twice (the stage-3 anti-join remainder AND the
+        # final matched union); without a checkpoint each consumer embeds
+        # the whole stacked-key join + window subtree — and the remainder
+        # side additionally replays it under stage 3's joins, where a
+        # BroadcastExchange build side leaves no exchange node for
+        # ReuseExchange to dedup (the q62/q100/q132 pathology). One row
+        # per matched citation: checkpoint is control-plane sized.
+        .localCheckpoint(eager=False)
     )
 
     # ---- stage 3: plurality vote over the unmatched remainder ----
@@ -169,22 +177,24 @@ def match_content_ids(
     w = W.partitionBy("doc_id", "citation_id").orderBy(
         F.desc("n_votes"), F.asc("content_id")
     )
-    ranked = votes.select(
-        "*",
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(W.partitionBy("doc_id", "citation_id")).alias("_n_cands"),
-        F.max("n_votes").over(W.partitionBy("doc_id", "citation_id")).alias("_max_v"),
-    )
-    # ambiguous when >=2 candidates share the max vote count
-    tied = (
-        ranked.filter(F.col("n_votes") == F.col("_max_v"))
-        .groupBy("doc_id", "citation_id")
-        .agg(F.count("*").alias("_n_top"))
-    )
+    # plurality-with-tie→null in ONE window pass: the top-ranked candidate
+    # wins iff the runner-up (lead over the same desc-votes order) has
+    # strictly fewer votes. Equivalent to "count of candidates at max_v is
+    # 1": the rank-1 row holds the max, so a second max-holder is exactly
+    # a rank-2 row with equal n_votes. Replaces two derivations of the
+    # ranked relation self-joined through a tie-count aggregate (three
+    # window functions + a groupBy + a join, with the votes subtree
+    # embedded on both join sides).
     m3 = (
-        ranked.filter(F.col("_rn") == 1)
-        .join(tied, ["doc_id", "citation_id"])
-        .filter(F.col("_n_top") == 1)
+        votes.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.lead("n_votes").over(w).alias("_next_v"),
+        )
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("_next_v").isNull() | (F.col("_next_v") < F.col("n_votes")))
+        )
         .select("doc_id", "citation_id", F.col("content_id").alias("target_content_id"))
     )
 

@@ -428,25 +428,46 @@ def run_fulltext_cascade(
         matches = match_content_ids(
             markers.select("doc_id", "citation_id", "text"), targets
         )
-        marker_targets = markers.join(matches, ["doc_id", "citation_id"]).select(
-            "doc_id", "model_name", "entity_group", "target_content_id"
+        marker_targets = (
+            markers.join(matches, ["doc_id", "citation_id"])
+            .select("doc_id", "model_name", "entity_group", "target_content_id")
+            # one row per matched marker — control-plane sized. Without the
+            # checkpoint, every downstream consumer of the joined entities
+            # relation re-embeds the ENTIRE ~12-stage matcher subtree
+            # (BroadcastExchange build sides defeat ReuseExchange); with
+            # it, the matcher computes once.
+            .localCheckpoint(eager=False)
         )
         # entity_group is only unique within (doc_id, model_name) — the
         # model key keeps marker matches from leaking onto other models'
         # same-numbered entities
-        entities = entities.join(
+        joined = entities.join(
             marker_targets, ["doc_id", "model_name", "entity_group"], "left"
         )
-    else:
-        entities = entities.withColumn(
-            "target_content_id", F.lit(None).cast("string")
-        )
+        # the validity branches only read pre-join columns, and the left
+        # join is row-preserving (≤1 marker_targets row per key), so they
+        # derive from the CACHED pre-join relation — two fewer embeddings
+        # of the matcher subtree in the final plan
+        return _finish_cascade(joined, config, base=entities)
+    entities = entities.withColumn(
+        "target_content_id", F.lit(None).cast("string")
+    )
 
     return _finish_cascade(entities, config)
 
 
-def _finish_cascade(entities: DataFrame, config: "CascadeConfig") -> DataFrame:
-    """A18 validity + final shape — shared tail of run_fulltext_cascade."""
+def _finish_cascade(
+    entities: DataFrame,
+    config: "CascadeConfig",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """A18 validity + final shape — shared tail of run_fulltext_cascade.
+
+    ``base``: the relation to derive the reference/field spans from when
+    it differs from ``entities`` only by row-preserving appended columns
+    (the marker-target join) — same rows, smaller plan."""
+    if base is None:
+        base = entities
     # A18 — validity PER REFERENCE (citation/extract.py:67-74,165-179):
     # a raw reference is valid iff the CITATION model produced >=1
     # valid-type entity overlapping ITS token span — not "any model,
@@ -455,14 +476,14 @@ def _finish_cascade(entities: DataFrame, config: "CascadeConfig") -> DataFrame:
     # labels the whole back region, so a field run may straddle a
     # reference boundary.
     if config.extract_references and config.extract_citation_fields:
-        refs = entities.filter(
+        refs = base.filter(
             F.col("entity_type") == "raw_reference_text"
         ).select(
             F.col("doc_id").alias("_r_doc"),
             F.col("token_start").alias("_r_start"),
             F.col("token_end").alias("_r_end"),
         )
-        fields = entities.filter(
+        fields = base.filter(
             (F.col("model_name") == "citation")
             & F.col("entity_type").isin(*VALID_REFERENCE_TYPES)
         ).select(

@@ -211,7 +211,13 @@ def _q97_fixture(spark: SparkSession, sf_dir: str):
         F.col("chunk").alias("target_seq"),
         "text",
         "toks",
-    )
+    ).localCheckpoint(eager=False)
+    # targets (a groupBy over the tokens explode) is embedded once per
+    # citation branch below (b0 twice, b1 twice, b2 once) plus once as the
+    # target side, and the matcher consumes each input relation 2-3 times —
+    # without the checkpoint the plan holds 50+ copies of the scan subtree
+    # (BroadcastExchange build sides defeat ReuseExchange, the q132
+    # pathology).
     prefixed = F.array_join(
         F.transform(
             F.col("toks"),
@@ -250,7 +256,7 @@ def _q97_fixture(spark: SparkSession, sf_dir: str):
                 ).alias("text"),
             )
         )
-    )
+    ).localCheckpoint(eager=False)
     return citations, targets
 
 

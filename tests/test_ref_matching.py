@@ -87,6 +87,23 @@ class TestMatchContentIds:
             is None
         )
 
+    def test_runner_up_tie_below_winner_still_matches(self, spark):
+        # the tie check compares rank-1 vs rank-2 only (lead over the
+        # desc-votes order): a tie BETWEEN the runners-up (votes 3,2,2)
+        # must not block the clear winner
+        assert (
+            run_match(
+                spark,
+                [
+                    ("id1", "The title, Smith, Jones, 1999"),
+                    ("id2", "Other A, Smith, 1999"),
+                    ("id3", "Other B, Smith, 1999"),
+                ],
+                "Smith Jones 1999",
+            )
+            == "id1"
+        )
+
     def test_no_match_returns_null(self, spark):
         assert (
             run_match(
