@@ -4,13 +4,12 @@ single-partition window is THE unscalable operator once the ranked
 relation outgrows one task).
 
 Mode comes from the session conf ``spark.sbp.globalRank.mode`` (falling
-back to the env var ``SBP_GLOBAL_RANK_MODE``, default ``single``):
+back to the env var ``SBP_GLOBAL_RANK_MODE``, default ``auto``):
 
 * ``single`` — the plain unpartitioned window. One partition carries
   the whole relation; correct and CHEAPEST while that relation is small
   (every consumer here ranks an aggregated one-row-per-document /
   per-user / per-order relation, which fits one task at bench scale).
-  This is the local default so the driver's bench plans are unchanged.
 * ``two-phase`` — the production form: range-repartition by the order
   columns, rank within each partition in parallel, then add
   per-partition row-count offsets (one O(#partitions)-row driver
@@ -18,6 +17,14 @@ back to the env var ``SBP_GLOBAL_RANK_MODE``, default ``single``):
   IDENTICAL for any total order (the order columns must be tie-broken,
   which every consumer's oracle already requires for determinism);
   pinned by tests/test_global_rank.py over every consumer's relation.
+* ``auto`` (default) — pick by the optimizer's size estimate of the
+  ranked relation: ``single`` while the estimate is at or under
+  ``spark.sbp.globalRank.autoThresholdBytes`` (default 256 MB — well
+  inside one task's sort budget), ``two-phase`` above it, or whenever
+  the estimate is unavailable (scale-safe). No deployment has to know
+  a conf for the single-partition window to disappear at scale; the
+  bench-scale consumers estimate 0.2–13 MB, so their plans are
+  byte-identical to explicit ``single`` (pinned in the tests).
 
 ntile(n) derives from the global row number and the total count with
 Spark's exact bucket-size rule (first ``total % n`` buckets get one
@@ -31,14 +38,35 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+_AUTO_THRESHOLD_DEFAULT = 256 * 1024 * 1024
+
+
 def _mode(df: DataFrame) -> str:
     try:
-        return df.sparkSession.conf.get(
+        conf = df.sparkSession.conf
+        mode = conf.get(
             "spark.sbp.globalRank.mode",
-            os.environ.get("SBP_GLOBAL_RANK_MODE", "single"),
+            os.environ.get("SBP_GLOBAL_RANK_MODE", "auto"),
         )
     except Exception:  # pragma: no cover - conf access always works
         return "single"
+    if mode != "auto":
+        return mode
+    try:
+        threshold = int(
+            conf.get(
+                "spark.sbp.globalRank.autoThresholdBytes",
+                str(_AUTO_THRESHOLD_DEFAULT),
+            )
+        )
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        return "two-phase" if est > threshold else "single"
+    except Exception:
+        # no usable estimate: assume the relation is big — two-phase is
+        # correct at every size, single is only correct-and-cheap when small
+        return "two-phase"
 
 
 def with_global_rank(

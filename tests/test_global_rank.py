@@ -3,6 +3,8 @@ form — on synthetic total orders AND on every consumer query's real
 relation (q205, q233, q244, q280, q288)."""
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -61,12 +63,52 @@ class TestTwoPhaseEquivalence:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
 
-    def test_single_mode_is_the_default(self, spark):
+    def test_auto_default_resolves_single_below_threshold(self, spark):
+        # default mode is auto; a small relation (estimate << 256 MB)
+        # must produce the plain single-window plan, byte-identical to
+        # explicit single mode
         df = with_global_rank(
             spark.range(10).select("id"), [F.asc("id")], out="o"
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Window" in plan
+        assert "Window" in plan and "SinglePartition" in plan
+        spark.conf.set("spark.sbp.globalRank.mode", "single")
+        try:
+            explicit = with_global_rank(
+                spark.range(10).select("id"), [F.asc("id")], out="o"
+            )
+            explicit_plan = (
+                explicit._jdf.queryExecution().executedPlan().toString()
+            )
+            # expr ids and plan ids differ between otherwise identical plans
+            norm = lambda s: re.sub(r"#\d+|plan_id=\d+", "#", s)
+            assert norm(explicit_plan) == norm(plan)
+        finally:
+            spark.conf.unset("spark.sbp.globalRank.mode")
+
+    def test_auto_engages_two_phase_above_threshold(self, spark):
+        # the size signal, not a conf, flips the mode: with a 1 KB
+        # threshold a few-thousand-row relation estimates over it and the
+        # single-partition window disappears — results still identical
+        spark.conf.set("spark.sbp.globalRank.autoThresholdBytes", "1024")
+        try:
+            df = spark.range(5000).select(
+                F.col("id"), (F.col("id") * 37 % 11).alias("k")
+            )
+            auto = with_global_rank(df, [F.desc("k"), F.asc("id")], out="o")
+            plan = auto._jdf.queryExecution().executedPlan().toString()
+            assert "SinglePartition" not in plan
+            got = _rows(auto)
+        finally:
+            spark.conf.unset("spark.sbp.globalRank.autoThresholdBytes")
+        spark.conf.set("spark.sbp.globalRank.mode", "single")
+        try:
+            want = _rows(
+                with_global_rank(df, [F.desc("k"), F.asc("id")], out="o")
+            )
+        finally:
+            spark.conf.unset("spark.sbp.globalRank.mode")
+        assert got == want
 
 
 class TestTwoPhaseCumsum:
