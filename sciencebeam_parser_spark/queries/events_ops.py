@@ -82,11 +82,54 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _stream_checkpoint_dir() -> str:
+    """A fresh per-query checkpoint dir on the fastest local medium.
+
+    Spark's fallback temp checkpoint lands in java.io.tmpdir (/tmp —
+    spinning/virtual disk here); state-store commits write one delta file
+    per partition per batch there, measured as the single largest slice
+    of a bounded stream's wall clock (q179: 2.1 s of a 2.9 s batch).
+    tmpfs (/dev/shm) makes those commits memory-speed. Parameterised via
+    SBP_STREAM_CHECKPOINT_DIR for deployments where the checkpoint must
+    be durable (a real cluster points it at shared storage — bounded
+    demo runs here don't need failure recovery across drivers).
+    """
+    import tempfile
+
+    base = os.environ.get("SBP_STREAM_CHECKPOINT_DIR")
+    if not base:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="sbp-stream-ckpt-", dir=base)
+    _CKPT_DIRS.append(d)
+    return d
+
+
+_CKPT_DIRS: list = []
+
+
+def _cleanup_ckpt_dirs() -> None:
+    import shutil
+
+    while _CKPT_DIRS:
+        shutil.rmtree(_CKPT_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_ckpt_dirs)
+
+
 def _start_bounded_stream(spark, writer, timeout: int = 300,
                           partitions: int = 8, stop_on_timeout: bool = False,
-                          expect_timeout: bool = False):
+                          expect_timeout: bool = False,
+                          managed_checkpoint: bool = True):
     """Start an availableNow streaming writer with a BOUNDED state-store
     partition count, await termination, restore the session conf.
+
+    ``managed_checkpoint``: route the query's checkpoint to a fresh
+    tmpfs-backed dir (see _stream_checkpoint_dir); pass False when the
+    caller set its own checkpointLocation (the state-reader and
+    foreachBatch-sink queries that read the checkpoint afterwards).
 
     The number of streaming state partitions equals
     spark.sql.shuffle.partitions at plan time, and every partition pays
@@ -103,6 +146,8 @@ def _start_bounded_stream(spark, writer, timeout: int = 300,
     timeout = max(timeout, int(os.environ.get("SBP_STREAM_TIMEOUT_S", "0")))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if managed_checkpoint:
+        writer = writer.option("checkpointLocation", _stream_checkpoint_dir())
     try:
         q = writer.start()
         if not q.awaitTermination(timeout):

@@ -769,6 +769,8 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .trigger(processingTime="0 seconds")
     )
+    # this writer's checkpoint stays with its data dir (explicit option
+    # above) — the managed tmpfs checkpoint must not override it
 
     def _committed_rows() -> int:
         n = 0
@@ -785,7 +787,8 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n += sum(1 for _ in sf)
         return n
 
-    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True)
+    q = _start_bounded_stream(spark, writer, timeout=1, expect_timeout=True,
+                              managed_checkpoint=False)
     try:
         deadline = time.time() + 120
         while time.time() < deadline:

@@ -453,7 +453,7 @@ def q276_streaming_state_reader(
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
     )
-    q = _start_bounded_stream(spark, writer)
+    q = _start_bounded_stream(spark, writer, managed_checkpoint=False)
     if q.isActive:  # pragma: no cover - await timed out, stream running
         q.stop()
         raise RuntimeError(
