@@ -1449,46 +1449,9 @@ def q130_tei_structure_roundtrip(
     ents = ents.join(
         runs_arr, ["doc_id", "model_name", "entity_group"], "left"
     )
-    tei = entities_to_tei(ents)
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType()),
-            T.StructField("element", T.StringType()),
-            T.StructField("n_elements", T.LongType()),
-        ]
-    )
-
-    def count_elements(batches):
-        # streaming expat parse instead of building a full ElementTree
-        # per document: the roundtrip still runs a REAL XML parse (the
-        # structural check is unchanged), but start-element callbacks
-        # count tags directly with no tree allocation — guide §4.2
-        # (vectorize/minimize Python work inside the batch loop)
-        from xml.parsers import expat
-
-        for pdf in batches:
-            rows = []
-            for doc_id, xml in zip(pdf["doc_id"], pdf["tei_xml"]):
-                counts = Counter()
-
-                def start(tag, attrs, counts=counts):
-                    counts[tag.rsplit("}", 1)[-1]] += 1
-                    if attrs.get("coords"):
-                        # coords-bearing elements tracked as a pseudo-
-                        # element so the oracle pins where @coords lands
-                        counts["@coords"] += 1
-
-                p = expat.ParserCreate(namespace_separator="}")
-                p.StartElementHandler = start
-                p.Parse(xml, True)
-                rows.extend((doc_id, tag, n) for tag, n in counts.items())
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "element", "n_elements"]
-                )
-
-    return tei.mapInPandas(count_elements, schema=schema)
+    # coords-bearing elements tracked as a pseudo-element so the oracle
+    # pins where @coords lands; build + parse share one Arrow crossing
+    return _xml_histogram_fused(ents, track_coords=True)
 
 
 @register(
@@ -1566,8 +1529,7 @@ def q131_jats_structure_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     toks, labels, ents = _shared_cascade(spark, sf_dir)
-    both = tei_with_jats(entities_to_tei(ents))
-    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+    return _xml_histogram_fused(ents, to_jats=True)
 
 
 def _q165_ann_oracle(n_planes: int = 6, dim: int = 8) -> str:
@@ -1848,17 +1810,32 @@ def q166_structured_reference_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ents = _structured_ref_entities(spark, sf_dir)
-    tei = entities_to_tei(ents)
-    return _count_xml_elements(tei, "tei_xml")
+    return _xml_histogram_fused(ents)
 
 
-def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
-    """(doc_id, xml) → per-doc element histogram (shared by the
-    structural round-trip queries)."""
+def _xml_histogram_fused(
+    entities: DataFrame, *, to_jats: bool = False, track_coords: bool = False
+) -> DataFrame:
+    """entities → per-doc element histogram in ONE Arrow crossing.
+
+    The round-trip queries used to chain 2-3 mapInPandas stages
+    (build TEI → [TEI→JATS] → expat count), so every document's XML
+    string crossed the JVM↔Python boundary between each pair of stages
+    (guide §4.1: you can't remove the boundary, but you control how
+    often and how many bytes cross). The intermediate XML is consumed
+    ONLY by the counter, so the real builder (_build_tei), the real
+    transform (tei_to_jats_xml) and the real expat parse now run inside
+    one mapInPandas — same bytes built, same parse, no XML crossing.
+    entities_to_tei/tei_with_jats stay the actual sinks for the queries
+    that emit XML (q90, q157, q290)."""
     from collections import Counter
 
     import pandas as pd
     from pyspark.sql import types as T
+
+    from sciencebeam_parser_spark.sinks.jats import tei_to_jats_xml
+    from sciencebeam_parser_spark.sinks.tei import _build_tei
+    from sciencebeam_parser_spark.utils import repartition_for_python
 
     schema = T.StructType(
         [
@@ -1868,30 +1845,36 @@ def _count_xml_elements(df: DataFrame, xml_col: str) -> DataFrame:
         ]
     )
 
-    def count_elements(batches):
-        # streaming expat parse — a real XML parse with start-element
-        # tag counting, no per-doc tree allocation (guide §4.2)
+    def build_and_count(batches):
         from xml.parsers import expat
 
-        for pdf in batches:
-            rows = []
-            for doc_id, xml in zip(pdf["doc_id"], pdf[xml_col]):
-                counts = Counter()
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        rows = []
+        for doc_id, group in pdf.groupby("doc_id", sort=False):
+            xml = _build_tei(group)
+            if to_jats:
+                xml = tei_to_jats_xml(xml)
+            counts = Counter()
 
-                def start(tag, attrs, counts=counts):
-                    counts[tag.rsplit("}", 1)[-1]] += 1
+            def start(tag, attrs, counts=counts):
+                counts[tag.rsplit("}", 1)[-1]] += 1
+                if track_coords and attrs.get("coords"):
+                    counts["@coords"] += 1
 
-                p = expat.ParserCreate(namespace_separator="}")
-                p.StartElementHandler = start
-                p.Parse(xml, True)
-                rows.extend((doc_id, tag, cnt) for tag, cnt in counts.items())
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "element", "n_elements"]
-                )
+            p = expat.ParserCreate(namespace_separator="}")
+            p.StartElementHandler = start
+            p.Parse(xml, True)
+            rows.extend((doc_id, tag, n) for tag, n in counts.items())
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "element", "n_elements"]
+            )
 
-    return df.select("doc_id", xml_col).mapInPandas(
-        count_elements, schema=schema
+    return repartition_for_python(entities, "doc_id").mapInPandas(
+        build_and_count, schema=schema
     )
 
 
@@ -2055,8 +2038,7 @@ def q167_structured_reference_jats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ents = _structured_ref_entities(spark, sf_dir)
-    both = tei_with_jats(entities_to_tei(ents))
-    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+    return _xml_histogram_fused(ents, to_jats=True)
 
 
 _IMPRINT_REF_SQL = _REF_ISLANDS_SQL + """
@@ -2194,8 +2176,7 @@ def q195_reference_imprint_jats(
         spark, sf_dir, field_expr=field_expr,
         dash_fields=("date", "page_range"),
     )
-    both = tei_with_jats(entities_to_tei(ents))
-    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+    return _xml_histogram_fused(ents, to_jats=True)
 
 
 @register(
@@ -2307,8 +2288,7 @@ def q196_back_sections_jats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lit(None).cast("string").alias("content_id"),
     )
-    both = tei_with_jats(entities_to_tei(ents))
-    return _count_xml_elements(both.select("doc_id", "jats_xml"), "jats_xml")
+    return _xml_histogram_fused(ents, to_jats=True)
 
 
 @register(

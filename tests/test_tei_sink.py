@@ -325,3 +325,58 @@ class TestTeiPageRangeAndGraphic:
         assert g.get("url") == "image1.png"
         assert g.get("coords") == "1,10.00,20.00,30.00,40.00"
         assert g.get("type") == "bitmap"
+
+
+class TestFusedHistogram:
+    def test_fused_equals_unfused_chain(self, spark):
+        # the fused build+count crossing must produce exactly the
+        # histogram of the 2/3-stage chain it replaced, for both the
+        # plain-TEI and the TEI->JATS forms
+        from collections import Counter
+        from xml.parsers import expat
+
+        from sciencebeam_parser_spark.queries.pipeline_ops import (
+            _xml_histogram_fused,
+        )
+        from sciencebeam_parser_spark.sinks.jats import tei_to_jats_xml
+
+        entities = spark.createDataFrame(
+            [
+                ("d1", 1, "title", "front", 0, 1, "Deep Spark"),
+                ("d1", 2, "heading", "body", 2, 3, "1. Intro"),
+                ("d1", 3, "paragraph", "body", 4, 6, "Some text"),
+                ("d1", 4, "raw_reference_text", "back", 7, 8, "Smith 2020"),
+                ("d2", 1, "title", "front", 0, 1, "Other Doc"),
+                ("d2", 2, "paragraph", "body", 2, 3, "Body text"),
+            ],
+            "doc_id string, entity_group long, entity_type string, "
+            "region string, token_start long, token_end long, text string",
+        ).withColumn(
+            "content_id",
+            F.when(F.col("entity_type") == "raw_reference_text", "b0"),
+        )
+
+        def manual_counts(xml):
+            counts = Counter()
+            p = expat.ParserCreate(namespace_separator="}")
+            p.StartElementHandler = (
+                lambda tag, attrs: counts.update([tag.rsplit("}", 1)[-1]])
+            )
+            p.Parse(xml, True)
+            return counts
+
+        for to_jats in (False, True):
+            got = {
+                (r["doc_id"], r["element"]): r["n_elements"]
+                for r in _xml_histogram_fused(
+                    entities, to_jats=to_jats
+                ).collect()
+            }
+            want = {}
+            for row in entities_to_tei(entities).collect():
+                xml = row["tei_xml"]
+                if to_jats:
+                    xml = tei_to_jats_xml(xml)
+                for tag, n in manual_counts(xml).items():
+                    want[(row["doc_id"], tag)] = n
+            assert got == want and got
