@@ -155,24 +155,51 @@ def ann_topk(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm_n(F.col("v"), dim))
-    # candidate pairs from each table, unioned then deduped
-    cand = None
+    # ALL tables' buckets in ONE pass over the embeddings: the per-table
+    # loop scanned the table 2x per LSH table (16 scans at 8 tables) and
+    # unioned 8 self-joins; the bucket for table t is a pure row
+    # expression, so one projection emits (vec_id, [struct(t, bucket_t)]),
+    # explodes, and ONE self-join on (t, bucket) yields the same
+    # "co-bucketed in ANY table" candidate set — identical after the
+    # distinct that always followed.
+    v = _as_double(F.col(vec_col))
+    entries = []
     for t in range(n_tables):
-        bucketed = add_lsh_bucket(
-            embeddings, n_planes=n_planes, table=t, id_col=id_col,
-            vec_col=vec_col, dim=dim,
-        ).select("vec_id", "bucket")
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pairs_t = a.join(
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            coeffs = F.array(
+                *[F.lit(c) for c in _hyperplane_coeffs(t * 1000 + p, dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        entries.append(
+            F.struct(
+                F.lit(t).alias("t"), bucket.cast("long").alias("bucket")
+            )
+        )
+    stacked = (
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .select("vec_id", F.explode(F.array(*entries)).alias("_tb"))
+        .select("vec_id", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
-        ).select(
+        )
+        .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
         )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+        .distinct()
+    )
     qa, qb = base.alias("qa"), base.alias("qb")
     scored = (
         cand.join(qa, F.col("query_id") == F.col("qa.vec_id"))

@@ -188,8 +188,9 @@ _ANN_MULTI_TABLES = 4
         "intersected with the brute-force top-5. Read next to q182: "
         "more tables -> linearly more candidate-join cost, "
         "super-linearly better recall — the trade a production index "
-        "tunes. Plan shape per table is the same bucket equi-join "
-        "(shuffle on bucket), unioned and deduped before scoring.",
+        "tunes. Plan shape: all tables' buckets computed in one pass "
+        "over the embeddings, ONE self-join on (table, bucket), deduped "
+        "before scoring.",
 )
 def q185_ann_multitable_recall(
     spark: SparkSession, sf_dir: str
