@@ -225,16 +225,28 @@ def q199_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = sup.filter(F.col("s_acctbal") >= 8000).select(
         F.col("s_suppkey").alias("k")
     )
-    bloom = None
-    for i in range(_BLOOM_K):
-        part = dim.select(_bloom_pos(F.col("k"), i).alias("pos"))
-        bloom = part if bloom is None else bloom.unionByName(part)
-    bloom = bloom.distinct()
-    fact = li.select(F.col("l_suppkey").alias("k")).distinct()
-    probes = None
-    for i in range(_BLOOM_K):
-        part = fact.select("k", _bloom_pos(F.col("k"), i).alias("pos"))
-        probes = part if probes is None else probes.unionByName(part)
+    # all k bit positions in ONE pass (explode of a position array) —
+    # the former per-position union embedded the dim scan / the
+    # lineitem-distinct subtree once per position, and the relations
+    # also feed the count block and the truth semi-join below, where
+    # broadcast build sides defeat exchange reuse. The distinct key
+    # relations are checkpointed: lineitem is scanned+deduped once
+    # instead of five times.
+    all_pos = F.array(
+        *[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)]
+    )
+    dim = dim.localCheckpoint(eager=False)
+    bloom = (
+        dim.select(F.explode(all_pos).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fact = (
+        li.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probes = fact.select("k", F.explode(all_pos).alias("pos"))
     cand = (
         probes.join(F.broadcast(bloom), "pos")
         .groupBy("k")

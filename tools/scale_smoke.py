@@ -65,6 +65,16 @@ DEFAULT_QUERIES = [
     # O(#versions x #shards) driver-side at 500k docs
     "q301_manifest_vacuum",
     "q302_streaming_versioned_ingest",
+    # round-9: the r8 checkpoint rewrites (signature/matcher subtrees
+    # computed once behind localCheckpoint) regress-guard here — the
+    # checkpointed relation must stay linear in the input, and q100's
+    # simhash band join must not blow up candidate counts
+    "q100_dedup_simhash_pairs",
+    "q132_graphic_match_chain",
+    # round-9: the multitable-LSH single-pass bucketing and the fused
+    # XML build+count crossing
+    "q185_ann_multitable_recall",
+    "q131_jats_structure_roundtrip",
 ]
 
 
