@@ -208,7 +208,16 @@ def q95_page_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 7 == 0, 600.0).otherwise(50.0).alias("width"),
         F.when(F.col("o_orderkey") % 7 == 0, 700.0).otherwise(50.0).alias("height"),
     )
-    cands = cv_candidate_pages(pages, graphics)
+    # the derived pages relation (scan + distinct) is consumed four times
+    # downstream (mode dims, the mode join, the bitmap-area join, the
+    # successor semi-join) — mostly as BroadcastExchange build sides,
+    # where exchange reuse cannot fire, so the plan embedded the whole
+    # scan+distinct subtree once per branch (9 parquet scans / 16
+    # Exchange textual). One lazy localCheckpoint computes it once; the
+    # candidate set is likewise consumed twice by the union+successor
+    # probe (guide §1.2/§5 — the q132/q97 pattern).
+    pages = pages.localCheckpoint(eager=False)
+    cands = cv_candidate_pages(pages, graphics).localCheckpoint(eager=False)
     return with_successor_pages(cands, pages)
 
 

@@ -382,16 +382,6 @@ def q200_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q203_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
 
-    def prof(col: str, minmax_num):
-        return orders.agg(
-            F.lit(col).alias("column_name"),
-            F.count("*").cast("long").alias("n_rows"),
-            (F.count("*") - F.count(col)).cast("long").alias("n_nulls"),
-            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
-            F.round(minmax_num[0], 4).alias("min_num"),
-            F.round(minmax_num[1], 4).alias("max_num"),
-        )
-
     num = lambda c: (  # noqa: E731
         F.min(F.col(c).cast("double")),
         F.max(F.col(c).cast("double")),
@@ -404,18 +394,41 @@ def q203_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp(c)).cast("double"),
         F.max(F.unix_timestamp(c)).cast("double"),
     )
-    parts = [
-        prof("o_orderkey", num("o_orderkey")),
-        prof("o_custkey", num("o_custkey")),
-        prof("o_totalprice", num("o_totalprice")),
-        prof("o_orderstatus", strlen("o_orderstatus")),
-        prof("o_orderpriority", strlen("o_orderpriority")),
-        prof("o_orderdate", ts("o_orderdate")),
+    specs = [
+        ("o_orderkey", *num("o_orderkey")),
+        ("o_custkey", *num("o_custkey")),
+        ("o_totalprice", *num("o_totalprice")),
+        ("o_orderstatus", *strlen("o_orderstatus")),
+        ("o_orderpriority", *strlen("o_orderpriority")),
+        ("o_orderdate", *ts("o_orderdate")),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE scan profiles every column: the six per-column aggregate passes
+    # (6 parquet scans + 6 single-partition exchanges as a union) collapse
+    # into a single multi-distinct aggregate — Catalyst plans the six
+    # count(DISTINCT col) via one Expand, so the table is read once and
+    # the non-distinct stats stay map-side partial. inline() then unpacks
+    # the 1-row aggregate into the same six profile rows.
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for name, mn, mx in specs:
+        aggs += [
+            (F.count("*") - F.count(name)).cast("long").alias(f"_nn_{name}"),
+            F.count_distinct(F.col(name)).cast("long").alias(f"_nd_{name}"),
+            F.round(mn, 4).alias(f"_mn_{name}"),
+            F.round(mx, 4).alias(f"_mx_{name}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"_nn_{name}").alias("n_nulls"),
+            F.col(f"_nd_{name}").alias("n_distinct"),
+            F.col(f"_mn_{name}").alias("min_num"),
+            F.col(f"_mx_{name}").alias("max_num"),
+        )
+        for name, _, _ in specs
+    ]
+    return one.select(F.inline(F.array(*rows)))
 
 
 @register(
@@ -1151,9 +1164,18 @@ def q233_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q242_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # the distinct basket relation feeds four consumers (both self-join
+    # sides, the single-item supports, and the broadcast n_orders count);
+    # the broadcast build sides defeat exchange reuse, so the
+    # scan+distinct subtree was embedded per branch. One lazy
+    # localCheckpoint scans and dedups lineitem once (guide §1.2/§5).
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = items.agg(
         F.countDistinct("ok").cast("long").alias("n")
     )
