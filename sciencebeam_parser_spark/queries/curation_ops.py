@@ -1456,11 +1456,18 @@ def q296_streaming_dedup_index_growth(
     state: dict = {"seen": 0, "n_batches": 0}
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n_in = batch_df.count()
+        # input count and bands materialization share ONE job (guide §5:
+        # each driver action is a sequential round trip per micro-batch):
+        # every doc emits exactly 4 bands (explode of a 4-struct array of
+        # never-null md5s) and the stream replays this same corpus, so
+        # count(bands)/4 IS the batch's input row count — the separate
+        # batch_df.count() job is gone, and the count action doubles as
+        # the lazy checkpoint's materializer.
+        enriched = batch_df.select("doc_id").join(corpus, "doc_id")
+        bands = to_bands(enriched).localCheckpoint(eager=False)
+        n_in = bands.count() // 4
         if n_in == 0:
             return
-        enriched = batch_df.select("doc_id").join(corpus, "doc_id")
-        bands = to_bands(enriched).localCheckpoint()
         # read-only left_semi probe against the manifest-listed shards
         collided = store.probe(bands)
         fresh = batch_df.select("doc_id").join(

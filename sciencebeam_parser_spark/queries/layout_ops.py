@@ -742,7 +742,6 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_python_datasource(spark)
     docs = table(spark, sf_dir, "documents")
-    expected = docs.filter(F.col("n_chars") >= 300).count()
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"sbp_pystreamsink_{os.path.basename(sf_dir.rstrip('/'))}"
@@ -750,9 +749,16 @@ def q283_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # corpus size and gate-survivor count in ONE fused aggregate job
+    # (guide §5: each driver action is a sequential round trip)
+    sizes = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_chars") >= 300, 1)).alias("n_gate"),
+    ).collect()[0]
+    expected = sizes["n_gate"]
     # same scale-adaptive ~5-increment paging as q282/q296: micro-batch
     # count, not row count, is the fixed cost unit of the replay
-    batch_size = max(500, (docs.count() + 4) // 5)
+    batch_size = max(500, (sizes["n_docs"] + 4) // 5)
     stream = (
         spark.readStream.format("sbp_doc_stream")
         .option("path", os.path.join(sf_dir, "documents.parquet"))

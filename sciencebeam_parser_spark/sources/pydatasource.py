@@ -27,13 +27,18 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
-    DataSourceStreamWriter,
+    DataSourceStreamArrowWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
+
+# rows per Arrow batch on the custom-source boundary: large enough to
+# amortize the per-batch crossing, small enough to bound worker memory
+# for arbitrarily large shard files
+_ARROW_BATCH_ROWS = 50_000
 
 
 class JsonlShardDataSource(DataSource):
@@ -75,23 +80,59 @@ class JsonlShardReader(DataSourceReader):
         # executor-side: parse one shard file; the hive-style directory
         # name carries the partition column the writer factored out —
         # URL-unescape it and map the hive null sentinel back to NULL,
-        # exactly as a catalog scan decodes partition values
+        # exactly as a catalog scan decodes partition values.  Parsed
+        # rows leave the Python worker as Arrow RecordBatches (one per
+        # _ARROW_BATCH_ROWS lines), not per-row pickled tuples — the
+        # parse is unchanged, only the JVM crossing is columnar
+        # (guide §4.1: control how efficiently columns cross).
         import json
         import re
         from urllib.parse import unquote
+
+        import pyarrow as pa
 
         path = partition.value
         m = re.search(r"source=([^/]+)[/\\]", path)
         src = unquote(m.group(1)) if m else None
         if src == "__HIVE_DEFAULT_PARTITION__":
             src = None
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+
+        def to_batch(ids, langs, chars):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(langs, pa.string()),
+                    pa.array([src] * len(ids), pa.string()),
+                    pa.array(chars, pa.int64()),
+                ],
+                schema=schema,
+            )
+
+        ids: list = []
+        langs: list = []
+        chars: list = []
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 d = json.loads(line)
-                yield (d.get("doc_id"), d.get("lang"), src, d.get("n_chars"))
+                ids.append(d.get("doc_id"))
+                langs.append(d.get("lang"))
+                chars.append(d.get("n_chars"))
+                if len(ids) >= _ARROW_BATCH_ROWS:
+                    yield to_batch(ids, langs, chars)
+                    ids, langs, chars = [], [], []
+        if ids:
+            yield to_batch(ids, langs, chars)
 
 
 _REGISTERED_APPS: set = set()
@@ -154,12 +195,15 @@ class JsonlShardSinkDataSource(DataSource):
         return JsonlShardWriter(self.options["path"])
 
 
-class JsonlShardWriter(DataSourceWriter):
+class JsonlShardWriter(DataSourceArrowWriter):
     def __init__(self, root: str) -> None:
         self._root = root
 
     def write(self, iterator) -> ShardCommit:
-        # executor-side: one private file per task attempt
+        # executor-side: one private file per task attempt.  Rows arrive
+        # as Arrow RecordBatches (DataSourceArrowWriter) instead of
+        # per-row pickled Rows — same JSONL bytes out, columnar crossing
+        # in (guide §4.1).
         import json
         import os
         import uuid
@@ -168,9 +212,10 @@ class JsonlShardWriter(DataSourceWriter):
         path = os.path.join(self._root, f"part-{uuid.uuid4().hex}.json")
         n = 0
         with open(path, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+            for batch in iterator:
+                for d in batch.to_pylist():
+                    fh.write(json.dumps(d) + "\n")
+                    n += 1
         return ShardCommit(path=path, n_rows=n)
 
     def commit(self, messages) -> None:
@@ -309,11 +354,13 @@ class JsonlStreamSinkDataSource(DataSource):
         return JsonlStreamWriter(self.options["path"])
 
 
-class JsonlStreamWriter(DataSourceStreamWriter):
+class JsonlStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, root: str) -> None:
         self._root = root
 
     def write(self, iterator) -> ShardCommit:
+        # per-micro-batch task shard; Arrow RecordBatches in (see
+        # JsonlShardWriter), identical JSONL shards out
         import json
         import os
         import uuid
@@ -322,9 +369,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         path = os.path.join(self._root, f"shard-{uuid.uuid4().hex}.json")
         n = 0
         with open(path, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+            for batch in iterator:
+                for d in batch.to_pylist():
+                    fh.write(json.dumps(d) + "\n")
+                    n += 1
         return ShardCommit(path=path, n_rows=n)
 
     def commit(self, messages, batchId: int) -> None:
