@@ -956,10 +956,16 @@ def funnel_via_aggregation(ev: DataFrame) -> DataFrame:
     equivalence-tested in test_round5_ops.py.
     """
     t = F.col("event_type")
+    # v feeds the click stage's join, the left spine, and (via vc) the
+    # purchase stage — broadcast build sides defeat exchange reuse, so
+    # the filtered-scan+agg subtrees were embedded once per branch
+    # (7 textual scans of events). The per-user 1-row stage relations
+    # are lazily checkpointed and computed once (guide §1.2/§5).
     v = (
         ev.filter(t == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(t == "click")
@@ -969,7 +975,7 @@ def funnel_via_aggregation(ev: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
-    vc = v.join(c, "user_id", "left")
+    vc = v.join(c, "user_id", "left").localCheckpoint(eager=False)
     p = (
         ev.filter(t == "purchase")
         .select("user_id", "ts")

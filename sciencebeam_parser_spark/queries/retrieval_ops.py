@@ -584,13 +584,28 @@ def q209_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         )
 
-    cms = None
-    for i in range(_CMS_D):
-        part = occ.select(
-            F.lit(i).alias("i"), bucket(i, F.col("word")).alias("bucket")
+    # all d sketch rows in ONE pass over the token stream: the d-way
+    # union scanned + exploded the corpus once per sketch row (d=4
+    # scans); each row's bucket is a pure expression of the word, so one
+    # projection emits [(i, bucket)] and inline() unpacks it — the same
+    # one-pass shape as the LSH table buckets (guide §1.2/§2.3).
+    cms = (
+        occ.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(i, F.col("word")).alias("bucket"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            )
         )
-        cms = part if cms is None else cms.unionByName(part)
-    cms = cms.groupBy("i", "bucket").agg(F.count("*").cast("long").alias("n"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
     ks = spark.range(_CMS_D).select(F.col("id").cast("int").alias("i"))
     probes = top.crossJoin(F.broadcast(ks)).withColumn(
         "bucket",
