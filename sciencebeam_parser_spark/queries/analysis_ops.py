@@ -197,7 +197,16 @@ def q216_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q217_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _bigrams(spark, sf_dir)
-    lm = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # the vocabulary-bounded count table feeds FOUR branches (left/right
+    # marginals, the 1-row total broadcast, and the scored join) — each
+    # embedded the whole corpus bigram-explode+count subtree (broadcast
+    # build sides defeat exchange reuse). One lazy checkpoint counts the
+    # corpus once (guide §1.2/§5).
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     leftc = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     rightc = lm.groupBy("w2").agg(F.sum("c12").alias("c2"))
     total = lm.agg(F.sum("c12").alias("n"))

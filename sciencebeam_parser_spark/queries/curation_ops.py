@@ -155,7 +155,17 @@ def q168_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll) — the bigram-LM scoring pipeline."""
     bg = _bigrams(spark, sf_dir)
-    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # the vocabulary-bounded LM table feeds three branches (unigram
+    # marginals, the 1-row vocab broadcast, the scoring join); without a
+    # checkpoint each embedded the corpus bigram-explode+count subtree.
+    # bg itself stays unmaterialized: it has exactly two consumers (LM
+    # build + scoring join), and two streaming passes over the corpus
+    # beat materializing a bigger-than-the-corpus bigram relation.
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = lm.agg(F.countDistinct("w2").alias("v"))
     # vocab is one row — broadcast nested-loop join is the right plan
@@ -864,12 +874,24 @@ def q255_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input-split-sized explode partitions -> repartition + DISK_ONLY
     bg = checkpoint_big(_bigrams(spark, sf_dir), "doc_id")
     docs = table(spark, sf_dir, "documents")
-    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # both LM count tables are vocabulary-bounded and feed three branches
+    # each (marginals, 1-row vocab broadcasts, the scoring joins): lazy
+    # checkpoints aggregate the checkpointed bigram relation once per LM
+    # instead of once per branch (guide §1.2/§5)
+    lm = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     uni = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = lm.agg(F.countDistinct("w2").alias("v"))
     en = docs.filter(F.col("lang") == "en").select("doc_id")
     tbg = bg.join(en, "doc_id")
-    tgt = tbg.groupBy("w1", "w2").agg(F.count("*").alias("t12"))
+    tgt = (
+        tbg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("t12"))
+        .localCheckpoint(eager=False)
+    )
     tuni = tgt.groupBy("w1").agg(F.sum("t12").alias("t1"))
     tvocab = tgt.agg(F.countDistinct("w2").alias("tv"))
     scored = (
@@ -1181,22 +1203,43 @@ def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
-    lang_counts = scored.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    # ONE tokenization pass: the language-mode branch and the per-source
+    # rollup both aggregate the same per-doc stats, and both reduce to
+    # the (source, lang) grain — so the corpus is split/measured once
+    # into a sources x langs relation (tiny at any corpus size, lazily
+    # checkpointed for its two consumers) and each card column derives
+    # from it. Previously the full-text split ran once per branch
+    # (guide §1.2: don't recompute; §2.3: aggregate before you reuse).
+    sl = (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("n_tokens").alias("tok"),
+            F.sum("n_chars").alias("ch"),
+            F.sum((F.col("n_tokens") < 50).cast("int")).alias("short_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
     wl = W.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
     top_lang = (
-        lang_counts.withColumn("rn", F.row_number().over(wl))
+        sl.withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") == 1)
         .select("source", F.col("lang").alias("dominant_lang"))
     )
-    per_source = scored.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.countDistinct("lang").cast("long").alias("n_langs"),
-        F.sum((F.col("n_tokens") < 50).cast("int")).cast("long").alias(
-            "n_short_docs"
-        ),
+    per_source = sl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("ch").cast("long").alias("total_chars"),
+        # one sl row per present (source, lang): counting non-null lang
+        # rows IS countDistinct(lang) at this grain
+        F.count(F.when(F.col("lang").isNotNull(), 1))
+        .cast("long")
+        .alias("n_langs"),
+        F.sum("short_c").cast("long").alias("n_short_docs"),
     )
+    # per_source is consumed twice (grand-total broadcast + final join)
+    # but re-aggregating the checkpointed sources x langs relation is
+    # O(tiny) at any scale — cheaper than another checkpoint round trip
     total = per_source.agg(
         F.sum("total_tokens").alias("grand_total")
     )
