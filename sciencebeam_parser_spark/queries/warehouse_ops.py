@@ -1044,15 +1044,17 @@ def q221_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("intsum"),
         (64 - F.count("*")).cast("long").alias("zeros"),
     )
-    days = hashed.groupBy("event_type").agg(
-        F.count_distinct("day").cast("long").alias("n_days")
-    )
-    exact = hashed.groupBy("event_type").agg(
-        F.count_distinct("h").cast("long").alias("exact")
+    # the day count and the exact-distinct control rode two separate
+    # scans (each re-hashing every user_id); one multi-distinct
+    # aggregate (Catalyst's Expand) computes both in a single pass —
+    # events is now scanned twice total (sketch chain + controls), not
+    # three times (guide §1.2)
+    aux = hashed.groupBy("event_type").agg(
+        F.count_distinct("day").cast("long").alias("n_days"),
+        F.count_distinct("h").cast("long").alias("exact"),
     )
     return (
-        folded.join(days, "event_type")
-        .join(exact, "event_type")
+        folded.join(aux, "event_type")
         .select(
             "event_type",
             "n_days",
